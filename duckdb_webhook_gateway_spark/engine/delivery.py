@@ -1,0 +1,64 @@
+"""HTTP delivery sink.
+
+Reference: POST the transformed JSON to ``destination_url`` with a 30 s
+timeout; destinations on example.com / localhost are mocked successful
+(src/app.py:1179-1213, mock at 1184-1193).  Delivery is at-most-once with
+the outcome recorded; failures are logged, never retried
+(src/app.py:1205-1213).
+
+This is a driver-side side effect (SURVEY §2A A10) — in the streaming
+layer it runs inside ``foreachBatch``, never as a Spark operator.  Uses
+stdlib urllib (httpx is not a dependency of this engine).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from dataclasses import dataclass
+from typing import Any, Optional
+from urllib.parse import urlparse
+
+DELIVERY_TIMEOUT_SECONDS = 30.0  # reference: src/app.py:1196
+_MOCK_HOSTS = ("example.com", "www.example.com", "localhost", "127.0.0.1")
+
+
+@dataclass
+class DeliveryResult:
+    success: bool
+    response_code: Optional[int]
+    response_body: Optional[str]
+
+
+def is_mock_destination(url: str) -> bool:
+    """example.com / localhost short-circuit (reference: src/app.py:1184-1193)."""
+    host = (urlparse(url).hostname or "").lower()
+    return host in _MOCK_HOSTS
+
+
+def deliver(
+    destination_url: str,
+    payload: dict[str, Any],
+    timeout: float = DELIVERY_TIMEOUT_SECONDS,
+) -> DeliveryResult:
+    if is_mock_destination(destination_url):
+        return DeliveryResult(True, 200, json.dumps({"status": "mocked"}))
+    body = json.dumps(payload, default=str).encode("utf-8")
+    req = urllib.request.Request(
+        destination_url,
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            text = resp.read().decode("utf-8", errors="replace")
+            code = resp.status
+            return DeliveryResult(200 <= code < 300, code, text)
+    except urllib.error.HTTPError as e:
+        return DeliveryResult(
+            False, e.code, e.read().decode("utf-8", errors="replace")
+        )
+    except Exception as e:  # connect/timeout classification (src/app.py:1205-1213)
+        return DeliveryResult(False, None, f"Error: {e}")

@@ -1,0 +1,121 @@
+"""Transform and filter executors — the hot path of the engine.
+
+Reference semantics reproduced here:
+
+- payload dict -> 1-row relation; payload list -> N-row relation
+  (reference: src/app.py:448-458, 541-551)
+- ``{{payload}}`` macro substituted with a unique temp-view name
+  (reference: src/app.py:462; validation at src/app.py:64-69)
+- transform = run substituted SELECT, shape rows per the 0/1/N contract
+  (reference: src/app.py:434-522)
+- filter = bare WHERE predicate evaluated as an existence gate; ``None`` or
+  blank filter always passes (reference: src/app.py:524-579)
+- temp views are UUID-named and dropped in ``finally`` for isolation
+  (reference: src/app.py:448, 509-522, 541, 567-579)
+
+Spark-first notes: payloads are materialized through ``spark.read.json`` so
+nested objects become ``StructType`` (dot access ``nested.key1`` works
+natively — the reference relied on DuckDB's struct inference for the same,
+tests/test_event_processing.py:56-70) and arrays of objects become
+``ArrayType(StructType)`` (stronger than the reference, which documented
+array element access as broken, tests/test_event_processing.py:71).
+Schema is inferred per event, never cached — two events on one path may
+differ in shape, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import rewrite_dialect
+from .results import shape_result
+
+PAYLOAD_MACRO = "{{payload}}"
+
+
+def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
+    """JSON payload -> DataFrame with inferred (possibly nested) schema.
+
+    dict -> one row; list -> one row per element
+    (reference: src/app.py:451-454).
+    """
+    if isinstance(payload, dict):
+        records = [payload]
+    elif isinstance(payload, list):
+        records = payload
+    else:
+        raise TypeError(f"payload must be dict or list, got {type(payload).__name__}")
+    # One tiny partition: a per-event relation must not fan out across the
+    # cluster; inference + scan happen on a single task.
+    rdd = spark.sparkContext.parallelize([json.dumps(r) for r in records], 1)
+    return spark.read.json(rdd)
+
+
+def _register_temp_payload(
+    spark: SparkSession, payload: dict | list, prefix: str
+) -> tuple[str, DataFrame]:
+    name = f"{prefix}_{uuid.uuid4().hex}"
+    df = payload_to_df(spark, payload)
+    df.createOrReplaceTempView(name)
+    return name, df
+
+
+def substitute_macro(transform_query: str, view_name: str) -> str:
+    """``{{payload}}`` -> temp view name (reference: src/app.py:462), plus
+    DuckDB-dialect rewrites (json_extract -> get_json_object)."""
+    return rewrite_dialect(transform_query.replace(PAYLOAD_MACRO, view_name))
+
+
+def transform_to_df(
+    spark: SparkSession, transform_query: str, payload: dict | list
+) -> tuple[DataFrame, str]:
+    """Build (but do not collect) the transform DataFrame.
+
+    Returns (df, temp_view_name); caller must drop the view when done.
+    Exposed separately so the streaming layer can compose transforms
+    without driver-side collection.
+    """
+    view, _ = _register_temp_payload(spark, payload, "temp_payload")
+    try:
+        df = spark.sql(substitute_macro(transform_query, view))
+    except Exception:
+        spark.catalog.dropTempView(view)
+        raise
+    return df, view
+
+
+def execute_transform(
+    spark: SparkSession, transform_query: str, payload: dict | list
+) -> dict[str, Any]:
+    """Run a transform query against a payload; shape per the 0/1/N contract
+    (reference: execute_transform, src/app.py:434-522)."""
+    df, view = transform_to_df(spark, transform_query, payload)
+    try:
+        return shape_result(df)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def apply_filter(
+    spark: SparkSession, filter_query: str | None, payload: dict | list
+) -> bool:
+    """Evaluate a bare WHERE predicate as a pass/drop gate.
+
+    ``None``/blank predicate always passes (reference: src/app.py:537-538).
+    The reference runs ``SELECT COUNT(*) FROM tmp WHERE <pred>`` and checks
+    ``> 0`` (src/app.py:555-560); an existence probe (``LIMIT 1``) is
+    semantically identical and stops at the first qualifying row instead of
+    counting them all — the version that survives a wide payload relation.
+    """
+    if filter_query is None or not str(filter_query).strip():
+        return True
+    view, _ = _register_temp_payload(spark, payload, "temp_filter")
+    try:
+        probe = spark.sql(f"SELECT 1 AS hit FROM {view} WHERE {filter_query} LIMIT 1")
+        return len(probe.take(1)) > 0
+    finally:
+        spark.catalog.dropTempView(view)

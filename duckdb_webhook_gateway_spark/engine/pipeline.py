@@ -1,0 +1,228 @@
+"""The per-event processing pipeline (the reference's ``process_webhook``).
+
+Order of operations (reference: src/app.py:1113-1244):
+
+  1. catalog lookup by path (404 if absent — src/app.py:1089)
+  2. log raw event, ack immediately (src/app.py:1101-1111)
+  3. load the webhook's stored UDFs (src/app.py:1148)
+  4. apply filter on the RAW payload (src/app.py:1152); rejected events get
+     an audit row with success=False / "Filtered out by filter_query"
+     and processing stops (src/app.py:1159-1170)
+  5. execute transform (src/app.py:1173)
+  6. deliver over HTTP, 30 s timeout, mock for example.com/localhost
+     (src/app.py:1179-1213)
+  7. log transformed event with the delivery outcome (src/app.py:1217-1225)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from .audit import AuditLog
+from .catalog import WebhookCatalog, WebhookConfig
+from .delivery import DeliveryResult, deliver
+from .executors import apply_filter, execute_transform
+from .reference_tables import ReferenceTableManager
+from .store import TableStore
+from .udfs import UdfManager
+
+
+class UnknownPathError(KeyError):
+    """No webhook registered for this path (reference returns 404)."""
+
+
+@dataclass
+class ProcessOutcome:
+    raw_event_id: str
+    webhook_id: str
+    filtered_out: bool
+    transformed: dict[str, Any] = field(default_factory=dict)
+    delivery: Optional[DeliveryResult] = None
+    transformed_event_id: Optional[str] = None
+
+
+class Gateway:
+    """Facade wiring store + catalog + audit + ref tables + UDFs + executors.
+
+    One Gateway per SparkSession/process — the Spark analogue of the
+    reference's module-level app state (src/app.py:84-96).
+    """
+
+    def __init__(self, spark: SparkSession, workdir: Optional[str] = None):
+        self.spark = spark
+        self.workdir = workdir or tempfile.mkdtemp(prefix="gateway_store_")
+        self.store = TableStore(spark, self.workdir)
+        self.catalog = WebhookCatalog(self.store)
+        self.audit = AuditLog(self.store)
+        self.ref_tables = ReferenceTableManager(self.store)
+        self.udfs = UdfManager(self.store)
+        # Dialect shims (json_extract etc.) are part of engine startup.
+        from ..functions import register_engine_functions
+
+        register_engine_functions(spark)
+
+    # -- registration ------------------------------------------------------
+    def register_webhook(self, config: WebhookConfig) -> dict[str, Any]:
+        return self.catalog.register(config)
+
+    # -- ingestion + processing -------------------------------------------
+    def ingest(self, path: str, payload: dict | list) -> ProcessOutcome:
+        """Synchronous ingest-and-process of one event (the reference acks
+        then processes in a background task; semantics identical)."""
+        webhook = self.catalog.get_by_path(path)
+        if webhook is None:
+            raise UnknownPathError(path)
+        raw_event_id = self.audit.log_raw_event(webhook["source_path"], payload)
+        return self.process_event(webhook, raw_event_id, payload)
+
+    def process_event(
+        self, webhook: dict[str, Any], raw_event_id: str, payload: dict | list
+    ) -> ProcessOutcome:
+        """Filter -> transform -> deliver -> audit.  Any processing error is
+        caught and audited with ``success=False`` and ``Error: <msg>`` as
+        the response body (reference: src/app.py:1226-1244)."""
+        try:
+            return self._process_event_inner(webhook, raw_event_id, payload)
+        except Exception as e:
+            tid = self.audit.log_transformed_event(
+                raw_event_id=raw_event_id,
+                webhook_id=webhook["id"],
+                transformed_payload={},
+                destination_url=webhook["destination_url"],
+                success=False,
+                response_code=None,
+                response_body=f"Error: {e}",
+            )
+            return ProcessOutcome(
+                raw_event_id=raw_event_id,
+                webhook_id=webhook["id"],
+                filtered_out=False,
+                transformed={},
+                delivery=None,
+                transformed_event_id=tid,
+            )
+
+    def _process_event_inner(
+        self, webhook: dict[str, Any], raw_event_id: str, payload: dict | list
+    ) -> ProcessOutcome:
+        webhook_id = webhook["id"]
+        self.udfs.load_webhook_udfs(webhook_id)
+
+        if not apply_filter(self.spark, webhook.get("filter_query"), payload):
+            tid = self.audit.log_filtered_out(
+                raw_event_id, webhook_id, webhook["destination_url"]
+            )
+            return ProcessOutcome(
+                raw_event_id=raw_event_id,
+                webhook_id=webhook_id,
+                filtered_out=True,
+                transformed_event_id=tid,
+            )
+
+        transformed = execute_transform(
+            self.spark, webhook["transform_query"], payload
+        )
+        result = deliver(webhook["destination_url"], transformed)
+        tid = self.audit.log_transformed_event(
+            raw_event_id=raw_event_id,
+            webhook_id=webhook_id,
+            transformed_payload=transformed,
+            destination_url=webhook["destination_url"],
+            success=result.success,
+            response_code=result.response_code,
+            response_body=result.response_body,
+        )
+        return ProcessOutcome(
+            raw_event_id=raw_event_id,
+            webhook_id=webhook_id,
+            filtered_out=False,
+            transformed=transformed,
+            delivery=result,
+            transformed_event_id=tid,
+        )
+
+    # -- analytics surfaces (SURVEY §2A A15/A16/A17) -----------------------
+    def stats(self) -> dict[str, Any]:
+        """Counts + per-webhook success rate (reference: src/app.py:1246-1294)."""
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        webhook_count = spark.table("webhooks").count()
+        raw_count = spark.table("raw_events").count()
+        tr = spark.table("transformed_events")
+        transformed_count = tr.count()
+        per_webhook = (
+            tr.groupBy("webhook_id")
+            .agg(
+                F.count("*").alias("total"),
+                F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("successes"),
+            )
+            .withColumn(
+                "success_rate",
+                (F.col("successes").cast("float") / F.col("total")).cast("float"),
+            )
+        )
+        return {
+            "webhooks": webhook_count,
+            "raw_events": raw_count,
+            "transformed_events": transformed_count,
+            "per_webhook": [r.asDict() for r in per_webhook.collect()],
+        }
+
+    def recent_events(self, limit: int = 50) -> list[dict[str, Any]]:
+        """raw LEFT JOIN transformed, newest first
+        (reference: src/app.py:1464-1501)."""
+        from pyspark.sql import functions as F
+
+        raw = self.spark.table("raw_events").alias("r")
+        tr = self.spark.table("transformed_events").alias("t")
+        joined = (
+            raw.join(tr, F.col("r.id") == F.col("t.raw_event_id"), "left")
+            .orderBy(F.col("r.timestamp").desc())
+            .limit(limit)
+            .select(
+                F.col("r.id").alias("raw_event_id"),
+                F.col("r.timestamp").alias("timestamp"),
+                F.col("r.source_path").alias("source_path"),
+                F.col("r.payload").alias("payload"),
+                F.col("t.success").alias("success"),
+                F.col("t.response_code").alias("response_code"),
+            )
+        )
+        from .results import rows_to_dicts
+
+        return rows_to_dicts(joined)
+
+    def event_detail(self, raw_event_id: str) -> Optional[dict[str, Any]]:
+        """Raw event + its transformed record (reference: src/app.py:1503-1563)."""
+        import json as _json
+
+        from .results import rows_to_dicts
+
+        raw_rows = rows_to_dicts(
+            self.spark.table("raw_events").where(
+                self.spark.table("raw_events")["id"] == raw_event_id
+            )
+        )
+        if not raw_rows:
+            return None
+        raw = raw_rows[0]
+        raw["payload"] = _json.loads(raw["payload"]) if raw.get("payload") else None
+        tr_df = self.spark.table("transformed_events")
+        tr_rows = rows_to_dicts(tr_df.where(tr_df["raw_event_id"] == raw_event_id))
+        for t in tr_rows:
+            if t.get("transformed_payload"):
+                t["transformed_payload"] = _json.loads(t["transformed_payload"])
+        return {"raw_event": raw, "transformed_events": tr_rows}
+
+    def has_history(self, webhook_id: str) -> bool:
+        tr = self.spark.table("transformed_events")
+        return len(tr.where(tr["webhook_id"] == webhook_id).take(1)) > 0
+
+    def delete_webhook(self, webhook_id: str) -> Optional[str]:
+        return self.catalog.delete(webhook_id, self.has_history(webhook_id))

@@ -1,0 +1,219 @@
+"""Persistent table store: the engine's 5 catalog/audit tables.
+
+The reference creates five DuckDB tables at startup
+(reference: src/app.py:103-167):
+
+  webhooks, raw_events, transformed_events, reference_tables, python_udfs
+
+Spark-first split (SURVEY §7.0):
+
+- **Catalog tables** (``webhooks``, ``reference_tables``, ``python_udfs``)
+  are tiny and mutation-heavy.  They live as driver-side row lists, guarded
+  by one ``threading.Lock`` (the moral equivalent of the reference's single
+  connection + asyncio.Lock, src/app.py:89-94, which is exactly where that
+  serialization actually mattered), persisted to Parquet on every mutation,
+  and re-registered as temp views so ``spark.sql`` sees them by name.
+- **Event tables** (``raw_events``, ``transformed_events``) are append-only
+  audit streams.  They are Parquet directories partitioned by
+  ``event_date`` — at 100 TB an unpartitioned audit log is unqueryable;
+  date partitioning gives partition pruning on every time-ranged analytics
+  query for free, and appends never rewrite history.
+
+Type mapping follows SURVEY §1.2: UUID -> StringType, JSON -> StringType
+(JSON text, parse on demand with get_json_object/from_json).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fixed DDL schemas (reference: src/app.py:103-167; FIXTURES.md §9).
+SCHEMAS: dict[str, T.StructType] = {
+    "webhooks": T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("source_path", T.StringType(), False),
+            T.StructField("destination_url", T.StringType(), False),
+            T.StructField("transform_query", T.StringType(), False),
+            T.StructField("filter_query", T.StringType(), True),
+            T.StructField("owner", T.StringType(), True),
+            T.StructField("created_at", T.TimestampType(), True),
+            T.StructField("updated_at", T.TimestampType(), True),
+        ]
+    ),
+    "raw_events": T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("source_path", T.StringType(), True),
+            T.StructField("payload", T.StringType(), True),
+        ]
+    ),
+    "transformed_events": T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("raw_event_id", T.StringType(), True),
+            T.StructField("webhook_id", T.StringType(), True),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("transformed_payload", T.StringType(), True),
+            T.StructField("destination_url", T.StringType(), True),
+            T.StructField("success", T.BooleanType(), True),
+            T.StructField("response_code", T.IntegerType(), True),
+            T.StructField("response_body", T.StringType(), True),
+        ]
+    ),
+    "reference_tables": T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("webhook_id", T.StringType(), True),
+            T.StructField("table_name", T.StringType(), True),
+            T.StructField("description", T.StringType(), True),
+            T.StructField("created_at", T.TimestampType(), True),
+            T.StructField("updated_at", T.TimestampType(), True),
+        ]
+    ),
+    "python_udfs": T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("webhook_id", T.StringType(), True),
+            T.StructField("function_name", T.StringType(), True),
+            T.StructField("function_code", T.StringType(), True),
+            T.StructField("created_at", T.TimestampType(), True),
+            T.StructField("updated_at", T.TimestampType(), True),
+        ]
+    ),
+}
+
+_CATALOG_TABLES = ("webhooks", "reference_tables", "python_udfs")
+_EVENT_TABLES = ("raw_events", "transformed_events")
+
+
+def now_utc() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def new_id() -> str:
+    return str(uuid.uuid4())
+
+
+class TableStore:
+    """Owns the 5 engine tables; registers them as Spark temp views."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.lock = threading.Lock()
+        self._catalog: dict[str, list[dict[str, Any]]] = {}
+        os.makedirs(base_dir, exist_ok=True)
+        for name in _CATALOG_TABLES:
+            self._catalog[name] = self._load_catalog(name)
+            self._register_catalog_view(name)
+        for name in _EVENT_TABLES:
+            self._register_event_view(name)
+
+    # -- paths -----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    # -- catalog tables (driver-state + parquet persistence) -------------
+    def _load_catalog(self, name: str) -> list[dict[str, Any]]:
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return []
+        try:
+            df = self.spark.read.schema(SCHEMAS[name]).parquet(path)
+            return [row.asDict() for row in df.collect()]
+        except Exception:
+            return []
+
+    def _catalog_df(self, name: str) -> DataFrame:
+        return self.spark.createDataFrame(self._catalog[name], SCHEMAS[name])
+
+    def _register_catalog_view(self, name: str) -> None:
+        self._catalog_df(name).createOrReplaceTempView(name)
+
+    def _persist_catalog(self, name: str) -> None:
+        # Tiny tables: one-file overwrite is atomic enough under self.lock
+        # (the reference serialized ALL SQL behind one lock; we only
+        # serialize catalog mutations).
+        df = self._catalog_df(name).coalesce(1)
+        df.write.mode("overwrite").parquet(self._path(name))
+        self._register_catalog_view(name)
+
+    def catalog_rows(self, name: str) -> list[dict[str, Any]]:
+        with self.lock:
+            return [dict(r) for r in self._catalog[name]]
+
+    def mutate_catalog(self, name: str, fn) -> Any:
+        """Read-modify-write a catalog table under the store lock.
+
+        ``fn(rows)`` mutates the row list in place and returns a value.
+        """
+        with self.lock:
+            out = fn(self._catalog[name])
+            self._persist_catalog(name)
+            return out
+
+    # -- event tables (append-only, date-partitioned parquet) ------------
+    def _register_event_view(self, name: str) -> None:
+        path = self._path(name)
+        schema = SCHEMAS[name]
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") or f.startswith("event_date=")
+            for f in os.listdir(path)
+        ):
+            df = (
+                self.spark.read.schema(
+                    T.StructType(
+                        list(schema.fields)
+                        + [T.StructField("event_date", T.DateType(), True)]
+                    )
+                )
+                .option("basePath", path)
+                .parquet(path)
+                .select(*[f.name for f in schema.fields])
+            )
+        else:
+            df = self.spark.createDataFrame([], schema)
+        df.createOrReplaceTempView(name)
+
+    def append_events(self, name: str, rows: list[dict[str, Any]]) -> None:
+        if name not in _EVENT_TABLES:
+            raise ValueError(f"not an event table: {name}")
+        if not rows:
+            return
+        df = self.spark.createDataFrame(rows, SCHEMAS[name]).withColumn(
+            "event_date", F.to_date("timestamp")
+        )
+        df.coalesce(1).write.mode("append").partitionBy("event_date").parquet(
+            self._path(name)
+        )
+        self._register_event_view(name)
+
+    def append_events_df(self, name: str, df: DataFrame) -> None:
+        """Append a pre-built DataFrame of audit rows (streaming path —
+        stays distributed; no driver collection)."""
+        if name not in _EVENT_TABLES:
+            raise ValueError(f"not an event table: {name}")
+        out = df.select(*[f.name for f in SCHEMAS[name].fields]).withColumn(
+            "event_date", F.to_date("timestamp")
+        )
+        out.write.mode("append").partitionBy("event_date").parquet(self._path(name))
+        self._register_event_view(name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def refresh(self) -> None:
+        for name in _CATALOG_TABLES:
+            self._register_catalog_view(name)
+        for name in _EVENT_TABLES:
+            self._register_event_view(name)

@@ -1,0 +1,56 @@
+"""File sources.
+
+The reference reads CSV/JSON uploads with pandas (src/app.py:1013-1024);
+here the same formats go through Spark's distributed readers so a
+"reference table" can just as well be a 10 TB parquet directory.  Header +
+schema inference mirror ``pd.read_csv`` defaults the reference relied on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SF_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_sf_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load the driver's TPC-H-ish parquet tables (TESTDATA.md) and
+    (optionally) register them as temp views so both the DataFrame API and
+    ``spark.sql`` can address them by name."""
+    tables: dict[str, DataFrame] = {}
+    for name in SF_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
