@@ -1,0 +1,48 @@
+"""Deterministic, cross-engine hashing primitives.
+
+Everything here is built on ``md5`` because its hex output is identical in
+Spark and DuckDB — the differential-correctness harness depends on the two
+engines computing the same bytes.  Engine-native hashes (Spark xxhash64,
+DuckDB hash()) are NOT interchangeable and are never used in any operator
+that is oracle-checked.
+
+The primitives generate SQL expression *text* in both dialects; the only
+dialect delta is the substring-position function name (Spark ``instr``,
+DuckDB ``strpos``).
+"""
+
+from __future__ import annotations
+
+_HEX = "0123456789abcdef"
+
+
+def hex_to_int_expr(hex_sql: str, n: int = 8, dialect: str = "spark") -> str:
+    """SQL text turning the first ``n`` hex chars of ``hex_sql`` into a
+    non-negative integer, nibble by nibble.
+
+    Neither engine shares a hex->int builtin (Spark ``conv`` has no DuckDB
+    1.0 counterpart), so the conversion is spelled out as
+    Σ nibble_k * 16^(n-k) with integer literals — exact in both engines.
+    ``n<=15`` keeps the result well inside BIGINT.
+    """
+    pos_fn = "instr" if dialect == "spark" else "strpos"
+    # CAST each nibble to BIGINT before the multiply: Spark ANSI mode (and
+    # DuckDB) reject INT32 overflow, and 16^7 * 15 exceeds INT32.
+    terms = [
+        f"CAST({pos_fn}('{_HEX}', substr({hex_sql}, {k}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (n - k)}"
+        for k in range(1, n + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def md5_int_expr(col_sql: str, dialect: str = "spark", n: int = 8) -> str:
+    """Integer hash of a string column: first ``n`` hex chars of md5."""
+    return hex_to_int_expr(f"md5({col_sql})", n=n, dialect=dialect)
+
+
+def seeded_md5_expr(seed_sql: str, col_sql: str, dialect: str = "spark") -> str:
+    """Seeded hash family h_seed(x) = md5(seed || '|' || x) — the minhash
+    permutation family.  Hex strings compare lexicographically the same in
+    both engines, so MIN() over these is engine-portable."""
+    return f"md5(CAST({seed_sql} AS STRING) || '|' || {col_sql})" if dialect == "spark" else f"md5(CAST({seed_sql} AS VARCHAR) || '|' || {col_sql})"

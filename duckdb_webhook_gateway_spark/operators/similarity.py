@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``       — brute-force exact top-k: the correctness baseline.
+- ``near_dup_pairs``    — all pairs above a cosine threshold.
+- ``lsh_buckets``       — random-hyperplane signature bucketing: the scale
+                          path (candidate generation for ANN / near-dup).
+
+Determinism: the dot product is a *sequential left fold*
+(``aggregate(zip_with(...))``), not a SQL SUM, so the floating-point
+summation order is fixed (index order) and identical to the oracle's
+list-fold — results are stable to well below the 1e-6 rounding applied
+before any comparison or ranking.
+
+Scale notes: brute-force is O(Q×N×d) — fine for a broadcast query set
+against a partitioned corpus (each executor scores its slice; the only
+shuffle is the final top-k, which is k rows per partition).  For N×N
+near-dup at 100 TB, bucket first (``lsh_buckets``) and only score within
+buckets, exactly like the MinHash-LSH dedup composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Sequential fold dot product / squared norm — deterministic summation order.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def with_cosine(pairs: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
+    """Add round(cosine(vec_a, vec_b), 6) to a pair relation."""
+    expr = (
+        f"round({_dot(vec_a, vec_b)} / "
+        f"(sqrt({_dot(vec_a, vec_a)}) * sqrt({_dot(vec_b, vec_b)})), 6)"
+    )
+    return pairs.withColumn(out, F.expr(expr))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Query side should be small (it is broadcast); the corpus stays
+    partitioned and is scanned once.  Rank is deterministic: ordered by
+    rounded cosine desc, then neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = with_cosine(pairs, "qv", "cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold.  Quadratic — the verify
+    stage; feed it LSH buckets at scale."""
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector.
+
+    Plane weights are derived deterministically from md5 (w_{j,d} =
+    md5int(j||'_'||d)/2^31 - 1 ∈ [-1,1)), so both engines build the same
+    planes with no stored state.  The projection sign is taken on the
+    value rounded to 1e-9 to absorb summation-order jitter.
+
+    Linear and shuffle-light: explodes to N×d rows, aggregates to N×planes
+    projections, reassembles to one bucket id per vector.
+    """
+    from ..functions.hashing import md5_int_expr
+
+    plane_key = "CAST(j AS STRING) || '_' || CAST(d AS STRING)"
+    w_expr = f"({md5_int_expr(plane_key, 'spark')} / 2147483648.0) - 1.0"
+    comps = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col))
+        )
+        .withColumnRenamed("pos", "d0")
+        .withColumn("d", F.col("d0") + 1)
+        .withColumn("val", F.col("col").cast("double"))
+        .select("vec_id", "d", "val")
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))))
+        .withColumn("w", F.expr(w_expr))
+    )
+    proj = comps.groupBy("vec_id", "j").agg(
+        F.round(F.sum(F.col("w") * F.col("val")), 9).alias("proj")
+    )
+    buckets = (
+        proj.withColumn(
+            "bit",
+            F.when(F.col("proj") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    w = Window.partitionBy("bucket")
+    return buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w)).select(
+        "vec_id", "bucket", "bucket_size"
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data curation.
+
+All pure column expressions (whole-stage codegen, no UDFs): token stats,
+quality scoring, stopword-based language heuristic, and a positional
+document fingerprint.  Every arithmetic path is integer-exact or a single
+deterministic division, so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int_expr
+
+_STOPWORDS = ("the", "a", "of", "to", "in", "and", "is")
+
+
+def _tok(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc counting: chars, whitespace tokens, distinct tokens, mean
+    token length, and a BPE-ish size estimate (chars/4, the usual
+    English-text approximation)."""
+    per_tok = (
+        _tok(docs, id_col, text_col)
+        .select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+            F.sum(F.length("token")).alias("total_token_chars"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).alias("n_chars_calc")
+    )
+    return (
+        base.join(per_tok, "doc_id")
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.col("total_token_chars").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .withColumn(
+            "est_bpe_tokens",
+            F.ceil(F.col("n_chars_calc") / F.lit(4.0)).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_calc",
+            "n_tokens",
+            "n_distinct_tokens",
+            "avg_token_len",
+            "est_bpe_tokens",
+        )
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic (the n-gram-free version: with a
+    closed stopword list this is the classic cheap lang-ID signal).
+
+    Deterministic rule so the oracle can reproduce the guess: ratio of
+    English stopwords >= 0.05 -> 'en', else 'other'.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    tok = _tok(docs, id_col, text_col).select(
+        "doc_id", F.explode("t").alias("token")
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.expr(f"CASE WHEN token IN ({stop_list}) THEN 1 ELSE 0 END")).alias(
+            "stop_hits"
+        ),
+    )
+    return (
+        agg.withColumn(
+            "stop_ratio",
+            F.round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 6),
+        )
+        .withColumn(
+            "lang_guess",
+            F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(
+                F.lit("other")
+            ),
+        )
+        .select("doc_id", "n_tokens", "stop_hits", "stop_ratio", "lang_guess")
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality signal: length saturation × lexical diversity.
+
+    score = 0.5·min(1, n_tokens/100) + 0.5·(distinct/total), rounded.
+    Both terms are ratios of integers — deterministic across engines.
+    """
+    tok = _tok(docs, id_col, text_col).select(
+        "doc_id", F.explode("t").alias("token")
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    return (
+        agg.withColumn(
+            "type_token_ratio",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * 0.5
+                + (F.col("n_distinct").cast("double") / F.col("n_tokens")) * 0.5,
+                6,
+            ),
+        )
+        .select("doc_id", "n_tokens", "n_distinct", "type_token_ratio", "quality_score")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Positional rolling-hash document fingerprint.
+
+    fp = ( Σ_pos pos · md5int(token_pos) ) mod (2³¹-1) — order-sensitive
+    (re-ordered tokens change the fingerprint), integer-exact, and
+    commutative in the summation so partition order doesn't matter.
+    Products stay < 2⁵³ for documents up to ~1M tokens, well inside BIGINT.
+    """
+    h8 = md5_int_expr("token", "spark")
+    tok = (
+        _tok(docs, id_col, text_col)
+        .select("doc_id", F.posexplode("t"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("p"),
+            F.col("col").alias("token"),
+        )
+    )
+    return (
+        tok.withColumn("term", F.expr(f"p * {h8}"))
+        .groupBy("doc_id")
+        .agg((F.sum("term") % F.lit(2147483647)).cast("bigint").alias("fingerprint"))
+    )

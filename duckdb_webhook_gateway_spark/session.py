@@ -38,6 +38,10 @@ _DEFAULTS: dict[str, str] = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it
+    # as a LongType of nanos under this flag (sources/files.py converts it
+    # back to a microsecond timestamp explicitly).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
 }

@@ -38,6 +38,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing physical-type quirks.
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark only
+    reads as a nanos LongType (session flag
+    ``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
+    TimestampType so SQL semantics match every other engine reading the
+    same file (DuckDB also truncates ns -> µs at the Python boundary).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_sf_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:
@@ -49,7 +67,7 @@ def load_sf_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = read_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         tables[name] = df

@@ -1,0 +1,529 @@
+"""Analytics workload: the SQL operator surface the reference exposes
+(SURVEY.md §2B), exercised over the driver's TPC-H-ish tables.
+
+Each Spark implementation is written with the DataFrame API so the logical
+plan is declared and Catalyst picks the physical strategy: dimension joins
+(region/nation/customer) collapse to broadcast hash joins under the session
+broadcast threshold, filters and column pruning push into the parquet scan,
+and aggregations run partial (map-side) before the key shuffle.  The paired
+DuckDB oracle SQL computes the identical result with identical column names.
+
+Cross-engine determinism rules used throughout:
+- every float aggregate is ``round(x, k)`` in BOTH engines (summation order
+  differs across engines/partitions; rounding absorbs the last-bit drift);
+- every ``sum`` of an integer is cast to BIGINT in the oracle (DuckDB widens
+  to HUGEINT, Spark to LongType);
+- every top-k sort carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.files import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — scan + filter + groupBy + multi-agg (TPC-H Q1 shape).
+# Exercises: aggregation (SUM/AVG/COUNT), arithmetic exprs, sort.
+# Reference surface: GROUP BY + aggregates (src/app.py:1266-1273).
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3_shipping_priority — 3-way join + filter + groupBy + top-k (TPC-H Q3).
+# Exercises: inner equi-joins, predicate pushdown, ORDER BY ... LIMIT.
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5_region_revenue — 6-way join incl. two dimension chains (TPC-H Q5).
+# region/nation are broadcast; lineitem->orders->customer is the fact spine.
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_orders_by_value — ORDER BY DESC LIMIT (recency/top-k shape,
+# reference: src/app.py:1480-1486).
+def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_projection — computed columns + || concatenation
+# (reference: tests/test_event_processing.py:42-50, tests/test_integration.py:100).
+def part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        (F.col("p_size") + 100).alias("size_plus"),
+    )
+
+
+PART_PROJECTION_SQL = """
+SELECT p_partkey, p_name,
+       round(p_retailprice * 1.1, 2)  AS taxed_price,
+       p_brand || '/' || p_type       AS brand_type,
+       p_size + 100                   AS size_plus
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_filter_like_in — LIKE + IN-list predicates
+# (reference: src/app.py:598-599, README.md:193).
+def part_filter_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_type").like("S%")
+            & (F.col("p_size") >= 10)
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+
+
+PART_FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_type LIKE 'S%'
+  AND p_size >= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_order_counts — LEFT JOIN + COUNT(col) keeps zero-order customers
+# (reference LEFT JOIN surface: src/app.py:1480-1483, README.md:257).
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, c_name,
+       count(o_orderkey)                          AS order_count,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_priority_rate — SUM(CASE WHEN)+CAST ratio, the reference's /stats
+# success-rate shape (src/app.py:1266-1273).
+def order_priority_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    finished = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            finished.alias("n_finished"),
+            F.round(finished.cast("double") / F.count(F.lit(1)), 6).alias(
+                "finished_rate"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_RATE_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS finished_rate
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_json_bucket — JSON extraction + group-by-extracted-field, the
+# reference UI's saved query shape (frontend/src/pages/SqlQuery.tsx:38).
+def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_JSON_BUCKET_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*)             AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_recent_topk — ORDER BY ts DESC LIMIT (the /events feed,
+# reference: src/app.py:1480-1486).
+def events_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+EVENTS_RECENT_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+ORDER BY ts DESC, event_id
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_type_rate — conditional aggregation over the stream table.
+def events_type_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    high = F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            high.alias("high_value"),
+            F.round(high.cast("double") / F.count(F.lit(1)), 6).alias("high_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_RATE_SQL = """
+SELECT event_type,
+       count(*) AS total,
+       CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+       round(CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS high_rate
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_top_orders_per_customer — window function (beyond-reference surface,
+# SURVEY §2B notes OVER clauses absent in the reference; exposed here).
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# region_keys_union — set operation (UNION dedups).
+def region_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("key_val")
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key_val")
+    )
+    return nation.union(region).distinct()
+
+
+REGION_KEYS_UNION_SQL = """
+SELECT n_regionkey AS key_val FROM nation
+UNION
+SELECT r_regionkey FROM region
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineitem_distinct_counts — COUNT(DISTINCT).
+def lineitem_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+LINEITEM_DISTINCT_SQL = """
+SELECT count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps,
+       count(*)                  AS total_rows
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_revenue_having — GROUP BY + HAVING.
+def supplier_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .filter(F.col("n_items") > 100)
+        .orderBy("l_suppkey")
+    )
+
+
+SUPPLIER_REVENUE_SQL = """
+SELECT l_suppkey,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 100
+ORDER BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_per_month — date-part extraction + groupBy.
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+ORDERS_PER_MONTH_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+       count(*)                 AS n_orders,
+       round(sum(o_totalprice), 2) AS month_total
+FROM orders
+GROUP BY y, m
+ORDER BY y, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_avg_qty_subquery — correlated scalar subquery (TPC-H Q17 shape).
+def part_avg_qty_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = (
+        li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lots"),
+        )
+    )
+
+
+PART_AVG_QTY_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)                             AS n_small_lots
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+ENTRIES: dict = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "top_orders_by_value": (top_orders_by_value, TOP_ORDERS_SQL),
+    "part_projection": (part_projection, PART_PROJECTION_SQL),
+    "part_filter_like_in": (part_filter_like_in, PART_FILTER_SQL),
+    "customer_order_counts": (customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
+    "order_priority_rate": (order_priority_rate, ORDER_PRIORITY_RATE_SQL),
+    "events_json_bucket": (events_json_bucket, EVENTS_JSON_BUCKET_SQL),
+    "events_recent_topk": (events_recent_topk, EVENTS_RECENT_SQL),
+    "events_type_rate": (events_type_rate, EVENTS_TYPE_RATE_SQL),
+    "window_top_orders_per_customer": (
+        window_top_orders_per_customer,
+        WINDOW_TOP_ORDERS_SQL,
+    ),
+    "region_keys_union": (region_keys_union, REGION_KEYS_UNION_SQL),
+    "lineitem_distinct_counts": (lineitem_distinct_counts, LINEITEM_DISTINCT_SQL),
+    "supplier_revenue_having": (supplier_revenue_having, SUPPLIER_REVENUE_SQL),
+    "orders_per_month": (orders_per_month, ORDERS_PER_MONTH_SQL),
+    "part_avg_qty_subquery": (part_avg_qty_subquery, PART_AVG_QTY_SQL),
+}

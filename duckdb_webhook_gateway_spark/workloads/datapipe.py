@@ -1,0 +1,331 @@
+"""Training-data pipeline workload: dedup / similarity / text analysis /
+multimodal entries over the driver's ``documents`` and ``embeddings``
+tables, each paired with a DuckDB oracle that reproduces the result
+bit-for-bit (md5-based hashing + integer-exact arithmetic + 1e-6 rounding
+on float outputs — see operators/ and functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int_expr
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# Shared oracle CTEs: tokens / shingles via a constant numbers relation
+# (DuckDB 1.0 has neither lateral range nor WITH ORDINALITY).
+_ORACLE_TOKS = """
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, i AS p, t[i] AS token FROM toks JOIN nums ON i <= len(t))
+"""
+
+_ORACLE_SHINGLES = """
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks JOIN nums ON i <= len(t) - 2
+  WHERE len(t) >= 3
+)
+"""
+
+_ORACLE_JACCARD_TAIL = """
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_shingles,
+         round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.6)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+{_ORACLE_JACCARD_TAIL.strip()}
+SELECT doc_a, doc_b, shared_shingles, jaccard
+FROM pairs WHERE jaccard >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+shb AS (SELECT doc_id, shingle, {md5_int_expr('shingle', 'duckdb')} AS base FROM sh),
+seeds AS (SELECT s FROM range(0, 16) r(s)),
+mh AS (
+  SELECT doc_id, s,
+         min(((s * 131071 + 65537) * base + s * 97531) % 2147483647) AS h
+  FROM shb, seeds GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 4 AS INTEGER) AS band_id,
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY s)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(s // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+{_ORACLE_JACCARD_TAIL.strip()}
+SELECT p.doc_a, p.doc_b, p.shared_shingles, p.jaccard
+FROM pairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE p.jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+th AS (SELECT doc_id, substr(md5(token), 1, 8) AS h8 FROM tok),
+bits AS (SELECT j FROM range(0, 32) r(j)),
+tb AS (
+  SELECT doc_id, j,
+    CASE WHEN (
+      (strpos('0123456789abcdef', substr(h8, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+      & (CASE CAST(j % 4 AS INTEGER) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+    ) > 0 THEN 1 ELSE -1 END AS vote
+  FROM th, bits
+),
+v AS (SELECT doc_id, j, sum(vote) AS s FROM tb GROUP BY doc_id, j),
+simh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket
+FROM simh
+"""
+
+
+# ---------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(_docs(spark, sf_dir))
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+per AS (
+  SELECT doc_id,
+         count(*)              AS n_tokens,
+         count(DISTINCT token) AS n_distinct_tokens,
+         CAST(sum(length(token)) AS BIGINT) AS total_chars
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS INTEGER)               AS n_chars_calc,
+       p.n_tokens,
+       p.n_distinct_tokens,
+       round(CAST(p.total_chars AS DOUBLE) / p.n_tokens, 6) AS avg_token_len,
+       CAST(ceil(length(d.text) / 4.0) AS BIGINT)    AS est_bpe_tokens
+FROM documents d JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.language_id(_docs(spark, sf_dir))
+
+
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN token IN ('the','a','of','to','in','and','is')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, stop_hits,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       CASE WHEN round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(_docs(spark, sf_dir))
+
+
+TEXT_QUALITY_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.5
+             + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5, 6) AS quality_score
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_ORACLE_TOKS.strip()}
+SELECT doc_id,
+       CAST(sum(p * {md5_int_expr('token', 'duckdb')}) % 2147483647 AS BIGINT) AS fingerprint
+FROM tok GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+_ORACLE_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_ORACLE_COS.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_ORACLE_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_ORACLE_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_buckets(_emb(spark, sf_dir), num_planes=8)
+
+
+ANN_LSH_BUCKETS_SQL = f"""
+WITH dims AS (SELECT d FROM range(1, 65) r(d)),
+planes AS (SELECT j FROM range(0, 8) r(j)),
+comps AS (
+  SELECT e.vec_id, p.j, d.d,
+         CAST(e.embedding[d.d] AS DOUBLE) AS val,
+         (({md5_int_expr("CAST(p.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)", 'duckdb')})
+          / 2147483648.0) - 1.0 AS w
+  FROM embeddings e, planes p, dims d
+),
+proj AS (
+  SELECT vec_id, j, round(sum(w * val), 9) AS proj
+  FROM comps GROUP BY vec_id, j
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT vec_id, bucket,
+       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.extract_features(M.to_binary_table(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)               AS byte_len,
+       md5(text)                                  AS content_hash,
+       CAST(length(text) % 7 + 1 AS INTEGER)      AS n_frames
+FROM documents
+"""
+
+
+ENTRIES: dict = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+}
