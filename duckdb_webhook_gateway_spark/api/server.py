@@ -1,0 +1,347 @@
+"""Stdlib HTTP shell: the reference's API surface (SURVEY §3.4) without
+third-party dependencies.
+
+Route table (reference: src/app.py:926-1782):
+
+  GET  /                          health check
+  POST /register                  create/upsert webhook          [auth]
+  POST /query                     ad-hoc read-only SQL           [auth]
+  POST /upload_table              reference table (CSV/JSON body)[auth]
+  POST /register_udf              Python scalar UDF              [auth]
+  GET  /stats                     counts + success rates         [auth]
+  GET  /webhooks                  list                           [auth]
+  GET  /webhook/{id}              detail                         [auth]
+  GET  /reference_tables[?webhook_id]                            [auth]
+  GET  /udfs[?webhook_id]                                        [auth]
+  GET  /events?limit=             recent events feed             [auth]
+  GET  /event/{id}/transformed    raw+transformed detail         [auth]
+  PUT  /webhook/{id}              update                         [auth]
+  PATCH /webhook/{id}/status      activate/deactivate            [auth]
+  DELETE /webhooks/{id}           delete or deactivate           [auth]
+  POST /echo-webhook              echo test endpoint
+  POST /{any-path}                webhook ingestion (catch-all, NO auth —
+                                  matching the reference, src/app.py:1068-1073)
+
+Auth: ``X-API-Key`` vs $WEBHOOK_GATEWAY_API_KEY (default ``default_key``);
+missing key -> 403, wrong key -> 401 (reference: src/app.py:875-892).
+Status codes preserved per SURVEY §2C.7: unknown path 404, invalid JSON
+400, invalid config 422.
+
+Ingestion acks immediately and processes in a background worker, matching
+the reference's BackgroundTasks contract (src/app.py:1104-1111).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+from ..engine.catalog import ValidationError, WebhookConfig
+from ..engine.pipeline import Gateway
+from ..engine.query_gateway import ReadOnlyViolation, run_adhoc_query
+
+DEFAULT_API_KEY_ENV = "WEBHOOK_GATEWAY_API_KEY"
+DEFAULT_API_KEY = "default_key"
+
+
+class GatewayHTTPServer:
+    """Wires a Gateway into a ThreadingHTTPServer."""
+
+    def __init__(self, gateway: Gateway, host: str = "127.0.0.1", port: int = 0):
+        self.gateway = gateway
+        self.api_key = os.environ.get(DEFAULT_API_KEY_ENV, DEFAULT_API_KEY)
+        # Single background worker: processing order mirrors the
+        # reference's serialized execution; Spark jobs inside are still
+        # parallel across cores.
+        self.executor = ThreadPoolExecutor(max_workers=1)
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "GatewayHTTPServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.executor.shutdown(wait=True)
+
+    def wait_idle(self) -> None:
+        """Block until queued background processing drains (test helper)."""
+        self.executor.submit(lambda: None).result()
+
+
+def _make_handler(srv: GatewayHTTPServer):
+    gw = srv.gateway
+
+    class Handler(BaseHTTPRequestHandler):
+        # -- plumbing -----------------------------------------------------
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, obj: Any) -> None:
+            body = json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def _json(self) -> Any:
+            return json.loads(self._body().decode())
+
+        def _auth(self) -> bool:
+            """403 when the key is missing, 401 when it is wrong
+            (reference: src/app.py:878-892)."""
+            key = self.headers.get("X-API-Key")
+            if key is None:
+                self._send(403, {"detail": "Not authenticated"})
+                return False
+            if key != srv.api_key:
+                self._send(401, {"detail": "Invalid API key"})
+                return False
+            return True
+
+        # -- GET ----------------------------------------------------------
+        def do_GET(self):
+            path = urlparse(self.path).path
+            qs = parse_qs(urlparse(self.path).query)
+            if path == "/":
+                return self._send(200, {"status": "ok"})
+            if not self._auth():
+                return
+            if path == "/stats":
+                return self._send(200, gw.stats())
+            if path == "/webhooks":
+                return self._send(200, {"webhooks": gw.catalog.list()})
+            m = re.fullmatch(r"/webhook/([^/]+)", path)
+            if m:
+                row = gw.catalog.get_by_id(m.group(1))
+                if row is None:
+                    return self._send(404, {"detail": "Webhook not found"})
+                row = dict(row)
+                row["active"] = gw.catalog.is_active(row)
+                return self._send(200, row)
+            if path == "/reference_tables":
+                wid = (qs.get("webhook_id") or [None])[0]
+                return self._send(200, {"reference_tables": gw.ref_tables.list(wid)})
+            if path == "/udfs":
+                wid = (qs.get("webhook_id") or [None])[0]
+                return self._send(200, {"udfs": gw.udfs.list(wid)})
+            if path == "/events":
+                limit = int((qs.get("limit") or ["50"])[0])
+                return self._send(200, {"events": gw.recent_events(limit)})
+            m = re.fullmatch(r"/event/([^/]+)/transformed", path)
+            if m:
+                detail = gw.event_detail(m.group(1))
+                if detail is None:
+                    return self._send(404, {"detail": "Event not found"})
+                return self._send(200, detail)
+            return self._send(404, {"detail": "Not found"})
+
+        # -- POST ---------------------------------------------------------
+        def do_POST(self):
+            path = urlparse(self.path).path
+            if path == "/echo-webhook":
+                try:
+                    return self._send(200, {"received": self._json()})
+                except ValueError:
+                    return self._send(400, {"detail": "Invalid JSON"})
+            if path == "/register":
+                if not self._auth():
+                    return
+                return self._register()
+            if path == "/query":
+                if not self._auth():
+                    return
+                return self._query()
+            if path == "/upload_table":
+                if not self._auth():
+                    return
+                return self._upload_table()
+            if path == "/register_udf":
+                if not self._auth():
+                    return
+                return self._register_udf()
+            # catch-all ingestion — deliberately unauthenticated
+            # (reference: handle_webhook has no key dependency,
+            # src/app.py:1068-1073)
+            return self._ingest(path)
+
+        def _register(self):
+            try:
+                data = self._json()
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON"})
+            try:
+                cfg = WebhookConfig(
+                    source_path=data.get("source_path", ""),
+                    destination_url=data.get("destination_url", ""),
+                    transform_query=data.get("transform_query", ""),
+                    filter_query=data.get("filter_query"),
+                    owner=data.get("owner"),
+                )
+            except ValidationError as e:
+                return self._send(422, {"detail": str(e)})
+            rec = gw.register_webhook(cfg)
+            return self._send(200, rec)
+
+        def _query(self):
+            raw = self._body().decode()
+            ctype = self.headers.get("Content-Type", "")
+            if "json" in ctype:
+                try:
+                    q = json.loads(raw).get("query", "")
+                except ValueError:
+                    return self._send(400, {"detail": "Invalid JSON"})
+            else:
+                # form field `query` (reference: src/app.py:955-957)
+                q = (parse_qs(raw).get("query") or [""])[0]
+            try:
+                return self._send(200, run_adhoc_query(gw.spark, q))
+            except ReadOnlyViolation as e:
+                return self._send(400, {"detail": str(e)})
+            except Exception as e:
+                return self._send(400, {"detail": f"Query error: {e}"})
+
+        def _upload_table(self):
+            """JSON body: {webhook_id, table_name, description?, format:
+            'csv'|'json', content: '<text>'} — the stdlib stand-in for the
+            reference's multipart upload (src/app.py:993-1032)."""
+            import tempfile
+
+            try:
+                data = self._json()
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON"})
+            fmt = (data.get("format") or "csv").lower()
+            if fmt not in ("csv", "json"):
+                return self._send(400, {"detail": f"Unsupported format: {fmt}"})
+            if not gw.catalog.get_by_id(data.get("webhook_id", "")):
+                return self._send(404, {"detail": "Webhook not found"})
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=f".{fmt}", delete=False
+            ) as f:
+                f.write(data.get("content", ""))
+                tmp = f.name
+            try:
+                df = gw.ref_tables.read_upload(tmp, fmt)
+                rid = gw.ref_tables.upload(
+                    data["webhook_id"],
+                    data["table_name"],
+                    df,
+                    data.get("description"),
+                )
+            except Exception as e:
+                return self._send(400, {"detail": str(e)})
+            finally:
+                os.unlink(tmp)
+            return self._send(200, {"id": rid, "status": "success"})
+
+        def _register_udf(self):
+            try:
+                data = self._json()
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON"})
+            if not gw.catalog.get_by_id(data.get("webhook_id", "")):
+                return self._send(404, {"detail": "Webhook not found"})
+            try:
+                rid = gw.udfs.register(
+                    data["webhook_id"],
+                    data["function_name"],
+                    data["function_code"],
+                )
+            except Exception as e:
+                return self._send(400, {"detail": f"Invalid function: {e}"})
+            return self._send(200, {"id": rid, "status": "success"})
+
+        def _ingest(self, path: str):
+            webhook = gw.catalog.get_by_path(path)
+            if webhook is None:
+                return self._send(404, {"detail": "No webhook registered for this path"})
+            try:
+                payload = self._json()
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON payload"})
+            event_id = gw.audit.log_raw_event(webhook["source_path"], payload)
+            # ack now, process in background (reference: src/app.py:1104-1111)
+            srv.executor.submit(gw.process_event, webhook, event_id, payload)
+            return self._send(200, {"status": "accepted", "event_id": event_id})
+
+        # -- PUT / PATCH / DELETE -----------------------------------------
+        def do_PUT(self):
+            if not self._auth():
+                return
+            m = re.fullmatch(r"/webhook/([^/]+)", urlparse(self.path).path)
+            if not m:
+                return self._send(404, {"detail": "Not found"})
+            try:
+                data = self._json()
+                cfg = WebhookConfig(
+                    source_path=data.get("source_path", ""),
+                    destination_url=data.get("destination_url", ""),
+                    transform_query=data.get("transform_query", ""),
+                    filter_query=data.get("filter_query"),
+                    owner=data.get("owner"),
+                )
+            except ValidationError as e:
+                return self._send(422, {"detail": str(e)})
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON"})
+            row = gw.catalog.update(m.group(1), cfg)
+            if row is None:
+                return self._send(404, {"detail": "Webhook not found"})
+            return self._send(200, row)
+
+        def do_PATCH(self):
+            if not self._auth():
+                return
+            m = re.fullmatch(
+                r"/webhook/([^/]+)/status", urlparse(self.path).path
+            )
+            if not m:
+                return self._send(404, {"detail": "Not found"})
+            try:
+                data = self._json()
+            except ValueError:
+                return self._send(400, {"detail": "Invalid JSON"})
+            row = gw.catalog.set_active(m.group(1), bool(data.get("active", True)))
+            if row is None:
+                return self._send(404, {"detail": "Webhook not found"})
+            row = dict(row)
+            row["active"] = gw.catalog.is_active(row)
+            return self._send(200, row)
+
+        def do_DELETE(self):
+            if not self._auth():
+                return
+            m = re.fullmatch(r"/webhooks/([^/]+)", urlparse(self.path).path)
+            if not m:
+                return self._send(404, {"detail": "Not found"})
+            outcome = gw.delete_webhook(m.group(1))
+            if outcome is None:
+                return self._send(404, {"detail": "Webhook not found"})
+            return self._send(200, {"status": outcome})
+
+    return Handler
+
+
+def serve(gateway: Gateway, host: str = "0.0.0.0", port: int = 8000) -> None:
+    """Blocking entry point: serve the gateway API."""
+    server = GatewayHTTPServer(gateway, host, port)
+    try:
+        server.httpd.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()

@@ -186,16 +186,48 @@ class TableStore:
         df.createOrReplaceTempView(name)
 
     def append_events(self, name: str, rows: list[dict[str, Any]]) -> None:
+        """Append driver-side audit rows.
+
+        Writes via pyarrow straight into the date-partitioned directory
+        layout instead of launching a Spark job: a 1-row ingest-ack append
+        costs ~5 ms instead of ~2 s (the reference acks after a synchronous
+        INSERT, src/app.py:1101-1111 — this keeps that latency contract).
+        Spark reads the files identically (hive-style event_date= dirs).
+        """
         if name not in _EVENT_TABLES:
             raise ValueError(f"not an event table: {name}")
         if not rows:
             return
-        df = self.spark.createDataFrame(rows, SCHEMAS[name]).withColumn(
-            "event_date", F.to_date("timestamp")
-        )
-        df.coalesce(1).write.mode("append").partitionBy("event_date").parquet(
-            self._path(name)
-        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_fields = []
+        for f in SCHEMAS[name].fields:
+            t: pa.DataType
+            if isinstance(f.dataType, T.TimestampType):
+                t = pa.timestamp("us")
+            elif isinstance(f.dataType, T.BooleanType):
+                t = pa.bool_()
+            elif isinstance(f.dataType, T.IntegerType):
+                t = pa.int32()
+            else:
+                t = pa.string()
+            arrow_fields.append(pa.field(f.name, t))
+        schema = pa.schema(arrow_fields)
+
+        by_date: dict[str, list[dict[str, Any]]] = {}
+        for row in rows:
+            by_date.setdefault(row["timestamp"].date().isoformat(), []).append(row)
+        for date_str, date_rows in by_date.items():
+            part_dir = os.path.join(self._path(name), f"event_date={date_str}")
+            os.makedirs(part_dir, exist_ok=True)
+            cols = {
+                f.name: [r.get(f.name) for r in date_rows] for f in SCHEMAS[name].fields
+            }
+            table = pa.Table.from_pydict(cols, schema=schema)
+            pq.write_table(
+                table, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet")
+            )
         self._register_event_view(name)
 
     def append_events_df(self, name: str, df: DataFrame) -> None:

@@ -1,1 +1,5 @@
 """Structured Streaming layer: micro-batch webhook pipeline."""
+
+from .webhook_source import StreamingGateway, ENVELOPE_SCHEMA
+
+__all__ = ["StreamingGateway", "ENVELOPE_SCHEMA"]

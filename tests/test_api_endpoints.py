@@ -1,0 +1,179 @@
+"""API endpoint tests against a live HTTP server, mirroring the
+reference's tests/test_api_endpoints.py:17-409 and integration flows."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from duckdb_webhook_gateway_spark.api import GatewayHTTPServer
+
+KEY = "default_key"
+
+
+@pytest.fixture()
+def server(gateway):
+    srv = GatewayHTTPServer(gateway).start()
+    yield srv
+    srv.stop()
+
+
+def _req(srv, method, path, body=None, key=KEY, ctype="application/json"):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = None
+    if body is not None:
+        data = body.encode() if isinstance(body, str) else json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", ctype)
+    if key is not None:
+        req.add_header("X-API-Key", key)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+WEBHOOK = {
+    "source_path": "/api-test",
+    "destination_url": "http://example.com/recv",
+    "transform_query": "SELECT field1, field2 FROM {{payload}}",
+}
+
+
+def test_health(server):
+    code, body = _req(server, "GET", "/", key=None)
+    assert code == 200 and body["status"] == "ok"
+
+
+def test_auth_missing_key_403(server):
+    code, _ = _req(server, "GET", "/webhooks", key=None)
+    assert code == 403
+
+
+def test_auth_wrong_key_401(server):
+    code, _ = _req(server, "GET", "/webhooks", key="wrong")
+    assert code == 401
+
+
+def test_register_and_list(server):
+    code, rec = _req(server, "POST", "/register", WEBHOOK)
+    assert code == 200 and rec["id"]
+    code, listing = _req(server, "GET", "/webhooks")
+    assert [w["source_path"] for w in listing["webhooks"]] == ["/api-test"]
+
+
+def test_register_validation_422(server):
+    bad = dict(WEBHOOK, transform_query="SELECT 1")  # no {{payload}}
+    code, body = _req(server, "POST", "/register", bad)
+    assert code == 422
+    assert "{{payload}}" in body["detail"]
+
+
+def test_ingest_unknown_path_404(server):
+    code, _ = _req(server, "POST", "/nope", {"a": 1}, key=None)
+    assert code == 404
+
+
+def test_ingest_invalid_json_400(server):
+    _req(server, "POST", "/register", WEBHOOK)
+    code, _ = _req(server, "POST", "/api-test", "not json {", key=None)
+    assert code == 400
+
+
+def test_ingest_end_to_end(server, spark):
+    _req(server, "POST", "/register", WEBHOOK)
+    code, ack = _req(
+        server, "POST", "/api-test",
+        {"field1": "v1", "field2": "v2", "field3": "v3"}, key=None,
+    )
+    assert code == 200
+    assert ack["status"] == "accepted"
+    server.wait_idle()  # drain background processing
+    code, events = _req(server, "GET", "/events?limit=5")
+    assert code == 200
+    assert events["events"][0]["success"] is True
+    code, detail = _req(server, "GET", f"/event/{ack['event_id']}/transformed")
+    assert code == 200
+    assert detail["transformed_events"][0]["transformed_payload"] == {
+        "field1": "v1",
+        "field2": "v2",
+    }
+
+
+def test_query_endpoint_and_denylist(server, spark):
+    _req(server, "POST", "/register", WEBHOOK)
+    _req(server, "POST", "/api-test", {"field1": "a", "field2": "b"}, key=None)
+    server.wait_idle()
+    code, res = _req(
+        server, "POST", "/query",
+        "query=SELECT source_path, COUNT(*) AS n FROM raw_events GROUP BY source_path",
+        ctype="application/x-www-form-urlencoded",
+    )
+    assert code == 200 and res["result"] == [["/api-test", 1]]
+    code, res = _req(
+        server, "POST", "/query", {"query": "DROP TABLE webhooks"}
+    )
+    assert code == 400
+
+
+def test_upload_table_and_udf_flow(server, spark):
+    _, rec = _req(server, "POST", "/register", WEBHOOK)
+    wid = rec["id"]
+    code, up = _req(
+        server, "POST", "/upload_table",
+        {
+            "webhook_id": wid,
+            "table_name": "users",
+            "format": "csv",
+            "content": "user_id,username\n1,john\n2,jane\n",
+        },
+    )
+    assert code == 200
+    code, listing = _req(server, "GET", f"/reference_tables?webhook_id={wid}")
+    assert [t["table_name"] for t in listing["reference_tables"]] == ["users"]
+
+    code, udf = _req(
+        server, "POST", "/register_udf",
+        {
+            "webhook_id": wid,
+            "function_name": "upper_name",
+            "function_code": "def upper_name(x: str) -> str:\n    return x.upper()\n",
+        },
+    )
+    assert code == 200
+    code, listing = _req(server, "GET", f"/udfs?webhook_id={wid}")
+    assert [u["function_name"] for u in listing["udfs"]] == ["upper_name"]
+
+    code, _ = _req(
+        server, "POST", "/register_udf",
+        {"webhook_id": wid, "function_name": "bad", "function_code": "not python"},
+    )
+    assert code == 400
+
+
+def test_stats_and_lifecycle(server):
+    _, rec = _req(server, "POST", "/register", WEBHOOK)
+    wid = rec["id"]
+    code, stats = _req(server, "GET", "/stats")
+    assert code == 200 and stats["webhooks"] == 1
+
+    code, row = _req(server, "PATCH", f"/webhook/{wid}/status", {"active": False})
+    assert code == 200 and row["active"] is False
+
+    code, row = _req(server, "GET", f"/webhook/{wid}")
+    assert row["source_path"] == f"/inactive_{wid}"
+
+    code, res = _req(server, "DELETE", f"/webhooks/{wid}")
+    assert code == 200 and res["status"] == "deleted"  # no event history
+
+    code, _ = _req(server, "GET", f"/webhook/{wid}")
+    assert code == 404
+
+
+def test_echo_webhook(server):
+    code, body = _req(server, "POST", "/echo-webhook", {"ping": 1}, key=None)
+    assert code == 200 and body["received"] == {"ping": 1}
