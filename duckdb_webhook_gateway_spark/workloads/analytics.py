@@ -527,3 +527,190 @@ ENTRIES: dict = {
     "orders_per_month": (orders_per_month, ORDERS_PER_MONTH_SQL),
     "part_avg_qty_subquery": (part_avg_qty_subquery, PART_AVG_QTY_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# rollup_region_nation — hierarchical aggregates (GROUP BY ROLLUP); surface
+# the reference never exposed but Spark/DuckDB share.
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+ROLLUP_REGION_NATION_SQL = """
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# customers_without_orders — EXCEPT set operation.
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.exceptAll(orders).distinct()
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_string_funcs — upper/substring/length/regexp_extract (scalar
+# string surface; reference exercised || and LIKE, this goes further).
+def supplier_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.upper("s_name").alias("upper_name"),
+        F.substring("s_name", 1, 8).alias("prefix8"),
+        F.length("s_name").alias("name_len"),
+        F.regexp_extract("s_name", r"Supplier#(\d+)", 1)
+        .cast("bigint")
+        .alias("extracted_num"),
+    )
+
+
+SUPPLIER_STRING_FUNCS_SQL = r"""
+SELECT s_suppkey,
+       upper(s_name)                 AS upper_name,
+       substr(s_name, 1, 8)          AS prefix8,
+       CAST(length(s_name) AS INTEGER) AS name_len,
+       CAST(regexp_extract(s_name, 'Supplier#(\d+)', 1) AS BIGINT) AS extracted_num
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_size_class — multi-branch CASE bucketing + groupBy.
+def part_size_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 25, "medium")
+        .when(F.col("p_size") < 40, "large")
+        .otherwise("huge")
+    )
+    return (
+        part.withColumn("size_class", size_class)
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("size_class")
+    )
+
+
+PART_SIZE_CLASS_SQL = """
+SELECT CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 25 THEN 'medium'
+            WHEN p_size < 40 THEN 'large'
+            ELSE 'huge' END AS size_class,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY 1
+ORDER BY size_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_hourly — date_trunc tumbling aggregation (the batch analogue of a
+# streaming tumbling window; reference did ad-hoc SQL over timestamps).
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1
+ORDER BY hour_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_value_quartiles — ntile window ranking.
+def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("quartile_total"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORDERS_VALUE_QUARTILES_SQL = """
+SELECT CAST(quartile AS INTEGER) AS quartile,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS quartile_total,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM (
+    SELECT o_totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+)
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
+ENTRIES.update(
+    {
+        "rollup_region_nation": (rollup_region_nation, ROLLUP_REGION_NATION_SQL),
+        "customers_without_orders": (
+            customers_without_orders,
+            CUSTOMERS_WITHOUT_ORDERS_SQL,
+        ),
+        "supplier_string_funcs": (supplier_string_funcs, SUPPLIER_STRING_FUNCS_SQL),
+        "part_size_class": (part_size_class, PART_SIZE_CLASS_SQL),
+        "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+        "orders_value_quartiles": (
+            orders_value_quartiles,
+            ORDERS_VALUE_QUARTILES_SQL,
+        ),
+    }
+)
