@@ -329,3 +329,38 @@ ENTRIES: dict = {
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import session_stats
+    from ..sources.files import read_table
+
+    return session_stats(read_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0, 6)
+         AS duration_s,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+ENTRIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)
