@@ -1,0 +1,75 @@
+"""Join strategies for scale: broadcast, salted (skew-resistant), bucketed.
+
+These helpers make the 100 TB join patterns explicit and testable:
+
+- ``broadcast_join``: small-dimension joins must never shuffle the fact
+  side; this pins the broadcast hint rather than trusting size estimates.
+- ``salted_join``: a shuffle join on a skewed key puts an entire hot key
+  in one task.  Salting splits each hot key into ``salt_factor`` subkeys:
+  the large side gets a random-but-deterministic salt derived from a row
+  fingerprint, the small side is exploded ×salt_factor, and the join key
+  becomes (key, salt).  Result is identical to the plain join; the hot
+  key's work is spread over ``salt_factor`` tasks.  (AQE skew-join
+  handles many cases at runtime; explicit salting is the deterministic
+  tool when one key dominates by orders of magnitude.)
+- ``write_bucketed`` / co-located reads: two tables bucketed by the same
+  key and bucket count join without any exchange — the physical plan for
+  repeated fact-to-fact joins over append-heavy tables.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Join with the dimension side pinned to broadcast."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join on ``key``.
+
+    The large side's salt is ``pmod(hash(all columns), salt_factor)`` —
+    deterministic per row, uniform across the hot key's rows.  The small
+    side is replicated ×salt_factor (cheap: it is the small side by
+    definition).  Output columns = large ∪ small minus the duplicate key,
+    exactly like ``large.join(small, key)``.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt_factor))
+    l_salted = large.withColumn("_salt", salt)
+    s_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    out = l_salted.join(s_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table (co-located join input).
+
+    Joining two tables bucketed by the same key/count skips the exchange
+    on both sides — at 100 TB that is the difference between a join that
+    moves 200 TB over the network and one that moves nothing.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -14,7 +14,12 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("engine-tests")
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="spark_warehouse_")
+    spark = get_spark(
+        "engine-tests", **{"spark.sql.warehouse.dir": warehouse}
+    )
     yield spark
 
 

@@ -1,0 +1,112 @@
+"""Physical-plan assertions: the scale-relevant plan shapes must not
+regress.  These check the *compiled plan text*, not timings — a wrong plan
+at sf0.001 is a catastrophe at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import sf_dir
+
+from duckdb_webhook_gateway_spark.workloads.analytics import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+    top_orders_by_value,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q3_dimension_joins_broadcast(spark):
+    plan = _plan(q3_shipping_priority(spark, sf_dir()))
+    # Every join of the fact spine against a filtered dimension must be a
+    # broadcast hash join; a SortMergeJoin here means a full shuffle of
+    # lineitem at scale.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_filters_pushed_to_scan(spark):
+    plan = _plan(q3_shipping_priority(spark, sf_dir()))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(q1_pricing_summary(spark, sf_dir()))
+    # The scan must read only the 7 referenced columns, not all 11.
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, "no ReadSchema in plan"
+    assert "l_orderkey" not in read_lines[0]
+    assert "l_partkey" not in read_lines[0]
+    assert "l_quantity" in read_lines[0]
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(q1_pricing_summary(spark, sf_dir()))
+    # Two HashAggregates around one Exchange = map-side partial agg.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(top_orders_by_value(spark, sf_dir()))
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-k + merge), never a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_whole_stage_codegen(spark):
+    df = q5_region_revenue(spark, sf_dir())
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    assert "== Final Plan ==" in plan
+    # '*'-prefixed operators / codegen ids mark whole-stage codegen spans.
+    assert "codegen id" in plan
+    # All five joins must be broadcast — the fact spine never shuffles.
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from duckdb_webhook_gateway_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(sf_dir() + "/orders.parquet")
+    cust = spark.read.parquet(sf_dir() + "/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_join(orders, cust, "o_custkey", salt_factor=4).count()
+    assert plain == salted
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    from duckdb_webhook_gateway_spark.operators.joins import write_bucketed
+
+    orders = spark.read.parquet(sf_dir() + "/orders.parquet")
+    li = spark.read.parquet(sf_dir() + "/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+    )
+    # Force a shuffle-join shape, then confirm bucketing removed exchanges.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
