@@ -156,3 +156,86 @@ def lsh_buckets(
     return buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w)).select(
         "vec_id", "bucket", "bucket_size"
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    The IVF coarse quantizer: with C centroids the corpus is split into C
+    inverted lists; search then probes a few lists instead of the whole
+    corpus.  Assignment is one broadcast crossJoin + windowed argmax —
+    linear in |vectors|, no shuffle of the corpus itself.  Ties break on
+    centroid id (cosines are pre-rounded, so ordering is engine-portable).
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = with_cosine(v.crossJoin(F.broadcast(c)), "v", "cv", out="c_cos")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors.
+
+    Training-free coarse quantizer: the first ``num_centroids`` corpus
+    vectors (by id) act as centroids — deterministic, so the DuckDB oracle
+    reproduces the exact same index.  Each query probes its ``nprobe``
+    closest lists and ranks only those lists' members: with C lists and
+    balanced assignment the scored candidate set is ~nprobe/C of the
+    corpus — the scale path when the query set is too large for
+    brute-force.  (At production scale the centroids would come from
+    k-means; the operator only needs *some* deterministic centroid
+    relation.)
+    """
+    cent = corpus.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col)
+    )
+    lists = ivf_assign(corpus, cent, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscored = with_cosine(
+        q.crossJoin(F.broadcast(cent.withColumnRenamed(vec_col, "cv"))),
+        "qv",
+        "cv",
+        out="c_cos",
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(lists, "centroid_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = with_cosine(cand.join(qv, "query_id").join(nv, "neighbor_id"), "qv", "nv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

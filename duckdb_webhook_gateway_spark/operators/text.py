@@ -147,3 +147,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(2147483647)).cast("bigint").alias("fingerprint"))
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc term count, idf = ln(N / df); score rounded to 1e-6 before
+    ranking (ln differs across libm implementations only in the last ulp).
+    Two keyed aggregations + one broadcast of the tiny df relation — the
+    df table is |vocabulary|-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    tok = _tok(docs, id_col, text_col).select(
+        "doc_id", F.explode("t").alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; deterministic
+    scored = tf.join(F.broadcast(df_rel), "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )

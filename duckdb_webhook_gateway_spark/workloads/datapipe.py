@@ -364,3 +364,117 @@ GROUP BY user_id, session_seq
 """
 
 ENTRIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, num_centroids=16, nprobe=2, k=3
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_ORACLE_COS.format(a='e.embedding', b='c.cv')}, 6) AS c_cos
+  FROM embeddings e, cent c
+),
+lists AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT vec_id AS query_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0 WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+  WHERE p.query_id <> l.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_ORACLE_COS.format(a='q.embedding', b='n.embedding')}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+TEXT_TFIDF_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+n_docs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+         round(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / dfr.df), 6) AS tfidf
+  FROM tf JOIN dfr ON tf.token = dfr.token, n_docs
+)
+SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
+  SELECT doc_id, token, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS INTEGER) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (sum of value) per user bucket."""
+    from ..sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_bucket")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+FROM events
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
+ENTRIES.update(
+    {
+        "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+        "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_SQL),
+        "events_pivot_by_type": (events_pivot_by_type, EVENTS_PIVOT_SQL),
+    }
+)
