@@ -39,12 +39,20 @@ BENCH_QUERIES = [
     "supplier_revenue_having",
     "orders_per_month",
     "part_avg_qty_subquery",
+    "events_sessionize",
+    "events_pivot_by_type",
+    "rollup_region_nation",
+    "orders_value_quartiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_token_stats",
+    "text_tfidf_top_terms",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
     "multimodal_features",
 ]
 

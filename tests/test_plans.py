@@ -110,3 +110,29 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_audit_store_partition_pruning(spark, tmp_path):
+    """A date-filtered scan of the audit store must prune partitions."""
+    import datetime as dt
+
+    from duckdb_webhook_gateway_spark.engine import TableStore
+    from duckdb_webhook_gateway_spark.engine.store import new_id
+
+    store = TableStore(spark, str(tmp_path / "s"))
+    for day in (1, 2, 3):
+        store.append_events(
+            "raw_events",
+            [
+                {
+                    "id": new_id(),
+                    "timestamp": dt.datetime(2026, 8, day, 12, 0),
+                    "source_path": "/p",
+                    "payload": "{}",
+                }
+            ],
+        )
+    df = spark.sql(
+        "SELECT * FROM raw_events WHERE timestamp >= TIMESTAMP '2026-08-03 00:00:00'"
+    )
+    assert df.count() == 1
