@@ -714,3 +714,108 @@ ENTRIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_price_quantiles — exact interpolated percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, both linear interpolation).
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_quantity, 0.25), 4)     AS q1_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# parts_never_ordered — LEFT ANTI join (oracle: NOT EXISTS).
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# customers_with_building_orders — LEFT SEMI join (oracle: EXISTS).
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITH_URGENT_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_key_intersect — INTERSECT set operation.
+def nation_key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") % 7).alias("key_val")
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key_val")
+    )
+    return nation.intersect(region)
+
+
+NATION_KEY_INTERSECT_SQL = """
+SELECT n_nationkey % 7 AS key_val FROM nation
+INTERSECT
+SELECT r_regionkey FROM region
+"""
+
+
+ENTRIES.update(
+    {
+        "lineitem_price_quantiles": (
+            lineitem_price_quantiles,
+            LINEITEM_QUANTILES_SQL,
+        ),
+        "parts_never_ordered": (parts_never_ordered, PARTS_NEVER_ORDERED_SQL),
+        "customers_with_urgent_orders": (
+            customers_with_urgent_orders,
+            CUSTOMERS_WITH_URGENT_SQL,
+        ),
+        "nation_key_intersect": (nation_key_intersect, NATION_KEY_INTERSECT_SQL),
+    }
+)
