@@ -69,6 +69,7 @@ def jaccard_pairs(
     sh: DataFrame,
     threshold: float,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard over a (doc_id, shingle) relation.
 
@@ -80,7 +81,22 @@ def jaccard_pairs(
     ``candidates`` (optional, columns doc_a/doc_b) restricts the pair space
     — the LSH path passes its bucket candidates here so the quadratic term
     only touches near-duplicate clusters.
+
+    ``max_shingle_df`` (optional) drops shingles appearing in more than
+    that many documents BEFORE pairing — a shingle shared by k docs emits
+    k² candidate rows, so one stop-word run in a 100M-doc corpus would
+    otherwise dominate the join.  NOTE: this changes the Jaccard
+    denominator too (set sizes shrink); it is an approximation knob, off
+    by default so the exact path stays oracle-checkable.
     """
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

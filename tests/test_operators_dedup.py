@@ -1,0 +1,60 @@
+"""Operator-level dedup behavior beyond what the oracle parity suite pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_webhook_gateway_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    shingles,
+    simhash_dedup,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text with other words entirely here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = {r.keeper_id: r.n_copies for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse, keeper is min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_dedup(_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_catches_exact_dup(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(_docs(spark), threshold=0.9).collect()}
+    assert (1, 4) in pairs  # identical signatures share every band
+
+
+def test_simhash_identical_docs_same_bucket(spark):
+    out = {r.doc_id: (r.simhash, r.n_bucket) for r in simhash_dedup(_docs(spark)).collect()}
+    assert out[1][0] == out[4][0]
+    assert out[1][1] >= 2
+
+
+def test_max_shingle_df_prunes_hot_shingles(spark):
+    sh = shingles(_docs(spark))
+    exact = jaccard_pairs(sh, threshold=0.01).count()
+    pruned = jaccard_pairs(sh, threshold=0.01, max_shingle_df=1).count()
+    # df<=1 shingles can never co-occur -> no pairs at all
+    assert pruned == 0
+    assert exact > 0
