@@ -100,6 +100,36 @@ def execute_transform(
         spark.catalog.dropTempView(view)
 
 
+def execute_event(
+    spark: SparkSession,
+    filter_query: str | None,
+    transform_query: str,
+    payload: dict | list,
+) -> tuple[bool, dict[str, Any]]:
+    """Fused filter + transform over ONE payload materialization.
+
+    The reference registers separate temp views for filter and transform
+    (src/app.py:448, 541) — unobservable implementation detail; sharing a
+    single view halves the per-event Spark jobs (payload inference runs
+    once).  Semantics identical: filter gates on the raw payload first,
+    blank/None filter passes, 0/1/N shaping applies to the transform.
+
+    Returns (passed_filter, shaped_result); result is ``{}`` when gated.
+    """
+    view, _ = _register_temp_payload(spark, payload, "temp_payload")
+    try:
+        if filter_query is not None and str(filter_query).strip():
+            probe = spark.sql(
+                f"SELECT 1 AS hit FROM {view} WHERE {filter_query} LIMIT 1"
+            )
+            if not probe.take(1):
+                return False, {}
+        df = spark.sql(substitute_macro(transform_query, view))
+        return True, shape_result(df)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def apply_filter(
     spark: SparkSession, filter_query: str | None, payload: dict | list
 ) -> bool:

@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from .audit import AuditLog
 from .catalog import WebhookCatalog, WebhookConfig
 from .delivery import DeliveryResult, deliver
-from .executors import apply_filter, execute_transform
+from .executors import execute_event
 from .reference_tables import ReferenceTableManager
 from .store import TableStore
 from .udfs import UdfManager
@@ -113,7 +113,13 @@ class Gateway:
         webhook_id = webhook["id"]
         self.udfs.load_webhook_udfs(webhook_id)
 
-        if not apply_filter(self.spark, webhook.get("filter_query"), payload):
+        passed, transformed = execute_event(
+            self.spark,
+            webhook.get("filter_query"),
+            webhook["transform_query"],
+            payload,
+        )
+        if not passed:
             tid = self.audit.log_filtered_out(
                 raw_event_id, webhook_id, webhook["destination_url"]
             )
@@ -123,10 +129,6 @@ class Gateway:
                 filtered_out=True,
                 transformed_event_id=tid,
             )
-
-        transformed = execute_transform(
-            self.spark, webhook["transform_query"], payload
-        )
         result = deliver(webhook["destination_url"], transformed)
         tid = self.audit.log_transformed_event(
             raw_event_id=raw_event_id,

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from ..engine.audit import FILTERED_OUT_BODY
 from ..engine.delivery import deliver
-from ..engine.executors import apply_filter, execute_transform
+from ..engine.executors import execute_event
 from ..engine.pipeline import Gateway
 from ..engine.store import new_id, now_utc
 
@@ -143,7 +143,13 @@ class StreamingGateway:
             "destination_url": webhook["destination_url"],
         }
         try:
-            if not apply_filter(spark, webhook.get("filter_query"), payload):
+            passed, transformed = execute_event(
+                spark,
+                webhook.get("filter_query"),
+                webhook["transform_query"],
+                payload,
+            )
+            if not passed:
                 return {
                     **base,
                     "transformed_payload": json.dumps({}),
@@ -151,9 +157,6 @@ class StreamingGateway:
                     "response_code": None,
                     "response_body": FILTERED_OUT_BODY,
                 }
-            transformed = execute_transform(
-                spark, webhook["transform_query"], payload
-            )
             result = deliver(webhook["destination_url"], transformed)
             return {
                 **base,
