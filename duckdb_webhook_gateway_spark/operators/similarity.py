@@ -237,23 +237,57 @@ def ivf_topk(
     k-means; the operator only needs *some* deterministic centroid
     relation.)
     """
-    cent = corpus.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col)
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_pd = (
+        corpus.filter(F.col(id_col) < num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+        .orderBy("centroid_id")
+        .toPandas()
     )
-    lists = ivf_assign(corpus, cent, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qscored = with_cosine(
-        q.crossJoin(F.broadcast(cent.withColumnRenamed(vec_col, "cv"))),
-        "qv",
-        "cv",
-        out="c_cos",
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
+    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
+    c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _sims_block(pdf: pd.DataFrame) -> "np.ndarray":
+        a = np.stack(pdf["v"].values).astype("float64")
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        return np.round(a @ bc.value[1].T, 6)
+
+    def assign_block(batches):
+        for pdf in batches:
+            sims = _sims_block(pdf)
+            # argmax takes the FIRST max -> lowest centroid id on rounded
+            # ties, matching the oracle's (cosine DESC, centroid_id) order.
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "centroid_id": bc.value[0][np.argmax(sims, axis=1)],
+                }
+            )
+
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    lists = src.mapInPandas(assign_block, "vec_id bigint, centroid_id bigint")
+
+    def probe_block(batches):
+        for pdf in batches:
+            sims = _sims_block(pdf)
+            # stable argsort on -sims keeps ascending centroid order on ties
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, nprobe),
+                    "centroid_id": bc.value[0][order].ravel(),
+                }
+            )
+
+    probes = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(probe_block, "query_id bigint, centroid_id bigint")
     cand = (
         probes.join(lists, "centroid_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
