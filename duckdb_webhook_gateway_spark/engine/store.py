@@ -241,6 +241,55 @@ class TableStore:
         out.write.mode("append").partitionBy("event_date").parquet(self._path(name))
         self._register_event_view(name)
 
+    def compact_events(self, name: str, max_files_per_partition: int = 1) -> int:
+        """Compact an event table's date partitions (small-files problem).
+
+        Per-event ingestion writes one small parquet file per append — the
+        classic streaming-sink pathology: at 10k events/day a month of
+        audit log is 300k files and every scan pays 300k opens.  This
+        rewrites each ``event_date=`` partition that exceeds
+        ``max_files_per_partition`` into a single file (read-concat-write
+        via pyarrow, then swap under the store lock).  Returns the number
+        of partitions compacted.
+
+        At cluster scale the same operation is a per-partition Spark job
+        (``coalesce(1)`` per date into a staging dir + atomic move); the
+        driver-side pyarrow path is right for the single-writer store
+        where a day of audit rows fits in memory by construction.
+        """
+        if name not in _EVENT_TABLES:
+            raise ValueError(f"not an event table: {name}")
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        base = self._path(name)
+        if not os.path.isdir(base):
+            return 0
+        compacted = 0
+        with self.lock:
+            for part in sorted(os.listdir(base)):
+                part_dir = os.path.join(base, part)
+                if not (part.startswith("event_date=") and os.path.isdir(part_dir)):
+                    continue
+                files = sorted(
+                    f for f in os.listdir(part_dir) if f.endswith(".parquet")
+                )
+                if len(files) <= max_files_per_partition:
+                    continue
+                tables = [
+                    pq.read_table(os.path.join(part_dir, f)) for f in files
+                ]
+                merged = pa.concat_tables(tables, promote_options="default")
+                new_file = os.path.join(
+                    part_dir, f"compacted-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(merged, new_file)
+                for f in files:
+                    os.unlink(os.path.join(part_dir, f))
+                compacted += 1
+            self._register_event_view(name)
+        return compacted
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

@@ -819,3 +819,67 @@ ENTRIES.update(
         "nation_key_intersect": (nation_key_intersect, NATION_KEY_INTERSECT_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# cube_order_status — GROUP BY CUBE (all grouping-set combinations).
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+CUBE_ORDER_STATUS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_runtime_udf — the reference's core extensibility story: a Python
+# scalar UDF registered at runtime and used inside SQL (src/app.py:673-785).
+# The oracle reproduces the UDF's logic in plain SQL, proving the UDF path
+# computes what it claims.
+def events_runtime_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def type_tag(event_type: str) -> str:
+        return event_type.upper() + ":" + str(len(event_type))
+
+    spark.udf.register("udf_workload_type_tag", type_tag, "string")
+    from ..sources.files import read_table
+
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_for_udf"
+    )
+    return spark.sql(
+        """
+        SELECT udf_workload_type_tag(event_type) AS type_tag,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events_for_udf
+        GROUP BY type_tag
+        ORDER BY type_tag
+        """
+    )
+
+
+EVENTS_RUNTIME_UDF_SQL = """
+SELECT upper(event_type) || ':' || CAST(length(event_type) AS VARCHAR) AS type_tag,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY type_tag
+"""
+
+
+ENTRIES.update(
+    {
+        "cube_order_status": (cube_order_status, CUBE_ORDER_STATUS_SQL),
+        "events_runtime_udf": (events_runtime_udf, EVENTS_RUNTIME_UDF_SQL),
+    }
+)
