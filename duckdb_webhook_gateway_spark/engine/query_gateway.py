@@ -26,14 +26,22 @@ def _cell(value: Any) -> Any:
     return value
 
 
-def run_adhoc_query(spark: SparkSession, query: str) -> dict[str, Any]:
+def run_adhoc_query(
+    spark: SparkSession, query: str, params: dict[str, Any] | None = None
+) -> dict[str, Any]:
     """Execute read-only SQL; serialize rows as list-of-lists with ISO
-    datetimes (reference: src/app.py:975-991)."""
+    datetimes (reference: src/app.py:975-991).
+
+    ``params`` supports named parameter binding — ``:name`` markers in the
+    SQL (the reference bound DuckDB ``?``/``$n`` params,
+    src/app.py:200-239; Spark 4 named parameters are the idiomatic
+    equivalent and injection-safe, unlike string interpolation).
+    """
     if not is_read_only_sql(query):
         raise ReadOnlyViolation(
             "Write operations are not allowed through the query endpoint"
         )
-    df = spark.sql(rewrite_dialect(query))
+    df = spark.sql(rewrite_dialect(query), args=params or {})
     columns = df.columns
     result = [[_cell(v) for v in row] for row in df.collect()]
     return {"status": "success", "columns": columns, "result": result}

@@ -207,6 +207,45 @@ def minhash_bands(mh: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
+def minhash_bands_wide(
+    sh: DataFrame, num_hashes: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Signatures + banding in ONE aggregation, no seed explode.
+
+    The long-format path explodes |shingles|×num_hashes rows; this one
+    keeps one row per (doc, shingle) and computes ``num_hashes`` MIN
+    aggregates as columns, then stacks bands out of the wide row.  Same
+    (doc_id, band_id, band_key) output as
+    ``minhash_bands(minhash_signatures(sh))`` — pinned by parity tests —
+    at 1/num_hashes the shuffle input.
+    """
+    from ..functions.hashing import md5_int_expr
+
+    base = sh.withColumn("base", F.expr(md5_int_expr("shingle", "spark")))
+    mins = base.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"(({s} * 131071 + 65537) * base + {s} * 97531) % 2147483647")
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    num_bands = num_hashes // rows_per_band
+    stack_args = []
+    for b in range(num_bands):
+        cols = ", ".join(
+            f"CAST(h{s} AS STRING)"
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        stack_args.append(f"{b}, md5(concat_ws('|', {cols}))")
+    return mins.select(
+        "doc_id",
+        F.expr(
+            f"stack({num_bands}, {', '.join(stack_args)}) AS (band_id, band_key)"
+        ),
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -224,7 +263,7 @@ def minhash_lsh_dedup(
     sees almost nothing but true near-dups.
     """
     sh = shingles(docs, id_col, text_col)
-    bands = minhash_bands(minhash_signatures(sh, num_hashes), rows_per_band)
+    bands = minhash_bands_wide(sh, num_hashes, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

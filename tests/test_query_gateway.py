@@ -81,3 +81,26 @@ def test_json_extract_shim(gateway, spark):
         "FROM raw_events GROUP BY t",
     )
     assert out["result"] == [["PushEvent", 1]]
+
+
+def test_parameter_binding(gateway, spark):
+    # reference: param binding (src/app.py:200-239; tests/test_db_manager.py:52-74)
+    gateway.register_webhook(
+        WebhookConfig(
+            source_path="/pb",
+            destination_url="http://example.com/x",
+            transform_query="SELECT * FROM {{payload}}",
+        )
+    )
+    gateway.ingest("/pb", {"a": 1})
+    gateway.ingest("/pb", {"a": 2})
+    out = run_adhoc_query(
+        spark,
+        "SELECT count(*) AS n FROM raw_events WHERE source_path = :path",
+        params={"path": "/pb"},
+    )
+    assert out["result"] == [[2]]
+    out = run_adhoc_query(
+        spark, "SELECT :x + :y AS s", params={"x": 40, "y": 2}
+    )
+    assert out["result"] == [[42]]
