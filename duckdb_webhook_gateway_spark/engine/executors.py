@@ -37,11 +37,79 @@ from .results import shape_result
 PAYLOAD_MACRO = "{{payload}}"
 
 
+def _infer_spark_type(values: list):
+    """Driver-side JSON -> Spark type inference, mirroring spark.read.json:
+    int->Long, float->Double (int+float widen to Double), bool->Boolean,
+    str->String, dict->Struct (keys unioned across rows), list->Array.
+    Returns None when the values are not uniformly typeable (caller falls
+    back to executor-side read.json inference)."""
+    from pyspark.sql import types as T
+
+    non_null = [v for v in values if v is not None]
+    if not non_null:
+        return T.StringType()
+    kinds = {type(v) for v in non_null}
+    if kinds == {bool}:
+        return T.BooleanType()
+    if kinds <= {int} and not kinds & {bool}:
+        return T.LongType()
+    if kinds <= {int, float} and not kinds & {bool}:
+        return T.DoubleType()
+    if kinds == {str}:
+        return T.StringType()
+    if kinds == {dict}:
+        keys: list[str] = []
+        for v in non_null:
+            for k in v:
+                if k not in keys:
+                    keys.append(k)
+        fields = []
+        for k in keys:
+            ft = _infer_spark_type([v.get(k) for v in non_null])
+            if ft is None:
+                return None
+            fields.append(T.StructField(k, ft, True))
+        return T.StructType(fields)
+    if kinds == {list}:
+        elems = [e for v in non_null for e in v]
+        et = _infer_spark_type(elems) if elems else T.StringType()
+        if et is None:
+            return None
+        return T.ArrayType(et, True)
+    return None  # mixed/unsupported -> fall back
+
+
+def _coerce(value, dtype):
+    """Align python values with the inferred type (int -> float widening,
+    nested recursion)."""
+    from pyspark.sql import types as T
+
+    if value is None:
+        return None
+    if isinstance(dtype, T.DoubleType):
+        return float(value)
+    if isinstance(dtype, T.StructType):
+        return tuple(
+            _coerce(value.get(f.name), f.dataType) for f in dtype.fields
+        )
+    if isinstance(dtype, T.ArrayType):
+        return [_coerce(v, dtype.elementType) for v in value]
+    return value
+
+
 def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
     """JSON payload -> DataFrame with inferred (possibly nested) schema.
 
     dict -> one row; list -> one row per element
     (reference: src/app.py:451-454).
+
+    Fast path: the schema is inferred driver-side (pure Python walk of the
+    JSON — the same type rules spark.read.json applies) and rows are
+    created directly, skipping the executor-side inference job that costs
+    an extra Spark job per event.  Column order follows dict insertion
+    order — matching the reference's pandas construction
+    (src/app.py:451-454) where read.json would sort keys.  Shapes the
+    walker can't type uniformly fall back to spark.read.json.
     """
     if isinstance(payload, dict):
         records = [payload]
@@ -49,6 +117,17 @@ def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
         records = payload
     else:
         raise TypeError(f"payload must be dict or list, got {type(payload).__name__}")
+
+    if records and all(isinstance(r, dict) for r in records):
+        schema = _infer_spark_type(records)
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType) and len(schema.fields) > 0:
+            try:
+                rows = [_coerce(r, schema) for r in records]
+                return spark.createDataFrame(rows, schema)
+            except Exception:
+                pass  # fall back to authoritative inference
     # One tiny partition: a per-event relation must not fan out across the
     # cluster; inference + scan happen on a single task.
     rdd = spark.sparkContext.parallelize([json.dumps(r) for r in records], 1)
