@@ -160,7 +160,10 @@ class StreamingGateway:
                     if not sig(obj[k], f"{prefix}.{k}", out):
                         return False
             elif isinstance(obj, list):
-                for el in obj[:1]:  # element type from the head
+                # Fingerprint EVERY element: a single float among ints
+                # would otherwise silently widen the whole batch group's
+                # inferred type away from the per-event inference result.
+                for el in obj:
                     if not sig(el, f"{prefix}[]", out):
                         return False
                 out.append((f"{prefix}[]#len", len(obj) > 0))
@@ -174,7 +177,17 @@ class StreamingGateway:
         elif isinstance(payload, list):
             if not payload or not all(isinstance(e, dict) for e in payload):
                 return None
-            ok = all(sig(e, "$[]", out) for e in payload[:1])
+            sigs = set()
+            ok = True
+            for e in payload:
+                el_out: list = []
+                if not sig(e, "$[]", el_out):
+                    ok = False
+                    break
+                sigs.add(json.dumps(el_out))
+            if ok and len(sigs) != 1:
+                return None  # heterogeneous rows within one event -> per-event path
+            out.extend(json.loads(next(iter(sigs))) if ok and sigs else [])
             out.append(("$#list", True))
         else:
             return None
