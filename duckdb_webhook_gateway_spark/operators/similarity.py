@@ -139,23 +139,31 @@ def near_dup_pairs(
 
 def lsh_buckets(
     vectors: DataFrame,
-    num_planes: int = 8,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector.
+    """Multi-table random-hyperplane LSH: (vec_id, table_id, bucket).
+
+    Candidate generation = pairs sharing a bucket in ANY table.  A single
+    k-bit table has recall (1-θ/π)^k — at cosine 0.45 (θ≈63°) an 8-bit
+    table catches ~3% of true pairs; 4 independent 4-bit tables catch
+    ~1-(1-0.65⁴)⁴ ≈ 55%, and >95% for genuinely-near pairs (cos≥0.9).
+    Same banding trade-off as MinHash-LSH.
 
     Plane weights are derived deterministically from md5 (w_{j,d} =
     md5int(j||'_'||d)/2^31 - 1 ∈ [-1,1)), so both engines build the same
     planes with no stored state.  The projection sign is taken on the
     value rounded to 1e-9 to absorb summation-order jitter.
 
-    Linear and shuffle-light: explodes to N×d rows, aggregates to N×planes
-    projections, reassembles to one bucket id per vector.
+    Linear and shuffle-light: explodes to N×d rows, aggregates to
+    N×(tables×planes) projections, reassembles to one bucket per table.
     """
     from ..functions.hashing import md5_int_expr
 
+    num_planes = num_tables * planes_per_table
     plane_key = "CAST(j AS STRING) || '_' || CAST(d AS STRING)"
     w_expr = f"({md5_int_expr(plane_key, 'spark')} / 2147483648.0) - 1.0"
     comps = (
@@ -173,19 +181,21 @@ def lsh_buckets(
         F.round(F.sum(F.col("w") * F.col("val")), 9).alias("proj")
     )
     buckets = (
-        proj.withColumn(
+        proj.withColumn("table_id", (F.col("j") / planes_per_table).cast("int"))
+        .withColumn(
             "bit",
-            F.when(F.col("proj") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
+            F.when(
+                F.col("proj") > 0,
+                F.expr(f"CAST(pow(2, j % {planes_per_table}) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("bigint")),
         )
-        .groupBy("vec_id")
+        .groupBy("vec_id", "table_id")
         .agg(F.sum("bit").alias("bucket"))
     )
-    w = Window.partitionBy("bucket")
-    return buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w)).select(
-        "vec_id", "bucket", "bucket_size"
-    )
+    w = Window.partitionBy("table_id", "bucket")
+    return buckets.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(w)
+    ).select("vec_id", "table_id", "bucket", "bucket_size")
 
 
 def ivf_assign(

@@ -273,12 +273,12 @@ WHERE round({_ORACLE_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.45
 
 # ---------------------------------------------------------------------------
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.lsh_buckets(_emb(spark, sf_dir), num_planes=8)
+    return S.lsh_buckets(_emb(spark, sf_dir), num_tables=4, planes_per_table=4)
 
 
 ANN_LSH_BUCKETS_SQL = f"""
 WITH dims AS (SELECT d FROM range(1, 65) r(d)),
-planes AS (SELECT j FROM range(0, 8) r(j)),
+planes AS (SELECT j FROM range(0, 16) r(j)),
 comps AS (
   SELECT e.vec_id, p.j, d.d,
          CAST(e.embedding[d.d] AS DOUBLE) AS val,
@@ -291,12 +291,12 @@ proj AS (
   FROM comps GROUP BY vec_id, j
 ),
 buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+  SELECT vec_id, CAST(j // 4 AS INTEGER) AS table_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, CAST(j // 4 AS INTEGER)
 )
-SELECT vec_id, bucket,
-       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+SELECT vec_id, table_id, bucket,
+       CAST(count(*) OVER (PARTITION BY table_id, bucket) AS BIGINT) AS bucket_size
 FROM buckets
 """
 
@@ -476,5 +476,90 @@ ENTRIES.update(
         "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
         "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_SQL),
         "events_pivot_by_type": (events_pivot_by_type, EVENTS_PIVOT_SQL),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level aggregates: one row of vocabulary/volume stats."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id"), 6
+        ).alias("mean_doc_len"),
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH {_ORACLE_TOKS.strip()}
+SELECT count(*) AS total_tokens,
+       count(DISTINCT token) AS vocab_size,
+       count(DISTINCT doc_id) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6) AS mean_doc_len
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 100-char buckets."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn(
+            "bucket", (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, oracle-checked against the PLAIN join —
+    the proof that salting changes the physical distribution only."""
+    from ..operators.joins import salted_join
+    from ..sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return salted_join(orders, cust, "o_custkey", salt_factor=8).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice", "c_mktsegment"
+    )
+
+
+SALTED_JOIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+ENTRIES.update(
+    {
+        "corpus_stats": (corpus_stats, CORPUS_STATS_SQL),
+        "doc_length_histogram": (doc_length_histogram, DOC_LENGTH_HISTOGRAM_SQL),
+        "salted_join_orders": (salted_join_orders, SALTED_JOIN_ORDERS_SQL),
     }
 )

@@ -1,0 +1,57 @@
+"""Approximation quality: the LSH/IVF shortcuts must actually find most of
+what the exact operators find.  Recall regressions are silent correctness
+bugs — the parity suite can't catch them (each operator matches its own
+oracle), so they're pinned here against the exact baselines."""
+
+from __future__ import annotations
+
+from conftest import sf_dir
+
+from duckdb_webhook_gateway_spark.workloads import datapipe
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    d = sf_dir("sf0.01")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in datapipe.dedup_ngram_jaccard(spark, d).collect()
+    }  # jaccard >= 0.6 — real near-dups
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in datapipe.dedup_minhash_lsh(spark, d).collect()
+    }
+    assert exact, "no near-dup pairs in test data?"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"minhash-LSH recall {recall:.2f} vs exact jaccard"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    d = sf_dir("sf0.01")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in datapipe.ann_cosine_topk(spark, d).collect()
+        if r.rank <= 3
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in datapipe.ann_ivf_topk(spark, d).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # nprobe=2 of 16 lists: a top-3 neighbor is found iff it lives in a
+    # probed list — anything below this floor means the quantizer broke.
+    assert recall >= 0.4, f"IVF recall@3 {recall:.2f} vs brute force"
+
+
+def test_lsh_buckets_group_near_dups(spark):
+    d = sf_dir("sf0.01")
+    near = datapipe.embedding_near_dup(spark, d).collect()
+    assignments: dict = {}
+    for r in datapipe.ann_lsh_buckets(spark, d).collect():
+        assignments.setdefault(r.vec_id, set()).add((r.table_id, r.bucket))
+    # candidate = pair shares a bucket in ANY of the 4 tables
+    same = sum(
+        1 for r in near if assignments[r.vec_a] & assignments[r.vec_b]
+    )
+    assert len(near) > 0
+    # theory for cos>=0.45: ~1-(1-0.65^4)^4 ≈ 0.55 expected recall
+    assert same / len(near) >= 0.3, f"only {same}/{len(near)} near-dups co-bucketed"
