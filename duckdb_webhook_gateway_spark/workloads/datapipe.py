@@ -563,3 +563,47 @@ ENTRIES.update(
         "salted_join_orders": (salted_join_orders, SALTED_JOIN_ORDERS_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+
+
+EMBEDDING_NEAR_DUP_LSH_SQL = f"""
+WITH dims AS (SELECT d FROM range(1, 65) r(d)),
+planes AS (SELECT j FROM range(0, 16) r(j)),
+comps AS (
+  SELECT e.vec_id, p.j, d.d,
+         CAST(e.embedding[d.d] AS DOUBLE) AS val,
+         (({md5_int_expr("CAST(p.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)", 'duckdb')})
+          / 2147483648.0) - 1.0 AS w
+  FROM embeddings e, planes p, dims d
+),
+proj AS (
+  SELECT vec_id, j, round(sum(w * val), 9) AS proj
+  FROM comps GROUP BY vec_id, j
+),
+buckets AS (
+  SELECT vec_id, CAST(j // 4 AS INTEGER) AS table_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, CAST(j // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a
+  JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({_ORACLE_COS.format(a='x.embedding', b='y.embedding')}, 6) AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE round({_ORACLE_COS.format(a='x.embedding', b='y.embedding')}, 6) >= 0.45
+"""
+
+ENTRIES["embedding_near_dup_lsh"] = (
+    embedding_near_dup_lsh,
+    EMBEDDING_NEAR_DUP_LSH_SQL,
+)
