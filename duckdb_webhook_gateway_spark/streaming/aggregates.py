@@ -1,0 +1,79 @@
+"""Event-time streaming aggregation over the webhook stream.
+
+The reference has no streaming semantics — "analytics" is ad-hoc SQL over
+the accumulated audit tables (SURVEY §2B "Streaming-only semantics").
+This module is the Spark-native extension the reference cannot express:
+tumbling event-time windows with a watermark for late data, computed
+incrementally over the same landing-dir envelopes the micro-batch
+pipeline consumes.
+
+State stays bounded: the watermark lets Spark drop window state older
+than ``watermark`` behind the max observed event time — the difference
+between a stream job that runs for a year and one that OOMs in a week.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .webhook_source import ENVELOPE_SCHEMA
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming DataFrame: events per (window, source_path).
+
+    Wire to any sink; e.g.::
+
+        q = (windowed_event_counts(spark, sg.landing_dir)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName("event_counts")
+             .trigger(availableNow=True).start())
+    """
+    stream = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .json(landing_dir)
+        .withWatermark("ingest_ts", watermark)
+    )
+    return (
+        stream.groupBy(
+            F.window("ingest_ts", window_duration).alias("win"),
+            "source_path",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "source_path",
+            "n_events",
+        )
+    )
+
+
+def run_windowed_counts_once(
+    spark: SparkSession,
+    landing_dir: str,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+    query_name: str = "event_counts",
+) -> list:
+    """Drain the landing dir once and return the windowed counts."""
+    df = windowed_event_counts(spark, landing_dir, window_duration, watermark)
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(query_name).collect()
+    q.stop()
+    return rows

@@ -153,3 +153,48 @@ def test_batch_throughput_smoke(gateway, spark):
     elapsed = time.perf_counter() - t0
     assert spark.sql("SELECT count(*) AS n FROM transformed_events").first().n == 100
     assert elapsed < 30, f"batch of 100 took {elapsed:.1f}s — vectorized path regressed"
+
+
+def test_windowed_event_counts(gateway, spark):
+    """Event-time tumbling windows over the landing stream (the streaming
+    extension the reference cannot express)."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.aggregates import (
+        run_windowed_counts_once,
+    )
+
+    sg = StreamingGateway(gateway)
+    # Hand-write envelopes with controlled event times: 3 events in minute
+    # 10:00, 2 in 10:01, on two paths.
+    stamps = [
+        ("/a", "2026-08-13T10:00:05"),
+        ("/a", "2026-08-13T10:00:30"),
+        ("/b", "2026-08-13T10:00:59"),
+        ("/a", "2026-08-13T10:01:10"),
+        ("/b", "2026-08-13T10:01:40"),
+    ]
+    for i, (path, ts) in enumerate(stamps):
+        envelope = {
+            "event_id": f"e{i}",
+            "source_path": path,
+            "payload_json": _json.dumps({"i": i}),
+            "ingest_ts": ts,
+        }
+        with open(os.path.join(sg.landing_dir, f"w{i}.json"), "w") as f:
+            f.write(_json.dumps(envelope) + "\n")
+
+    rows = run_windowed_counts_once(
+        spark, sg.landing_dir, window_duration="1 minute",
+        query_name="event_counts_test",
+    )
+    counts = {
+        (r.window_start.strftime("%H:%M"), r.source_path): r.n_events
+        for r in rows
+    }
+    assert counts[("10:00", "/a")] == 2
+    assert counts[("10:00", "/b")] == 1
+    assert counts[("10:01", "/a")] == 1
+    assert counts[("10:01", "/b")] == 1
