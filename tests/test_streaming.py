@@ -198,3 +198,28 @@ def test_windowed_event_counts(gateway, spark):
     assert counts[("10:00", "/b")] == 1
     assert counts[("10:01", "/a")] == 1
     assert counts[("10:01", "/b")] == 1
+
+
+def test_stateful_streaming_dedup(gateway, spark, tmp_path):
+    """applyInPandasWithState dedup: state must persist across drains via
+    the checkpoint — a payload from drain 1 re-sent in drain 2 is flagged."""
+    from duckdb_webhook_gateway_spark.streaming.stateful import run_dedup_once
+
+    sg = StreamingGateway(gateway)
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "dedup_out")
+
+    sg.ingest("/d", {"x": 1})
+    sg.ingest("/d", {"x": 1})  # in-batch duplicate
+    sg.ingest("/d", {"x": 2})
+    run_dedup_once(spark, sg.landing_dir, ckpt, out)
+
+    sg.ingest("/d", {"x": 2})  # cross-batch duplicate
+    sg.ingest("/d", {"x": 3})  # fresh
+    run_dedup_once(spark, sg.landing_dir, ckpt, out)
+
+    rows = spark.read.parquet(out).collect()
+    flags = sorted((r.content_hash, bool(r.is_duplicate)) for r in rows)
+    n_dup = sum(1 for r in rows if r.is_duplicate)
+    assert len(rows) == 5
+    assert n_dup == 2, f"expected in-batch + cross-batch dups, got {flags}"
