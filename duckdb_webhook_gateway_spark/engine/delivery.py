@@ -21,7 +21,6 @@ from typing import Any, Optional
 from urllib.parse import urlparse
 
 DELIVERY_TIMEOUT_SECONDS = 30.0  # reference: src/app.py:1196
-_MOCK_HOSTS = ("example.com", "www.example.com", "localhost", "127.0.0.1")
 
 
 @dataclass
@@ -32,9 +31,11 @@ class DeliveryResult:
 
 
 def is_mock_destination(url: str) -> bool:
-    """example.com / localhost short-circuit (reference: src/app.py:1184-1193)."""
-    host = (urlparse(url).hostname or "").lower()
-    return host in _MOCK_HOSTS
+    """example.com / localhost short-circuit, substring semantics exactly
+    like the reference (src/app.py:1185) — note 127.0.0.1 is NOT mocked,
+    which is what lets integration tests exercise real delivery against a
+    live local receiver (reference: tests/test_integration.py)."""
+    return "example.com" in url or "localhost" in url
 
 
 def deliver(
