@@ -607,3 +607,48 @@ ENTRIES["embedding_near_dup_lsh"] = (
     embedding_near_dup_lsh,
     EMBEDDING_NEAR_DUP_LSH_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class ratios (alpha/digit/space/punct) — the length/punct
+    half of the classic quality triple (stopword ratio lives in
+    text_language_id)."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        (n - n_alpha - n_digit - n_space).alias("n_punct"),
+        F.round(n_alpha.cast("double") / n, 6).alias("alpha_ratio"),
+        F.round(
+            (n - n_alpha - n_digit - n_space).cast("double") / n, 6
+        ).alias("punct_ratio"),
+    )
+
+
+TEXT_CHAR_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_total,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER)   AS n_digit,
+       CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER)     AS n_space,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            - length(regexp_replace(text, '[^0-9]', '', 'g'))
+            - length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER)   AS n_punct,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+ENTRIES["text_char_stats"] = (text_char_stats, TEXT_CHAR_STATS_SQL)
