@@ -58,6 +58,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The driver may hand us a session built without our defaults; reading
+    # TIMESTAMP(NANOS) requires this runtime conf, so pin it here rather
+    # than trusting session construction.
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # static-conf environments already have it or will fail below
     key = (path, os.stat(path).st_mtime_ns)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:

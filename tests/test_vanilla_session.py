@@ -1,0 +1,32 @@
+"""The driver contract must work under a SparkSession the DRIVER builds —
+none of our session.py defaults can be assumed (the nanos-timestamp conf
+in particular is load-bearing for the events table)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]").appName("vanilla")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+assert e.entry(spark).count() > 0
+qs = e.queries()
+assert qs["events_json_bucket"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["events_recent_topk"](spark, "/root/testdata/sf0.001").count() > 0
+print("VANILLA_OK")
+"""
+
+
+def test_driver_contract_under_vanilla_session():
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
