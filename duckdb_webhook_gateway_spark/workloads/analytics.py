@@ -883,3 +883,68 @@ ENTRIES.update(
         "events_runtime_udf": (events_runtime_udf, EVENTS_RUNTIME_UDF_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel — staged conversion funnel (view -> click -> purchase with
+# strict temporal ordering per user); the flagship product-analytics shape.
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = v.count()
+    n_click = c.count()
+    n_purchase = p.count()
+    return spark.createDataFrame(
+        [(n_view, n_click, n_purchase,
+          round(n_click / n_view, 6) if n_view else 0.0,
+          round(n_purchase / n_click, 6) if n_click else 0.0)],
+        "n_view bigint, n_click bigint, n_purchase bigint, "
+        "view_to_click double, click_to_purchase double",
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 6) AS view_to_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 6) AS click_to_purchase
+"""
+
+ENTRIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)
