@@ -117,6 +117,8 @@ class StreamingGateway:
         webhooks_seen: dict[str, Optional[dict[str, Any]]] = {}
         by_webhook: dict[str, list] = {}
         for row in rows:
+            if row["event_id"] is None or row["payload_json"] is None:
+                continue  # malformed envelope file: skip, don't poison the batch
             path = row["source_path"]
             if path not in webhooks_seen:
                 webhooks_seen[path] = self.gateway.catalog.get_by_path(path)

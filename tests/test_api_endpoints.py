@@ -177,3 +177,23 @@ def test_stats_and_lifecycle(server):
 def test_echo_webhook(server):
     code, body = _req(server, "POST", "/echo-webhook", {"ping": 1}, key=None)
     assert code == 200 and body["received"] == {"ping": 1}
+
+
+def test_streaming_mode_end_to_end(gateway, spark):
+    """HTTP shell in streaming mode: ack -> landing dir -> micro-batch."""
+    srv = GatewayHTTPServer(gateway, streaming=True, drain_interval=0.2).start()
+    try:
+        _req(srv, "POST", "/register", WEBHOOK)
+        acks = [
+            _req(srv, "POST", "/api-test",
+                 {"field1": f"v{i}", "field2": "w"}, key=None)[1]
+            for i in range(5)
+        ]
+        assert all(a["status"] == "accepted" for a in acks)
+        srv.wait_idle()
+        code, events = _req(srv, "GET", "/events?limit=10")
+        assert code == 200
+        assert len(events["events"]) == 5
+        assert all(e["success"] for e in events["events"])
+    finally:
+        srv.stop()
