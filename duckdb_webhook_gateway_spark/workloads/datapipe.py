@@ -652,3 +652,87 @@ FROM documents
 """
 
 ENTRIES["text_char_stats"] = (text_char_stats, TEXT_CHAR_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable hash.
+
+    Splitting on md5(doc_id) rather than random() makes the assignment
+    reproducible across runs/engines AND stable under re-partitioning —
+    the property a training pipeline needs so a document never migrates
+    between train and test when the corpus is rebuilt.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        f"{md5_int_expr('CAST(doc_id AS STRING)', 'spark')} % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 80 THEN 'train'
+              WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus with doc frequency."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigram_expr = (
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+    )
+    bg = toks.select("doc_id", F.explode(F.expr(bigram_expr)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+CORPUS_TOP_BIGRAMS_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks JOIN nums ON i <= len(t) - 1
+  WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM bg GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+"""
+
+ENTRIES["dataset_split"] = (dataset_split, DATASET_SPLIT_SQL)
+ENTRIES["corpus_top_bigrams"] = (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL)
