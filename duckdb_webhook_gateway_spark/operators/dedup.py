@@ -39,12 +39,23 @@ def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct 3-gram word shingles per document."""
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sarr) — the distinct 3-gram shingle SET per document, kept
+    nested.  The workhorse relation for every Jaccard-family operator:
+    keeping the set in-row means set sizes are ``size(sarr)`` (no
+    aggregation), signatures can be computed in-row (no explode), and the
+    verify stage is ``array_intersect`` (no pair-by-shingle join)."""
     return (
         tokenized(docs, id_col, text_col)
         .filter(F.size("t") >= 3)
-        .select(F.col(id_col), F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+        .select(F.col(id_col).alias("doc_id"), F.expr(_SHINGLES_EXPR).alias("sarr"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct 3-gram word shingles per document."""
+    return shingle_arrays(docs, id_col, text_col).select(
+        "doc_id", F.explode("sarr").alias("shingle")
     )
 
 
@@ -154,11 +165,74 @@ def jaccard_pairs(
     )
 
 
+def _jaccard_from_intersections(inter: DataFrame, sarr: DataFrame, threshold: float) -> DataFrame:
+    """Attach set sizes + Jaccard to a (doc_a, doc_b, shared_shingles)
+    relation.  Sizes come free from ``size(sarr)`` — a corpus-cardinality
+    two-column relation, broadcast to both joins (no shuffle).  Jaccard is
+    a ratio of integers, bit-identical across engines."""
+    sizes = sarr.select("doc_id", F.size("sarr").alias("n"))
+    ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_shingles")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared_shingles", "jaccard")
+    )
+
+
+# Pair explosion over a sorted posting list: k docs -> k(k-1)/2 (a < b) pairs.
+_PAIR_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), "
+    "y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
 def ngram_jaccard_dedup(
-    docs: DataFrame, threshold: float = 0.6, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 64,
 ) -> DataFrame:
-    """Exact pairwise near-dup detection via 3-gram Jaccard."""
-    return jaccard_pairs(shingles(docs, id_col, text_col), threshold)
+    """Exact pairwise near-dup detection via 3-gram Jaccard.
+
+    Two shuffles total: the inverted-index groupBy (posting lists) and the
+    pair-count groupBy; set sizes ride along as broadcast ``size(sarr)``.
+
+    ``max_shingle_df`` (default ON) drops posting lists longer than the
+    cutoff from the PAIRING stage — a shingle shared by k docs emits k²/2
+    pair rows, so one stop-word run in a 100M-doc corpus would otherwise
+    dominate the job.  Intersections are undercounted by the pruned
+    (ubiquitous, low-information) shingles while denominators stay exact,
+    so pruning is conservative: it can only lower a pair's Jaccard, never
+    create a false positive.  Pass ``None`` for the fully-exact variant.
+    """
+    sarr = shingle_arrays(docs, id_col, text_col)
+    lists = (
+        sarr.select("doc_id", F.explode("sarr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_shingle_df is not None:
+        lists = lists.filter(F.size("ds") <= max_shingle_df)
+    inter = (
+        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return _jaccard_from_intersections(inter, sarr, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -214,10 +288,10 @@ def minhash_bands_wide(
 
     The long-format path explodes |shingles|×num_hashes rows; this one
     keeps one row per (doc, shingle) and computes ``num_hashes`` MIN
-    aggregates as columns, then stacks bands out of the wide row.  Same
-    (doc_id, band_id, band_key) output as
-    ``minhash_bands(minhash_signatures(sh))`` — pinned by parity tests —
-    at 1/num_hashes the shuffle input.
+    aggregates as columns, then stacks bands out of the wide row — same
+    (doc_id, band_id, band_key) output at 1/num_hashes the shuffle input.
+    (Superseded by ``minhash_bands_inrow`` when the shingle SET is already
+    nested per doc; kept for exploded inputs + the equivalence test.)
     """
     from ..functions.hashing import md5_int_expr
 
@@ -230,6 +304,11 @@ def minhash_bands_wide(
             for s in range(num_hashes)
         ]
     )
+    return _stack_bands(mins, num_hashes, rows_per_band)
+
+
+def _stack_bands(mins: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, h0..h{n-1}) wide row -> (doc_id, band_id, band_key)."""
     num_bands = num_hashes // rows_per_band
     stack_args = []
     for b in range(num_bands):
@@ -246,6 +325,41 @@ def minhash_bands_wide(
     )
 
 
+def minhash_bands_inrow(
+    sarr: DataFrame, num_hashes: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded minhash signatures computed entirely IN-ROW — zero shuffle.
+
+    Input is the nested shingle-set relation (``shingle_arrays``).  One
+    md5 per shingle (hashed once, then 8 substr nibbles — the hex string
+    is materialized first so the digest isn't recomputed per nibble),
+    then each of the ``num_hashes`` affine variants is an ``array_min``
+    over three integer ops per element.  Same (doc_id, band_id, band_key)
+    rows as ``minhash_bands_wide`` (pinned by an equivalence test), but
+    the plan is a pure projection: nothing moves until the band
+    self-join, which at 100 TB is the FIRST shuffle of the whole dedup.
+    """
+    from ..functions.hashing import hex_to_int_expr
+
+    bases = (
+        f"transform(transform(sarr, x -> md5(x)), "
+        f"h -> {hex_to_int_expr('h', 8, 'spark')})"
+    )
+    # Materialize the base-hash array as its own projection so the md5
+    # pass runs once per doc, not once per seed.
+    mins = sarr.withColumn("bases", F.expr(bases)).select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(bases, "
+                f"base -> (({s} * 131071 + 65537) * base + {s} * 97531) % 2147483647))"
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    return _stack_bands(mins, num_hashes, rows_per_band)
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -257,28 +371,41 @@ def minhash_lsh_dedup(
     """MinHash-LSH near-dup: banded candidate generation + exact Jaccard
     verify restricted to candidates — the scale path for dedup.
 
-    Two linear passes + a join that only touches docs sharing a band
-    bucket.  With 16 hashes / 4 bands, P(candidate) ≈ 1-(1-J⁴)⁴: J=0.9
-    is caught w.p. ~0.99, J=0.3 w.p. ~0.03 — the quadratic verify stage
-    sees almost nothing but true near-dups.
+    With 16 hashes / 4 bands, P(candidate) ≈ 1-(1-J⁴)⁴: J=0.9 is caught
+    w.p. ~0.99, J=0.3 w.p. ~0.03 — the quadratic verify stage sees almost
+    nothing but true near-dups.
+
+    Shuffle budget: signatures are in-row (``minhash_bands_inrow``), so
+    the first shuffle is the band groupBy (rows = 4×ndocs band keys, not
+    shingles); pairs explode per bucket; the candidate ``distinct`` is
+    pair-cardinality; the verify stage is ``array_intersect`` over the
+    nested shingle sets with the (tiny) candidate set broadcast — the
+    shingle relation itself is never shuffled, at any scale.
     """
-    sh = shingles(docs, id_col, text_col)
-    bands = minhash_bands_wide(sh, num_hashes, rows_per_band)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    sarr = shingle_arrays(docs, id_col, text_col)
+    bands = minhash_bands_inrow(sarr, num_hashes, rows_per_band)
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return jaccard_pairs(sh, threshold, candidates=cand)
+    a = sarr.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
+    b = sarr.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
+    half = a.join(F.broadcast(cand), "doc_a")  # |cand| rows — still tiny
+    inter = (
+        b.join(F.broadcast(half), "doc_b")
+        .withColumn(
+            "shared_shingles",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint"),
+        )
+        .select("doc_a", "doc_b", "shared_shingles")
+    )
+    return _jaccard_from_intersections(inter, sarr, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -235,17 +235,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate nearest neighbors.
+    """IVF approximate nearest neighbors — fused single-pass plan.
 
     Training-free coarse quantizer: the first ``num_centroids`` corpus
     vectors (by id) act as centroids — deterministic, so the DuckDB oracle
     reproduces the exact same index.  Each query probes its ``nprobe``
     closest lists and ranks only those lists' members: with C lists and
     balanced assignment the scored candidate set is ~nprobe/C of the
-    corpus — the scale path when the query set is too large for
-    brute-force.  (At production scale the centroids would come from
-    k-means; the operator only needs *some* deterministic centroid
-    relation.)
+    corpus.  (At production scale the centroids would come from k-means;
+    the operator only needs *some* deterministic centroid relation.)
+
+    Execution: queries and centroids are both broadcast (the query set is
+    small by contract, like ``cosine_topk``); the probe map (query →
+    nprobe lists) is computed once on the driver.  ONE ``mapInPandas``
+    pass over the partitioned corpus then assigns each corpus vector to
+    its list (argmax vs centroids) and immediately scores it against the
+    queries probing that list — no assignment relation, no probe joins,
+    no ``distinct()`` (each corpus vector lives in exactly one list, so a
+    pair can only be emitted once).  The only shuffle is the final top-k
+    window over the ~nprobe/C-sized candidate set.
     """
     import numpy as np
     import pandas as pd
@@ -260,56 +268,64 @@ def ivf_topk(
     c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
     c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
 
-    def _sims_block(pdf: pd.DataFrame) -> "np.ndarray":
-        a = np.stack(pdf["v"].values).astype("float64")
-        a = a / np.linalg.norm(a, axis=1, keepdims=True)
-        return np.round(a @ bc.value[1].T, 6)
+    q_pd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .orderBy("query_id")
+        .toPandas()
+    )
+    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
+    q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["qv"].values])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    def assign_block(batches):
+    # Driver-side probe map: query i -> its nprobe nearest centroid ids.
+    # Rounded sims + stable argsort keep ascending-centroid tie order,
+    # matching the oracle's (cosine DESC, centroid_id) ranking.
+    q_sims = np.round(q_mat @ c_mat.T, 6)
+    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probed_by_centroid: dict[int, "np.ndarray"] = {}
+    for ci in np.unique(probe_order.ravel()):
+        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
+        probed_by_centroid[int(c_ids[ci])] = qidx
+
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, q_ids, q_mat, probed_by_centroid))
+
+    def fused_block(batches):
+        b_cids, b_cmat, b_qids, b_qmat, b_probe = bc.value
         for pdf in batches:
-            sims = _sims_block(pdf)
+            a = np.stack(pdf["v"].values).astype("float64")
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
             # argmax takes the FIRST max -> lowest centroid id on rounded
             # ties, matching the oracle's (cosine DESC, centroid_id) order.
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
-                    "centroid_id": bc.value[0][np.argmax(sims, axis=1)],
-                }
-            )
+            assigned = b_cids[np.argmax(np.round(a @ b_cmat.T, 6), axis=1)]
+            out_q, out_n, out_c = [], [], []
+            for cid, qidx in b_probe.items():
+                mask = assigned == cid
+                if not mask.any():
+                    continue
+                n_ids = ids[mask]
+                sims = np.round(a[mask] @ b_qmat[qidx].T, 6)
+                ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
+                out_q.append(b_qids[qidx][qi])
+                out_n.append(n_ids[ni])
+                out_c.append(sims[ni, qi])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
 
     src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    lists = src.mapInPandas(assign_block, "vec_id bigint, centroid_id bigint")
-
-    def probe_block(batches):
-        for pdf in batches:
-            sims = _sims_block(pdf)
-            # stable argsort on -sims keeps ascending centroid order on ties
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, nprobe),
-                    "centroid_id": bc.value[0][order].ravel(),
-                }
-            )
-
-    probes = queries.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).mapInPandas(probe_block, "query_id bigint, centroid_id bigint")
-    cand = (
-        probes.join(lists, "centroid_id")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .distinct()
+    cand = src.mapInPandas(
+        fused_block, "query_id bigint, neighbor_id bigint, cosine double"
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = with_cosine(cand.join(qv, "query_id").join(nv, "neighbor_id"), "qv", "nv")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -78,12 +78,30 @@ GROUP BY md5(text)
 
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df=64 (operator default) is mirrored in the oracle's
+    # ``rare`` CTE: hot shingles are dropped from the PAIRING stage only;
+    # denominators stay exact (see ngram_jaccard_dedup docstring).
     return D.ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.6)
 
 
 DEDUP_NGRAM_SQL = f"""
 WITH {_ORACLE_SHINGLES.strip()},
-{_ORACLE_JACCARD_TAIL.strip()}
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_shingles,
+         round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+)
 SELECT doc_a, doc_b, shared_shingles, jaccard
 FROM pairs WHERE jaccard >= 0.6
 """

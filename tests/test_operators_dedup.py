@@ -51,6 +51,43 @@ def test_simhash_identical_docs_same_bucket(spark):
     assert out[1][1] >= 2
 
 
+def test_inrow_bands_equal_wide_bands(spark):
+    """The zero-shuffle in-row signature path must produce byte-identical
+    (doc_id, band_id, band_key) rows to the exploded wide-agg path."""
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        minhash_bands_inrow,
+        minhash_bands_wide,
+        shingle_arrays,
+    )
+
+    docs = _docs(spark)
+    wide = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in minhash_bands_wide(shingles(docs)).collect()
+    }
+    inrow = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in minhash_bands_inrow(shingle_arrays(docs)).collect()
+    }
+    assert wide == inrow and len(wide) == 4 * 4  # 4 docs x 4 bands
+
+
+def test_ngram_jaccard_pruned_matches_exact_when_no_hot_shingles(spark):
+    """With every shingle df below the cutoff, the default-on pruning is a
+    no-op: pruned output == fully-exact output."""
+    pruned = {
+        (r.doc_a, r.doc_b, r.shared_shingles, r.jaccard)
+        for r in ngram_jaccard_dedup(_docs(spark), threshold=0.3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.shared_shingles, r.jaccard)
+        for r in ngram_jaccard_dedup(
+            _docs(spark), threshold=0.3, max_shingle_df=None
+        ).collect()
+    }
+    assert pruned == exact
+
+
 def test_max_shingle_df_prunes_hot_shingles(spark):
     sh = shingles(_docs(spark))
     exact = jaccard_pairs(sh, threshold=0.01).count()
