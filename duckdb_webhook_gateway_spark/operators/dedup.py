@@ -44,7 +44,11 @@ def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     nested.  The workhorse relation for every Jaccard-family operator:
     keeping the set in-row means set sizes are ``size(sarr)`` (no
     aggregation), signatures can be computed in-row (no explode), and the
-    verify stage is ``array_intersect`` (no pair-by-shingle join)."""
+    verify stage is ``array_intersect`` (no pair-by-shingle join).
+
+    NOTE: the output id column is normalized to the literal name
+    ``doc_id`` regardless of ``id_col`` (downstream helpers pattern-match
+    on it); callers needing the original name should re-alias."""
     return (
         tokenized(docs, id_col, text_col)
         .filter(F.size("t") >= 3)
@@ -165,18 +169,11 @@ def jaccard_pairs(
     )
 
 
-def _jaccard_from_intersections(inter: DataFrame, sarr: DataFrame, threshold: float) -> DataFrame:
-    """Attach set sizes + Jaccard to a (doc_a, doc_b, shared_shingles)
-    relation.  Sizes come free from ``size(sarr)`` — a corpus-cardinality
-    two-column relation, broadcast to both joins (no shuffle).  Jaccard is
-    a ratio of integers, bit-identical across engines."""
-    sizes = sarr.select("doc_id", F.size("sarr").alias("n"))
-    ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+# Jaccard from in-row columns: J = shared / (na + nb - shared), a ratio of
+# integers rounded at 1e-6 — bit-identical across engines.
+def _with_jaccard(inter: DataFrame, threshold: float) -> DataFrame:
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("shared_shingles").cast("double")
@@ -196,6 +193,15 @@ _PAIR_EXPR = (
     "y -> struct(x AS doc_a, y AS doc_b))))"
 )
 
+# Same explosion when the posting list carries (id, n) structs: each pair
+# row arrives with BOTH set sizes attached — the Jaccard denominator needs
+# no join at all downstream.
+_PAIR_EXPR_SIZED = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), "
+    "y -> struct(x.id AS doc_a, y.id AS doc_b, x.n AS na, y.n AS nb))))"
+)
+
 
 def ngram_jaccard_dedup(
     docs: DataFrame,
@@ -204,10 +210,16 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     max_shingle_df: int | None = 64,
 ) -> DataFrame:
-    """Exact pairwise near-dup detection via 3-gram Jaccard.
+    """Pairwise 3-gram Jaccard near-dup detection with conservative
+    hot-shingle pruning (pass ``max_shingle_df=None`` for the fully exact
+    variant — the default prunes, see below).
 
-    Two shuffles total: the inverted-index groupBy (posting lists) and the
-    pair-count groupBy; set sizes ride along as broadcast ``size(sarr)``.
+    Join-free plan: the shingle SET is computed once per doc; each posting
+    -list entry is a (doc_id, set_size) struct, so the pair explosion
+    emits rows that already carry both Jaccard denominators.  Exactly two
+    shuffles — the inverted-index groupBy and the pair-count groupBy —
+    and NOTHING is broadcast (the round-2 version broadcast a
+    corpus-cardinality sizes relation: multi-GB at 100M+ docs).
 
     ``max_shingle_df`` (default ON) drops posting lists longer than the
     cutoff from the PAIRING stage — a shingle shared by k docs emits k²/2
@@ -215,24 +227,29 @@ def ngram_jaccard_dedup(
     dominate the job.  Intersections are undercounted by the pruned
     (ubiquitous, low-information) shingles while denominators stay exact,
     so pruning is conservative: it can only lower a pair's Jaccard, never
-    create a false positive.  Pass ``None`` for the fully-exact variant.
+    create a false positive.
     """
     sarr = shingle_arrays(docs, id_col, text_col)
     lists = (
-        sarr.select("doc_id", F.explode("sarr").alias("shingle"))
+        sarr.select(
+            F.struct(
+                F.col("doc_id").alias("id"), F.size("sarr").alias("n")
+            ).alias("d"),
+            F.explode("sarr").alias("shingle"),
+        )
         .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     if max_shingle_df is not None:
         lists = lists.filter(F.size("ds") <= max_shingle_df)
     inter = (
-        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        lists.select(F.explode(F.expr(_PAIR_EXPR_SIZED)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
-    return _jaccard_from_intersections(inter, sarr, threshold)
+    return _with_jaccard(inter, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +384,7 @@ def minhash_lsh_dedup(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup: banded candidate generation + exact Jaccard
     verify restricted to candidates — the scale path for dedup.
@@ -378,9 +396,19 @@ def minhash_lsh_dedup(
     Shuffle budget: signatures are in-row (``minhash_bands_inrow``), so
     the first shuffle is the band groupBy (rows = 4×ndocs band keys, not
     shingles); pairs explode per bucket; the candidate ``distinct`` is
-    pair-cardinality; the verify stage is ``array_intersect`` over the
-    nested shingle sets with the (tiny) candidate set broadcast — the
-    shingle relation itself is never shuffled, at any scale.
+    pair-cardinality.  The verify stage broadcasts ONLY the id-pair
+    candidate relation (two ints per row) into each side, then
+    shuffle-joins the two candidate-restricted halves on (doc_a, doc_b)
+    — nothing document-sized is ever broadcast, and set sizes come free
+    as ``size(sa)`` / ``size(sb)`` in-row (no sizes relation at all).
+
+    ``max_bucket_size`` (default ON) skips band buckets larger than the
+    cutoff: a bucket of k docs explodes k²/2 pairs inside ONE row, so a
+    degenerate corpus (thousands of identical docs) would otherwise put
+    the whole quadratic blowup on a single task.  Such clusters are
+    exact duplicates' territory — ``exact_dedup`` reports them at linear
+    cost — so skipping them here loses nothing a sane pipeline needs.
+    Pass ``None`` to disable.
     """
     sarr = shingle_arrays(docs, id_col, text_col)
     bands = minhash_bands_inrow(sarr, num_hashes, rows_per_band)
@@ -389,23 +417,34 @@ def minhash_lsh_dedup(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     cand = (
         buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    a = sarr.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
-    b = sarr.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
-    half = a.join(F.broadcast(cand), "doc_a")  # |cand| rows — still tiny
-    inter = (
-        b.join(F.broadcast(half), "doc_b")
-        .withColumn(
-            "shared_shingles",
-            F.size(F.array_intersect("sa", "sb")).cast("bigint"),
-        )
-        .select("doc_a", "doc_b", "shared_shingles")
+    a = (
+        sarr.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
+        .join(F.broadcast(cand), "doc_a")
     )
-    return _jaccard_from_intersections(inter, sarr, threshold)
+    b = (
+        sarr.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
+        .join(F.broadcast(cand), "doc_b")
+    )
+    inter = (
+        a.join(b, ["doc_a", "doc_b"], "inner")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias(
+                "shared_shingles"
+            ),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    return _with_jaccard(inter, threshold)
 
 
 # ---------------------------------------------------------------------------

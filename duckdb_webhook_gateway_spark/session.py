@@ -38,6 +38,18 @@ _DEFAULTS: dict[str, str] = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # InferFiltersFromGenerate turns explode(expensive_expr) into a pushed
+    # Filter(size(expensive_expr) > 0 AND isnotnull(...)) whose alias
+    # substitution re-inlines the generator expression — for the dedup/text
+    # operators that explode transform(...) shingle/token arrays, split()
+    # gets re-evaluated PER ARRAY ELEMENT inside the scan filter (measured
+    # 4-7× whole-query slowdowns at sf0.1).  The rule only prunes rows
+    # whose generator array is empty, and every generator in this engine
+    # explodes arrays already guarded non-empty upstream, so exclusion is
+    # pure win at any scale.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it
     # as a LongType of nanos under this flag (sources/files.py converts it
     # back to a microsecond timestamp explicitly).

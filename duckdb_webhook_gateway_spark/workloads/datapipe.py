@@ -19,11 +19,31 @@ from ..operators import similarity as S
 from ..operators import text as X
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure the scan has at least core-count partitions.
+
+    The datapipe operators are CPU-heavy per row (tokenize, shingle, hash),
+    so a small single-file parquet scan — one partition — would serialize
+    the whole map stage on one core.  At cluster scale inputs arrive in
+    many splits and this is a no-op; locally it costs one shuffle of the
+    raw rows (a few MB) to unlock full parallelism.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """``spread=True`` for tokenize/shingle/hash-heavy operators; cheap
+    per-row queries (md5, length) skip the extra shuffle."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(spark, df) if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding ops are Arrow/numpy-vectorized; splitting a small corpus
+    # into per-core batches costs more in batch overhead than it buys.
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
@@ -81,7 +101,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df=64 (operator default) is mirrored in the oracle's
     # ``rare`` CTE: hot shingles are dropped from the PAIRING stage only;
     # denominators stay exact (see ngram_jaccard_dedup docstring).
-    return D.ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.6)
+    return D.ngram_jaccard_dedup(_docs(spark, sf_dir, spread=True), threshold=0.6)
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -109,7 +129,7 @@ FROM pairs WHERE jaccard >= 0.6
 
 # ---------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir, spread=True), threshold=0.5)
 
 
 DEDUP_MINHASH_SQL = f"""
@@ -126,11 +146,16 @@ bands AS (
          md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY s)) AS band_key
   FROM mh GROUP BY doc_id, CAST(s // 4 AS INTEGER)
 ),
+bsz AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) BETWEEN 2 AND 256
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+  JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
 ),
 {_ORACLE_JACCARD_TAIL.strip()}
 SELECT p.doc_a, p.doc_b, p.shared_shingles, p.jaccard
@@ -141,7 +166,7 @@ WHERE p.jaccard >= 0.5
 
 # ---------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_dedup(_docs(spark, sf_dir))
+    return D.simhash_dedup(_docs(spark, sf_dir, spread=True))
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -170,7 +195,7 @@ FROM simh
 
 # ---------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_stats(_docs(spark, sf_dir))
+    return X.token_stats(_docs(spark, sf_dir, spread=True))
 
 
 TEXT_TOKEN_STATS_SQL = f"""
@@ -194,7 +219,7 @@ FROM documents d JOIN per p ON d.doc_id = p.doc_id
 
 # ---------------------------------------------------------------------------
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.language_id(_docs(spark, sf_dir))
+    return X.language_id(_docs(spark, sf_dir, spread=True))
 
 
 TEXT_LANGUAGE_ID_SQL = f"""
@@ -215,7 +240,7 @@ FROM agg
 
 # ---------------------------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_score(_docs(spark, sf_dir))
+    return X.quality_score(_docs(spark, sf_dir, spread=True))
 
 
 TEXT_QUALITY_SQL = f"""
@@ -234,7 +259,7 @@ FROM agg
 
 # ---------------------------------------------------------------------------
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.fingerprint(_docs(spark, sf_dir))
+    return X.fingerprint(_docs(spark, sf_dir, spread=True))
 
 
 DOC_FINGERPRINT_SQL = f"""
@@ -438,7 +463,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 # ---------------------------------------------------------------------------
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return X.tfidf_top_terms(_docs(spark, sf_dir, spread=True), k=3)
 
 
 TEXT_TFIDF_SQL = f"""
