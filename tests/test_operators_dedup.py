@@ -95,3 +95,19 @@ def test_max_shingle_df_prunes_hot_shingles(spark):
     # df<=1 shingles can never co-occur -> no pairs at all
     assert pruned == 0
     assert exact > 0
+
+
+def test_degenerate_corpus_bucket_cap(spark):
+    """1k identical docs: every band bucket holds all of them.  The
+    default max_bucket_size must SKIP those buckets (no single-task k²/2
+    pair explosion); exact_dedup still reports the cluster linearly."""
+    rows = [(i, "the same exact document text repeated verbatim again") for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert minhash_lsh_dedup(docs, threshold=0.5).count() == 0
+    # disabling the cap brings the quadratic pairs back
+    assert (
+        minhash_lsh_dedup(docs, threshold=0.5, max_bucket_size=None).count()
+        == 1000 * 999 // 2
+    )
+    keeper = exact_dedup(docs).collect()
+    assert len(keeper) == 1 and keeper[0].n_copies == 1000

@@ -136,3 +136,37 @@ def test_audit_store_partition_pruning(spark, tmp_path):
         "SELECT * FROM raw_events WHERE timestamp >= TIMESTAMP '2026-08-03 00:00:00'"
     )
     assert df.count() == 1
+
+
+def test_ngram_jaccard_broadcasts_nothing(spark):
+    """The Jaccard pair plan must be join-free: set sizes travel inside
+    the posting-list structs, so a corpus-cardinality broadcast (the
+    round-2 regression — multi-GB at 100M docs) can never reappear."""
+    from duckdb_webhook_gateway_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    plan = _plan(ngram_jaccard_dedup(docs))
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan  # neither broadcast nor shuffle join
+
+
+def test_minhash_broadcasts_only_id_pairs(spark):
+    """The only broadcast in the MinHash verify stage is the id-pair
+    candidate relation; document-sized shingle arrays must never be
+    broadcast (8 GB broadcast limit / executor OOM at scale)."""
+    from duckdb_webhook_gateway_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    plan = _plan(minhash_lsh_dedup(docs))
+    assert "BroadcastExchange" in plan
+    # Parse each BroadcastExchange node's Input line: only the two id
+    # columns may cross the wire.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Input" in nxt:
+                assert "sarr" not in nxt and "sa#" not in nxt and "sb#" not in nxt, nxt
+                assert "doc_a" in nxt or "doc_b" in nxt, nxt
+                break
