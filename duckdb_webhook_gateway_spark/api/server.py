@@ -97,7 +97,10 @@ class GatewayHTTPServer:
                 with self._drain_lock:
                     self.streaming_gateway.run_available()
             except Exception:
-                pass  # drain again next tick; checkpoint keeps exactly-once
+                # Drain again next tick.  Checkpoint + the batch ledger /
+                # batch-keyed audit files keep audit rows exactly-once on
+                # replay; delivery is at-least-once across a crash-replay.
+                pass
 
     def start(self) -> "GatewayHTTPServer":
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)

@@ -185,7 +185,9 @@ class TableStore:
             df = self.spark.createDataFrame([], schema)
         df.createOrReplaceTempView(name)
 
-    def append_events(self, name: str, rows: list[dict[str, Any]]) -> None:
+    def append_events(
+        self, name: str, rows: list[dict[str, Any]], file_key: str | None = None
+    ) -> None:
         """Append driver-side audit rows.
 
         Writes via pyarrow straight into the date-partitioned directory
@@ -193,6 +195,11 @@ class TableStore:
         costs ~5 ms instead of ~2 s (the reference acks after a synchronous
         INSERT, src/app.py:1101-1111 — this keeps that latency contract).
         Spark reads the files identically (hive-style event_date= dirs).
+
+        ``file_key`` makes the append IDEMPOTENT: the parquet file name is
+        derived from it (per date partition), so re-running the same append
+        — e.g. a retried streaming micro-batch — overwrites its own earlier
+        partial output instead of duplicating rows.
         """
         if name not in _EVENT_TABLES:
             raise ValueError(f"not an event table: {name}")
@@ -225,9 +232,12 @@ class TableStore:
                 f.name: [r.get(f.name) for r in date_rows] for f in SCHEMAS[name].fields
             }
             table = pa.Table.from_pydict(cols, schema=schema)
-            pq.write_table(
-                table, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet")
+            fname = (
+                f"part-{file_key}.parquet"
+                if file_key is not None
+                else f"part-{uuid.uuid4().hex}.parquet"
             )
+            pq.write_table(table, os.path.join(part_dir, fname))
         self._register_event_view(name)
 
     def append_events_df(self, name: str, df: DataFrame) -> None:

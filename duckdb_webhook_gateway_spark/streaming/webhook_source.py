@@ -57,6 +57,13 @@ class StreamingGateway:
     dir with Structured Streaming and process micro-batches.
     """
 
+    # Delivery fan-out: up to this many events, a bounded driver thread
+    # pool (no job overhead, right for interactive rates); above it, the
+    # deliveries ship to executors as a mapInPandas job so the fan-out
+    # scales with the cluster instead of one driver's sockets.
+    DISTRIBUTED_DELIVERY_THRESHOLD = 256
+    DRIVER_POOL_SIZE = 32
+
     def __init__(self, gateway: Gateway, landing_dir: Optional[str] = None):
         self.gateway = gateway
         self.spark = gateway.spark
@@ -66,6 +73,10 @@ class StreamingGateway:
         self.checkpoint_dir = os.path.join(gateway.workdir, "checkpoints")
         os.makedirs(self.landing_dir, exist_ok=True)
         self._write_lock = threading.Lock()
+        # Ledger of fully-committed micro-batch ids; lives inside the
+        # checkpoint dir so wiping the checkpoint (which replays the
+        # stream from scratch) resets it too.
+        self._ledger_path = os.path.join(self.checkpoint_dir, "audit_ledger")
 
     # -- producer side (driver/HTTP shell) --------------------------------
     def ingest(self, path: str, payload: dict | list) -> str:
@@ -97,6 +108,20 @@ class StreamingGateway:
             .json(self.landing_dir)
         )
 
+    # -- batch idempotency ledger -----------------------------------------
+    def _last_committed_batch(self) -> int:
+        try:
+            with open(self._ledger_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _commit_batch(self, batch_id: int) -> None:
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.rename(tmp, self._ledger_path)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: set-oriented processing + batched audit appends.
 
@@ -109,9 +134,20 @@ class StreamingGateway:
         exactly; any group that fails vectorization (exotic payloads, key
         collisions, analysis errors) falls back to the per-event path.
         Measured: 500 uniform events/batch go from ~300 s to ~3 s.
+
+        Exactly-once AUDIT semantics on retry: a batch that already
+        committed (ledger) is skipped outright, and the audit appends use
+        batch-keyed file names so a partially-failed batch overwrites its
+        own partial output when Structured Streaming replays it.  Delivery
+        remains at-least-once across a crash-replay (the reference never
+        retries, so a re-POST only happens when the whole batch is being
+        recovered).
         """
+        if batch_id <= self._last_committed_batch():
+            return  # replay of an already-committed batch: audits exist
         rows = batch_df.collect()
         if not rows:
+            self._commit_batch(batch_id)
             return
         raw_rows: list[dict[str, Any]] = []
         webhooks_seen: dict[str, Optional[dict[str, Any]]] = {}
@@ -141,10 +177,83 @@ class StreamingGateway:
             for group in self._shape_groups(wh_rows):
                 tr_rows.extend(self._process_group(webhook, group))
 
+        self._resolve_deliveries(tr_rows)
         store = self.gateway.store
-        store.append_events("raw_events", raw_rows)
+        file_key = f"b{batch_id:09d}"
+        store.append_events("raw_events", raw_rows, file_key=file_key)
         if tr_rows:
-            store.append_events("transformed_events", tr_rows)
+            store.append_events("transformed_events", tr_rows, file_key=file_key)
+        self._commit_batch(batch_id)
+
+    # -- delivery fan-out --------------------------------------------------
+    def _resolve_deliveries(self, tr_rows: list[dict[str, Any]]) -> None:
+        """Resolve rows carrying a deferred ``_deliver`` marker in place.
+
+        Delivery used to run serially inside the processing loop — one slow
+        destination stalled the whole micro-batch.  Small batches fan out
+        on a bounded driver thread pool; large ones ship to executors via
+        ``mapInPandas`` (each task POSTs its partition's events), so
+        delivery throughput scales with the cluster, not one driver.
+        Results are recorded per row exactly as the serial path did.
+        """
+        pending = [
+            (i, row.pop("_deliver")) for i, row in enumerate(tr_rows) if "_deliver" in row
+        ]
+        if not pending:
+            return
+        if len(pending) < self.DISTRIBUTED_DELIVERY_THRESHOLD:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.DRIVER_POOL_SIZE, len(pending))
+            ) as pool:
+                outcomes = list(
+                    pool.map(lambda p: deliver(p[1][0], p[1][1]), pending)
+                )
+        else:
+            delivery_rows = [
+                (i, url, json.dumps(payload, default=str))
+                for i, (url, payload) in pending
+            ]
+            nparts = max(1, min(64, len(delivery_rows) // 8))
+            sdf = self.spark.createDataFrame(
+                delivery_rows, "idx INT, url STRING, payload STRING"
+            ).repartition(nparts)
+
+            def _post(batches):
+                import pandas as pd
+
+                from duckdb_webhook_gateway_spark.engine.delivery import deliver as _d
+
+                for pdf in batches:
+                    out = []
+                    for idx, url, payload in pdf.itertuples(index=False):
+                        r = _d(url, json.loads(payload))
+                        out.append((int(idx), r.success, r.response_code, r.response_body))
+                    yield pd.DataFrame(
+                        out, columns=["idx", "success", "response_code", "response_body"]
+                    )
+
+            from ..engine.delivery import DeliveryResult
+
+            got = {
+                r["idx"]: DeliveryResult(
+                    bool(r["success"]),
+                    None if r["response_code"] is None else int(r["response_code"]),
+                    r["response_body"],
+                )
+                for r in sdf.mapInPandas(
+                    _post,
+                    "idx INT, success BOOLEAN, response_code INT, response_body STRING",
+                ).collect()
+            }
+            outcomes = [got[i] for i, _ in pending]
+        for (i, _), outcome in zip(pending, outcomes):
+            tr_rows[i].update(
+                success=outcome.success,
+                response_code=outcome.response_code,
+                response_body=outcome.response_body,
+            )
 
     # -- vectorized group processing --------------------------------------
     @staticmethod
@@ -298,16 +407,17 @@ class StreamingGateway:
                     transformed = shaped_rows[0]
                 else:
                     transformed = {"results": shaped_rows}
-                outcome = deliver(webhook["destination_url"], transformed)
                 tr_rows.append(
                     {
                         **base,
                         "transformed_payload": json.dumps(
                             transformed, default=str
                         ),
-                        "success": outcome.success,
-                        "response_code": outcome.response_code,
-                        "response_body": outcome.response_body,
+                        # resolved by _resolve_deliveries (parallel fan-out)
+                        "success": False,
+                        "response_code": None,
+                        "response_body": None,
+                        "_deliver": (webhook["destination_url"], transformed),
                     }
                 )
             return tr_rows
@@ -343,13 +453,14 @@ class StreamingGateway:
                     "response_code": None,
                     "response_body": FILTERED_OUT_BODY,
                 }
-            result = deliver(webhook["destination_url"], transformed)
             return {
                 **base,
                 "transformed_payload": json.dumps(transformed, default=str),
-                "success": result.success,
-                "response_code": result.response_code,
-                "response_body": result.response_body,
+                # resolved by _resolve_deliveries (parallel fan-out)
+                "success": False,
+                "response_code": None,
+                "response_body": None,
+                "_deliver": (webhook["destination_url"], transformed),
             }
         except Exception as e:
             return {
