@@ -89,11 +89,18 @@ def cosine_topk(
     )
 
 
+# Above this corpus size the exact block-matmul path would collect and
+# broadcast a >0.5 GB matrix; near_dup_pairs auto-routes to the LSH
+# composition instead (candidates within buckets + exact verify).
+EXACT_NEAR_DUP_CEILING = 1_000_000
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_ceiling: int | None = EXACT_NEAR_DUP_CEILING,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold.
 
@@ -102,27 +109,42 @@ def near_dup_pairs(
     each partition multiplies its row block against it with BLAS and emits
     only above-threshold pairs.  No N² pair relation ever materializes —
     the 2M-pair crossJoin variant measured 9.3 s where this runs in ~1 s.
-    Beyond the broadcast ceiling, bucket first (``lsh_buckets``) and run
-    this within buckets.
+
+    Past ``exact_ceiling`` rows the driver collect/broadcast would not
+    fit, so the call AUTO-ROUTES to ``near_dup_pairs_lsh`` (same output
+    schema; recall becomes the multi-table LSH catch probability).  Pass
+    ``None`` to force the exact path regardless of size.
     """
     import numpy as np
     import pandas as pd
+
+    if exact_ceiling is not None:
+        # The count is one cheap metadata-only job; at 100 TB it is noise
+        # next to the N×N work it prevents from being attempted.
+        if vectors.count() > exact_ceiling:
+            return near_dup_pairs_lsh(
+                vectors, threshold, id_col=id_col, vec_col=vec_col
+            )
 
     spark = vectors.sparkSession
     src = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     full = src.toPandas()  # Arrow path — columnar transfer of the matrix
     ids = full["vec_id"].to_numpy(dtype="int64")
     mat = np.stack([np.asarray(v, dtype="float64") for v in full["v"].values])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    norm = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norm))
 
     def block(batches):
-        b_ids, b_mat = bc.value
+        b_ids, b_mat, b_norm = bc.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy(dtype="int64")
             a_mat = np.stack(pdf["v"].values).astype("float64")
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, 6)
+            a_norm = np.linalg.norm(a_mat, axis=1)
+            # dot / (|a|·|b|): same association order as the oracle's
+            # dot/(sqrt·sqrt) — see ivf_topk note on rounding drift.
+            sims = np.round(
+                (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :]), 6
+            )
             ai, bi = np.nonzero(
                 (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
             )
@@ -267,7 +289,7 @@ def ivf_topk(
     )
     c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
-    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norm = np.linalg.norm(c_mat, axis=1)
 
     q_pd = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -276,36 +298,50 @@ def ivf_topk(
     )
     q_ids = q_pd["query_id"].to_numpy(dtype="int64")
     q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["qv"].values])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(q_mat, axis=1)
 
+    # Cosines are computed as dot / (|a|·|b|) — the SAME association order
+    # as with_cosine and the oracle's dot/(sqrt·sqrt), so the only
+    # cross-engine drift left is BLAS summation order, absorbed by the
+    # 1e-6 round (normalize-then-dot rounds through a different float
+    # path and sits closer to the boundary).
     # Driver-side probe map: query i -> its nprobe nearest centroid ids.
     # Rounded sims + stable argsort keep ascending-centroid tie order,
     # matching the oracle's (cosine DESC, centroid_id) ranking.
-    q_sims = np.round(q_mat @ c_mat.T, 6)
+    q_sims = np.round((q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6)
     probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
     probed_by_centroid: dict[int, "np.ndarray"] = {}
     for ci in np.unique(probe_order.ravel()):
         qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
         probed_by_centroid[int(c_ids[ci])] = qidx
 
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, q_ids, q_mat, probed_by_centroid))
+    bc = spark.sparkContext.broadcast(
+        (c_ids, c_mat, c_norm, q_ids, q_mat, q_norm, probed_by_centroid)
+    )
 
     def fused_block(batches):
-        b_cids, b_cmat, b_qids, b_qmat, b_probe = bc.value
+        b_cids, b_cmat, b_cnorm, b_qids, b_qmat, b_qnorm, b_probe = bc.value
         for pdf in batches:
             a = np.stack(pdf["v"].values).astype("float64")
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_norm = np.linalg.norm(a, axis=1)
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             # argmax takes the FIRST max -> lowest centroid id on rounded
             # ties, matching the oracle's (cosine DESC, centroid_id) order.
-            assigned = b_cids[np.argmax(np.round(a @ b_cmat.T, 6), axis=1)]
+            a_sims = np.round(
+                (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
+            )
+            assigned = b_cids[np.argmax(a_sims, axis=1)]
             out_q, out_n, out_c = [], [], []
             for cid, qidx in b_probe.items():
                 mask = assigned == cid
                 if not mask.any():
                     continue
                 n_ids = ids[mask]
-                sims = np.round(a[mask] @ b_qmat[qidx].T, 6)
+                sims = np.round(
+                    (a[mask] @ b_qmat[qidx].T)
+                    / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
+                    6,
+                )
                 ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
                 out_q.append(b_qids[qidx][qi])
                 out_n.append(n_ids[ni])

@@ -55,3 +55,20 @@ def test_lsh_buckets_group_near_dups(spark):
     assert len(near) > 0
     # theory for cos>=0.45: ~1-(1-0.65^4)^4 ≈ 0.55 expected recall
     assert same / len(near) >= 0.3, f"only {same}/{len(near)} near-dups co-bucketed"
+
+
+def test_near_dup_auto_routes_to_lsh(spark):
+    """Past the exact ceiling, near_dup_pairs must switch to the LSH
+    composition (no full-corpus driver collect); below it, stay exact."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    exact = S.near_dup_pairs(emb, threshold=0.45)          # under ceiling
+    routed = S.near_dup_pairs(emb, threshold=0.45, exact_ceiling=1)
+    forced = S.near_dup_pairs_lsh(emb, threshold=0.45)
+    # The routed plan IS the LSH plan (same candidate recall), and the
+    # LSH result is a subset of the exact pairs.
+    assert routed.count() == forced.count()
+    exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    routed_pairs = {(r.vec_a, r.vec_b) for r in routed.collect()}
+    assert routed_pairs <= exact_pairs
