@@ -8,7 +8,8 @@ dialect deltas (SURVEY §4.2) are handled here:
   solved twice: a SQL-text rewrite (zero-cost, keeps the query JVM-side)
   plus a registered backstop UDF for queries that bypass the rewrite.
 - ``sqlite_master`` catalog introspection (tests/test_db_manager.py:24-26)
-  -> ``SHOW TABLES`` (documented; no shim needed for parity tests).
+  is shimmed in the query gateway: queries touching it get a just-in-time
+  temp view over the engine catalog (engine/query_gateway.py).
 """
 
 from __future__ import annotations

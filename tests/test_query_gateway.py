@@ -104,3 +104,47 @@ def test_parameter_binding(gateway, spark):
         spark, "SELECT :x + :y AS s", params={"x": 40, "y": 2}
     )
     assert out["result"] == [[42]]
+
+
+def test_parameter_binding_reference_styles(spark):
+    """The three styles the reference accepts (src/app.py:200-239,
+    mirrored from tests/test_db_manager.py:52-74) must all bind."""
+    # dict against ? markers: values in dict order
+    out = run_adhoc_query(spark, "SELECT ? AS value", {"value": 42})
+    assert out["result"] == [[42]]
+    # dict with numbered keys against ? markers: 1-based positions
+    out = run_adhoc_query(
+        spark, "SELECT ? AS first, ? AS second", {1: "one", 2: "two"}
+    )
+    assert out["result"] == [["one", "two"]]
+    # tuple positional
+    out = run_adhoc_query(spark, "SELECT ? AS value", ("test",))
+    assert out["result"] == [["test"]]
+    # DuckDB numbered $n with a tuple (repeated + out of order)
+    out = run_adhoc_query(
+        spark, "SELECT $2 AS a, $1 AS b, $2 AS c", ("one", "two")
+    )
+    assert out["result"] == [["two", "one", "two"]]
+    # DuckDB named $name with a dict
+    out = run_adhoc_query(spark, "SELECT $x + $y AS s", {"x": 40, "y": 2})
+    assert out["result"] == [[42]]
+    # reference quirk: a missing numbered placeholder raises
+    import pytest
+    with pytest.raises(ValueError, match="Missing parameter"):
+        run_adhoc_query(spark, "SELECT ? AS a, ? AS b", {1: "only"})
+
+
+def test_sqlite_master_lists_engine_tables(gateway, spark):
+    """reference: tests/test_db_manager.py:24-34 — catalog introspection
+    through the SQLite-compat relation must list the 5 engine tables."""
+    out = run_adhoc_query(
+        spark, "SELECT name FROM sqlite_master WHERE type='table'"
+    )
+    names = {r[0] for r in out["result"]}
+    assert {
+        "webhooks",
+        "raw_events",
+        "transformed_events",
+        "reference_tables",
+        "python_udfs",
+    } <= names
