@@ -19,9 +19,24 @@ Entry = tuple[QueryFn, Optional[str]]
 
 from . import analytics, datapipe  # noqa: E402
 
+# The correctness driver checks the first 50 registered queries; with 53
+# entries the tail is never driver-verified.  These three spent two rounds
+# in that blind spot — register them FIRST, and rotate three long-green
+# trivial projections to the end instead.
+_CHECK_FIRST = ("text_char_stats", "dataset_split", "corpus_top_bigrams")
+_CHECK_LAST = ("part_projection", "region_keys_union", "nation_key_intersect")
+
 
 def all_entries() -> dict[str, Entry]:
     entries: dict[str, Entry] = {}
     entries.update(analytics.ENTRIES)
     entries.update(datapipe.ENTRIES)
-    return entries
+    ordered: dict[str, Entry] = {}
+    for name in _CHECK_FIRST:
+        ordered[name] = entries[name]
+    for name, e in entries.items():
+        if name not in _CHECK_FIRST and name not in _CHECK_LAST:
+            ordered[name] = e
+    for name in _CHECK_LAST:
+        ordered[name] = entries[name]
+    return ordered
