@@ -68,21 +68,59 @@ def udf_full_name(webhook_id: str, function_name: str) -> str:
     return f"udf_{wid}_{function_name}"
 
 
+def vectorize_udf(fn: Callable, return_type: T.DataType) -> Any:
+    """Wrap a scalar Python function as an Arrow-batched pandas UDF.
+
+    The user's function still runs once per value (its contract is
+    scalar), but inputs/outputs move between JVM and Python as Arrow
+    column batches instead of pickled rows — the serialization overhead
+    is where row-at-a-time UDFs lose 10-100× on large relations.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _batched(*cols):
+        return pd.Series([fn(*vals) for vals in zip(*cols)])
+
+    # Real annotation objects (this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve).
+    _batched.__annotations__ = {"cols": pd.Series, "return": pd.Series}
+    return pandas_udf(_batched, returnType=return_type)
+
+
 class UdfManager:
     def __init__(self, store: TableStore):
         self.store = store
         self.spark = store.spark
 
     def register(
-        self, webhook_id: str, function_name: str, function_code: str
+        self,
+        webhook_id: str,
+        function_name: str,
+        function_code: str,
+        vectorized: bool = False,
     ) -> str:
         """Validate, persist, and register ``udf_<id>_<fn>``
         (reference: src/app.py:673-785).  Re-registration replaces the code
-        (tests/test_reference_and_udf.py:270-330)."""
+        (tests/test_reference_and_udf.py:270-330).
+
+        ``vectorized=True`` registers the function as an Arrow-batched
+        pandas UDF (:func:`vectorize_udf`) — same scalar semantics, batch
+        transfer; the right choice when the UDF appears in analytics over
+        large relations.  The row-at-a-time default mirrors the reference
+        (per-event relations are 1..N rows, where Arrow setup would only
+        add overhead), and stored-code reloads keep that default.
+        """
         fn = compile_udf(function_name, function_code)
-        self.spark.udf.register(
-            udf_full_name(webhook_id, function_name), fn, map_return_type(fn)
-        )
+        full_name = udf_full_name(webhook_id, function_name)
+        if vectorized:
+            self.spark.udf.register(
+                full_name, vectorize_udf(fn, map_return_type(fn))
+            )
+        else:
+            self.spark.udf.register(full_name, fn, map_return_type(fn))
 
         def _upsert(rows: list[dict[str, Any]]) -> str:
             ts = now_utc()

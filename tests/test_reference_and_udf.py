@@ -213,3 +213,29 @@ def test_udfs_loaded_before_processing(gateway, spark):
     )
     outcome = gateway.ingest("/udf3", {"word": "hey"})
     assert outcome.transformed == {"loud": "HEY!"}
+
+
+def test_vectorized_udf_registration(gateway, spark):
+    """vectorized=True registers the same scalar contract as an
+    Arrow-batched pandas UDF — identical results on a large relation,
+    and row-UDF reload semantics stay the reference default."""
+    from duckdb_webhook_gateway_spark.engine.udfs import udf_full_name
+
+    wid = "11111111-2222-3333-4444-555555555555"
+    gateway.udfs.register(
+        wid,
+        "triple",
+        "def triple(x: int) -> int:\n    return x * 3\n",
+        vectorized=True,
+    )
+    name = udf_full_name(wid, "triple")
+    spark.range(1000).createOrReplaceTempView("vec_udf_in")
+    out = spark.sql(
+        f"SELECT sum({name}(CAST(id AS INT))) AS s FROM vec_udf_in"
+    ).first()
+    assert out.s == 3 * sum(range(1000))
+    # reload path re-registers from stored code (row-at-a-time default)
+    # and must still compute the same values
+    gateway.udfs.load_webhook_udfs(wid)
+    out2 = spark.sql(f"SELECT {name}(14) AS v").first()
+    assert out2.v == 42
