@@ -70,9 +70,22 @@ class GatewayHTTPServer:
         port: int = 0,
         streaming: bool = False,
         drain_interval: float = 1.0,
+        frontend_dir: Optional[str] = None,
     ):
         self.gateway = gateway
         self.api_key = os.environ.get(DEFAULT_API_KEY_ENV, DEFAULT_API_KEY)
+        # SPA assets dir (reference serves frontend/build via the GET
+        # catch-all, src/app.py:1770-1782).  Defaults to the frontend/
+        # build shipped next to this package; unknown GET paths fall back
+        # to index.html (client-side routing) or the reference's
+        # "Frontend not found" message.
+        if frontend_dir is None:
+            frontend_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "frontend",
+                "build",
+            )
+        self.frontend_dir = frontend_dir
         # Single background worker: processing order mirrors the
         # reference's serialized execution; Spark jobs inside are still
         # parallel across cores.
@@ -168,6 +181,9 @@ def _make_handler(srv: GatewayHTTPServer):
             qs = parse_qs(urlparse(self.path).query)
             if path == "/":
                 return self._send(200, {"status": "ok"})
+            if not self._is_api_get(path):
+                # SPA catch-all comes last, exactly like the reference.
+                return self._serve_spa(path)
             if not self._auth():
                 return
             if path == "/stats":
@@ -198,6 +214,63 @@ def _make_handler(srv: GatewayHTTPServer):
                     return self._send(404, {"detail": "Event not found"})
                 return self._send(200, detail)
             return self._send(404, {"detail": "Not found"})
+
+        _API_GET = {"/stats", "/webhooks", "/reference_tables", "/udfs", "/events"}
+
+        def _is_api_get(self, path: str) -> bool:
+            return (
+                path in self._API_GET
+                or re.fullmatch(r"/webhook/([^/]+)", path) is not None
+                or re.fullmatch(r"/event/([^/]+)/transformed", path) is not None
+            )
+
+        _MIME = {
+            ".html": "text/html; charset=utf-8",
+            ".js": "application/javascript",
+            ".css": "text/css",
+            ".json": "application/json",
+            ".svg": "image/svg+xml",
+            ".png": "image/png",
+            ".ico": "image/x-icon",
+            ".map": "application/json",
+        }
+
+        def _send_file(self, fpath: str) -> None:
+            with open(fpath, "rb") as f:
+                body = f.read()
+            ext = os.path.splitext(fpath)[1].lower()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", self._MIME.get(ext, "application/octet-stream")
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _serve_spa(self, path: str) -> None:
+            """GET catch-all: SPA assets / index.html, like the reference's
+            last-registered route (src/app.py:1770-1782) — unauthenticated
+            by design (the UI itself prompts for the API key)."""
+            base = os.path.abspath(srv.frontend_dir)
+            if os.path.isdir(base):
+                rel = path.lstrip("/")
+                cand = os.path.normpath(os.path.join(base, rel))
+                if (
+                    rel
+                    and cand.startswith(base + os.sep)
+                    and os.path.isfile(cand)
+                ):
+                    return self._send_file(cand)
+                index = os.path.join(base, "index.html")
+                if os.path.isfile(index):
+                    return self._send_file(index)
+            return self._send(
+                200,
+                {
+                    "message": "Frontend not found. Please run 'npm run "
+                    "build' in the frontend directory."
+                },
+            )
 
         # -- POST ---------------------------------------------------------
         def do_POST(self):

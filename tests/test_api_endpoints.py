@@ -197,3 +197,40 @@ def test_streaming_mode_end_to_end(gateway, spark):
         assert all(e["success"] for e in events["events"])
     finally:
         srv.stop()
+
+
+def _get_raw(srv, path, key=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    req = urllib.request.Request(url, method="GET")
+    if key is not None:
+        req.add_header("X-API-Key", key)
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def test_spa_catchall_serves_index(server):
+    """reference: src/app.py:1770-1782 — unknown GET paths serve the SPA
+    index (client-side routing), unauthenticated."""
+    code, ctype, body = _get_raw(server, "/dashboard")
+    assert code == 200
+    assert ctype.startswith("text/html")
+    assert b"Webhook Gateway" in body
+    # direct asset path works too
+    code, ctype, body = _get_raw(server, "/index.html")
+    assert code == 200 and b"<!DOCTYPE html>" in body
+
+
+def test_spa_missing_build_returns_message(gateway, tmp_path):
+    srv = GatewayHTTPServer(gateway, frontend_dir=str(tmp_path / "nope")).start()
+    try:
+        code, body = _req(srv, "GET", "/dashboard", key=None)
+        assert code == 200
+        assert "Frontend not found" in body["message"]
+    finally:
+        srv.stop()
+
+
+def test_spa_path_traversal_blocked(server):
+    """../ escapes must never leave the frontend dir."""
+    code, ctype, body = _get_raw(server, "/%2e%2e/%2e%2e/etc/passwd")
+    assert code == 200 and b"root:" not in body
