@@ -1,16 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed in Arrow batches via ``mapInPandas``.
 
-The engine treats image/audio/video as ``binary`` columns.  The Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-tested; the actual media decoding is STUBBED because no image/audio
-libraries exist in this environment:
+The engine treats image/audio/video as ``binary`` columns.  Decoding is
+REAL for the formats expressible without external media libraries:
 
-- ``decode_image`` / ``decode_audio`` raise ``NotImplementedError`` with
-  the intended signature documented, and
-- ``extract_features`` runs a deterministic fake "decode" (byte length,
-  md5 content hash, a frame count derived from length) so the batch
-  pipeline is exercised end to end and oracle-checkable.
+- ``decode_audio`` — 16-bit PCM WAV via the stdlib ``wave`` module
+  (``encode_wav_pcm16`` is its inverse);
+- ``decode_image`` — uncompressed 24-bit BMP via pure struct parsing
+  (``encode_bmp24`` is its inverse); other image formats route through
+  PIL when importable and raise ``NotImplementedError`` otherwise
+  (this container ships no imaging libs — the plumbing is unchanged once
+  one is wired in).
+
+``audio_features`` / ``image_features`` run those decoders inside
+``mapInPandas`` over synthesized-but-real WAV/BMP blobs whose content is
+a deterministic function of (doc_id, n_chars) — so the DuckDB oracle
+reproduces every feature from first principles and the driver
+value-hashes a genuine encode→decode→aggregate round trip.
+``extract_features`` keeps the format-agnostic path (byte length, md5,
+length-derived frame count) for opaque blobs.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through Python —
 one python worker per core, zero driver involvement, no collect.  For real
@@ -42,23 +50,115 @@ def to_binary_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def encode_bmp24(pixels: "object") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB ndarray as an uncompressed 24-bit BMP
+    (BI_RGB, bottom-up rows, 4-byte row padding) — pure struct packing,
+    no imaging library."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_len = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        img += row + b"\x00" * (row_len - len(row))
+    header_size = 14 + 40
+    file_size = header_size + len(img)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+        + bytes(img)
+    )
+
+
 def decode_image(blob: bytes) -> "object":
-    """STUB — real impl would be PIL/opencv decode -> ndarray(h, w, c).
+    """Decode an image blob -> uint8 ndarray (h, w, 3) RGB.
 
-    Kept as an explicit hole: the container has no imaging libraries.
+    Real decoder for uncompressed 24-bit BMP (pure struct parsing — no
+    imaging library needed, the inverse of :func:`encode_bmp24`); other
+    formats route through PIL when available and raise
+    ``NotImplementedError`` otherwise (this container ships no imaging
+    libraries; the signature and the Spark-side plumbing are identical
+    once PIL is wired in).
     """
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/cv2); not available "
-        "in this environment — wire it in here, signature stays the same"
-    )
+    import struct
+
+    import numpy as np
+
+    if blob[:2] == b"BM":
+        offset = struct.unpack_from("<I", blob, 10)[0]
+        (hdr, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", blob, 14)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP variant unsupported: bpp={bpp} comp={comp}")
+        row_len = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(abs(h)):
+            start = offset + y * row_len
+            row = np.frombuffer(blob, dtype=np.uint8, count=w * 3, offset=start)
+            rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+        arr = np.stack(rows)
+        return arr[::-1] if h > 0 else arr  # bottom-up -> top-down
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "non-BMP image decode requires an imaging library (PIL/cv2); "
+            "not available in this environment — wire it in here, the "
+            "signature stays the same"
+        )
 
 
-def decode_audio(blob: bytes) -> "object":
-    """STUB — real impl would be soundfile/ffmpeg decode -> pcm ndarray."""
-    raise NotImplementedError(
-        "audio decode requires an audio library (soundfile/ffmpeg); not "
-        "available in this environment"
-    )
+def encode_wav_pcm16(samples: "object", sample_rate: int = 8000) -> bytes:
+    """Encode an int16 ndarray as a mono 16-bit PCM WAV (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(blob: bytes) -> "tuple":
+    """Decode an audio blob -> (samples ndarray[int16, frames×channels],
+    sample_rate).
+
+    Real decoder for PCM WAV via the stdlib ``wave`` module (16-bit; the
+    inverse of :func:`encode_wav_pcm16`).  Compressed formats would route
+    through soundfile/ffmpeg — not available in this container, so they
+    raise ``NotImplementedError`` with the same signature.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported, got width={w.getsampwidth()}"
+                )
+            frames = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).reshape(-1, w.getnchannels())
+            return frames, w.getframerate()
+    except wave.Error as e:
+        raise NotImplementedError(
+            f"non-WAV audio decode requires soundfile/ffmpeg; not available "
+            f"in this environment ({e})"
+        )
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -83,3 +183,145 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec round-trips over synthesized media.  Sample/pixel values are
+# deterministic integer functions of (doc_id, n_chars) so the DuckDB
+# oracle reproduces every downstream feature without parsing WAV/BMP —
+# what the driver then hashes is a genuine encode→decode→aggregate path.
+
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "duration_s double, rms double"
+)
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _synth_samples(doc_id: int, n: int):
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+
+
+def _synth_pixels(doc_id: int, n_chars: int):
+    import numpy as np
+
+    w = n_chars % 31 + 2
+    h = n_chars % 17 + 2
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (doc_id + 3 * x + 5 * y) % 256
+    g = (doc_id * 7 + x + 2 * y) % 256
+    b = (doc_id + x * y) % 256
+    return np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype("uint8")
+
+
+def synth_audio_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): one real PCM-WAV blob per document (n_chars
+    samples, values derived from doc_id)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), encode_wav_pcm16(_synth_samples(int(d), int(n)), AUDIO_SAMPLE_RATE))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                if int(n) > 0
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV blobs (REAL stdlib decode) -> per-doc audio stats.
+
+    rms is computed from an exact int64 sum of squares, then one double
+    division + sqrt — bit-identical across engines.
+    """
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames, rate = decode_audio(bytes(blob))
+                s = frames[:, 0].astype(np.int64)
+                n = len(s)
+                ss = int(np.sum(s * s))
+                out.append(
+                    (
+                        int(d),
+                        rate,
+                        n,
+                        round(n / float(AUDIO_SAMPLE_RATE), 6),
+                        round(math.sqrt(ss / n), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "duration_s", "rms"],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synth_image_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): one real 24-bit BMP per document (dimensions and
+    pixels derived from doc_id / n_chars)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), encode_bmp24(_synth_pixels(int(d), int(n))))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode BMP blobs (REAL struct-level decode) -> per-doc image stats.
+
+    Channel means come from exact integer pixel sums over the DECODED
+    array divided once — engine-portable to the last bit.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob)).astype(np.int64)
+                h, w, _ = arr.shape
+                sums = arr.sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        round(int(sums[0]) / (w * h), 6),
+                        round(int(sums[1]) / (w * h), 6),
+                        round(int(sums[2]) / (w * h), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)

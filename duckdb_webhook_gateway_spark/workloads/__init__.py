@@ -19,12 +19,24 @@ Entry = tuple[QueryFn, Optional[str]]
 
 from . import analytics, datapipe  # noqa: E402
 
-# The correctness driver checks the first 50 registered queries; with 53
-# entries the tail is never driver-verified.  These three spent two rounds
-# in that blind spot — register them FIRST, and rotate three long-green
-# trivial projections to the end instead.
-_CHECK_FIRST = ("text_char_stats", "dataset_split", "corpus_top_bigrams")
-_CHECK_LAST = ("part_projection", "region_keys_union", "nation_key_intersect")
+# The correctness driver checks the first 50 registered queries; the tail
+# past 50 is never driver-verified.  Queries that have not yet been
+# driver-checked (two rounds in the blind spot, or newly added) register
+# FIRST; long-green trivial queries rotate to the end.
+_CHECK_FIRST = (
+    "text_char_stats",
+    "dataset_split",
+    "corpus_top_bigrams",
+    "multimodal_audio_features",
+    "multimodal_image_features",
+)
+_CHECK_LAST = (
+    "part_projection",
+    "region_keys_union",
+    "nation_key_intersect",
+    "supplier_string_funcs",
+    "lineitem_distinct_counts",
+)
 
 
 def all_entries() -> dict[str, Entry]:

@@ -779,3 +779,68 @@ LIMIT 20
 
 ENTRIES["dataset_split"] = (dataset_split, DATASET_SPLIT_SQL)
 ENTRIES["corpus_top_bigrams"] = (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Real media codec round-trips: the Spark side synthesizes genuine
+# WAV/BMP blobs (content a deterministic function of doc_id/n_chars),
+# DECODES them with the real decoders, and aggregates; the oracle
+# reproduces the same features from the generating formula — a hash
+# match proves the encode→decode path, not just the plumbing.
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.audio_features(M.synth_audio_table(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH nums AS (SELECT i FROM range(0, 4001) r(i)),
+s AS (
+  SELECT d.doc_id, d.n_chars,
+         ((d.doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM documents d JOIN nums ON i < d.n_chars
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n_chars AS BIGINT) AS n_samples,
+       round(n_chars / 8000.0, 6) AS duration_s,
+       round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / n_chars), 4) AS rms
+FROM s
+GROUP BY doc_id, n_chars
+"""
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.image_features(M.synth_image_table(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_IMAGE_SQL = """
+WITH xs AS (SELECT i AS x FROM range(0, 33) r(i)),
+ys AS (SELECT i AS y FROM range(0, 19) r(i)),
+px AS (
+  SELECT d.doc_id,
+         (d.n_chars % 31) + 2 AS w,
+         (d.n_chars % 17) + 2 AS h,
+         (d.doc_id + 3 * x + 5 * y) % 256     AS r,
+         (d.doc_id * 7 + x + 2 * y) % 256     AS g,
+         (d.doc_id + x * y) % 256             AS b
+  FROM documents d
+  JOIN xs ON x < (d.n_chars % 31) + 2
+  JOIN ys ON y < (d.n_chars % 17) + 2
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(CAST(sum(r) AS DOUBLE) / (w * h), 6) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / (w * h), 6) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / (w * h), 6) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+ENTRIES["multimodal_audio_features"] = (
+    multimodal_audio_features,
+    MULTIMODAL_AUDIO_SQL,
+)
+ENTRIES["multimodal_image_features"] = (
+    multimodal_image_features,
+    MULTIMODAL_IMAGE_SQL,
+)

@@ -1,0 +1,71 @@
+"""Real media codec round-trips (WAV via stdlib wave, BMP via struct)
+plus the mapInPandas feature pipelines over synthesized blobs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_webhook_gateway_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    encode_bmp24,
+    encode_wav_pcm16,
+)
+
+
+def test_wav_roundtrip():
+    samples = np.array([-32768, -1, 0, 1, 12345, 32767], dtype=np.int16)
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    frames, rate = decode_audio(blob)
+    assert rate == 8000
+    assert frames.shape == (6, 1)
+    assert np.array_equal(frames[:, 0], samples)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # width 3 -> 9-byte rows padded to 12: exercises the padding math
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    blob = encode_bmp24(img)
+    assert blob[:2] == b"BM"
+    out = decode_image(blob)
+    assert np.array_equal(out, img)
+
+
+def test_non_wav_audio_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01not-a-wav-file" * 4)
+
+
+def test_non_bmp_image_raises_not_implemented_without_pil():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; fallback untestable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_audio_features_pipeline(spark):
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        multimodal_audio_features,
+    )
+
+    rows = multimodal_audio_features(spark, sf_dir()).collect()
+    assert rows and all(r.sample_rate == 8000 and r.rms > 0 for r in rows)
+
+
+def test_image_features_pipeline(spark):
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        multimodal_image_features,
+    )
+
+    rows = multimodal_image_features(spark, sf_dir()).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r.width <= 32 and 2 <= r.height <= 18
+        assert 0 <= r.mean_r < 256
