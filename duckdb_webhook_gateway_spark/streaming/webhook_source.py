@@ -58,10 +58,11 @@ class StreamingGateway:
     """
 
     # Delivery fan-out: up to this many events, a bounded driver thread
-    # pool (no job overhead, right for interactive rates); above it, the
-    # deliveries ship to executors as a mapInPandas job so the fan-out
-    # scales with the cluster instead of one driver's sockets.
-    DISTRIBUTED_DELIVERY_THRESHOLD = 256
+    # pool (no job overhead; 32 concurrent sockets cover micro-batch
+    # rates — measured faster than a Spark job up to ~2k events).  Above
+    # it, deliveries ship to executors as a mapInPandas job so the
+    # fan-out scales with the cluster instead of one driver's sockets.
+    DISTRIBUTED_DELIVERY_THRESHOLD = 2048
     DRIVER_POOL_SIZE = 32
 
     def __init__(self, gateway: Gateway, landing_dir: Optional[str] = None):
