@@ -29,6 +29,9 @@ _CHECK_FIRST = (
     "corpus_top_bigrams",
     "multimodal_audio_features",
     "multimodal_image_features",
+    "dedup_keeplist",
+    "stratified_sample",
+    "split_contamination",
 )
 _CHECK_LAST = (
     "part_projection",
@@ -36,6 +39,9 @@ _CHECK_LAST = (
     "nation_key_intersect",
     "supplier_string_funcs",
     "lineitem_distinct_counts",
+    "top_orders_by_value",
+    "cube_order_status",
+    "customers_without_orders",
 )
 
 

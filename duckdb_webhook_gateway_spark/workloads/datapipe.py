@@ -844,3 +844,162 @@ ENTRIES["multimodal_image_features"] = (
     multimodal_image_features,
     MULTIMODAL_IMAGE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup OUTPUT: the surviving corpus after applying both
+    the exact and the near-dup (3-gram Jaccard >= 0.6) rules.
+
+    Keep rule (deterministic): drop a doc if (a) an identical doc with a
+    smaller id exists, or (b) it is the doc_b (higher id) of a near-dup
+    pair.  This is the materialization step a training pipeline actually
+    ships — the pair relations alone are diagnostics.  Anti-joins keep
+    the plan shuffle-light: both drop relations are tiny next to the
+    corpus and join on the bare id.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    exact_drops = (
+        D.exact_dedup(docs)
+        .filter(F.col("n_copies") > 1)
+        .join(
+            docs.select(F.md5("text").alias("content_hash"), "doc_id"),
+            "content_hash",
+        )
+        .filter(F.col("doc_id") > F.col("keeper_id"))
+        .select("doc_id")
+    )
+    ngram_drops = (
+        D.ngram_jaccard_dedup(docs, threshold=0.6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    drops = exact_drops.union(ngram_drops).distinct()
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
+DEDUP_KEEPLIST_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+  GROUP BY 1, 2
+),
+ngram_drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.6
+),
+keepers AS (SELECT md5(text) AS h, min(doc_id) AS k FROM documents GROUP BY 1),
+exact_drops AS (
+  SELECT d.doc_id FROM documents d
+  JOIN keepers g ON md5(d.text) = g.h AND d.doc_id > g.k
+),
+drops AS (SELECT doc_id FROM exact_drops UNION SELECT doc_id FROM ngram_drops)
+SELECT d.doc_id, d.n_chars
+FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 20% sample within each length-bucket stratum.
+
+    Sampling on md5(doc_id) (not rand()) makes the sample reproducible
+    across runs, engines, and repartitioning — the property that lets a
+    pipeline re-derive the exact same subset at any scale.  Output is the
+    per-stratum audit: population, sample size, min sampled id.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    sample_hash = md5_int_expr("CAST(doc_id AS STRING) || '_s'", "spark")
+    in_sample = F.expr(f"{sample_hash} % 10") < 2
+    return (
+        docs.withColumn("stratum", bucket)
+        .withColumn("sampled", in_sample)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("sampled").cast("bigint")).alias("n_sampled"),
+            F.min(F.when(F.col("sampled"), F.col("doc_id"))).alias(
+                "min_sampled_id"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH tagged AS (
+  SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS stratum, doc_id,
+         ({md5_int_expr("CAST(doc_id AS VARCHAR) || '_s'", 'duckdb')} % 10) < 2 AS sampled
+  FROM documents
+)
+SELECT stratum, count(*) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       min(CASE WHEN sampled THEN doc_id END) AS min_sampled_id
+FROM tagged GROUP BY stratum ORDER BY stratum
+"""
+
+
+# ---------------------------------------------------------------------------
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: exact-content collisions across the
+    hash-stable dataset_split assignment.
+
+    The eval-leakage gate every training pipeline needs before shipping a
+    split: join train and test on content hash (32-byte keys — the
+    documents themselves never co-shuffle) and count offending docs/pairs.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(f"{md5_int_expr('CAST(doc_id AS STRING)', 'spark')} % 100")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("h"), split.alias("split")
+    )
+    train = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    test = tagged.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "h"
+    )
+    hits = train.join(test, "h")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_cross_pairs"),
+        F.countDistinct("test_id").alias("n_contaminated_test_docs"),
+    )
+
+
+SPLIT_CONTAMINATION_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 80 THEN 'train'
+              WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+hits AS (
+  SELECT tr.doc_id AS train_id, te.doc_id AS test_id
+  FROM tagged tr JOIN tagged te ON tr.h = te.h
+  WHERE tr.split = 'train' AND te.split = 'test'
+)
+SELECT count(*) AS n_cross_pairs,
+       count(DISTINCT test_id) AS n_contaminated_test_docs
+FROM hits
+"""
+
+ENTRIES["dedup_keeplist"] = (dedup_keeplist, DEDUP_KEEPLIST_SQL)
+ENTRIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)
+ENTRIES["split_contamination"] = (split_contamination, SPLIT_CONTAMINATION_SQL)
