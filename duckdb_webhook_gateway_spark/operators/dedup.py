@@ -502,3 +502,65 @@ def simhash_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return sh.withColumn("n_bucket", F.count(F.lit(1)).over(w)).select(
         "doc_id", "simhash", "n_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a near-dup pair graph: the clustering step that
+# turns pairwise near-dup evidence into dedup groups (keep one per cluster).
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Min-label propagation: each node's label converges to the smallest
+    id reachable from it, so ``cluster_id`` = the component's minimum id —
+    deterministic, no randomness, engine-independent.
+
+    Scale notes (100 TB posture): near-dup graphs are overwhelmingly tiny
+    star/clique clusters (diameter ≤ 2-3), so plain propagation converges
+    in a handful of rounds; each round is ONE shuffle join keyed on node
+    id over the EDGE relation (two bigints per row — document text never
+    enters the graph stage).  Convergence is detected via the monotone
+    label-sum invariant (labels only decrease), one cheap agg per round.
+    For adversarial long-chain graphs, swap in alternating large-star /
+    small-star contraction (O(log n) rounds) — the join/agg skeleton is
+    identical.  Lineage is truncated per round with ``localCheckpoint``
+    so the plan does not grow with iteration count.
+
+    Returns (node, cluster_id): one row per node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    if prev_sum is None:  # empty graph
+        edges.unpersist()
+        return labels
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", F.col("lab").alias("cluster_id"))

@@ -24,6 +24,10 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "dedup_clusters",
+    "text_pattern_scrub",
+    "passage_dedup",
+    "split_divergence",
     "text_char_stats",
     "dataset_split",
     "corpus_top_bigrams",
@@ -42,6 +46,10 @@ _CHECK_LAST = (
     "top_orders_by_value",
     "cube_order_status",
     "customers_without_orders",
+    "part_size_class",
+    "orders_per_month",
+    "customers_with_urgent_orders",
+    "parts_never_ordered",
 )
 
 

@@ -1003,3 +1003,226 @@ FROM hits
 ENTRIES["dedup_keeplist"] = (dedup_keeplist, DEDUP_KEEPLIST_SQL)
 ENTRIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)
 ENTRIES["split_contamination"] = (split_contamination, SPLIT_CONTAMINATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the union of exact
+    (same content hash) and 3-gram-Jaccard >= 0.6 pair evidence.
+
+    Pairwise relations are diagnostics; clustering is what dedup actually
+    needs — transitive closure groups A~B~C into one cluster even when
+    A~C alone misses the threshold, and ``cluster_id`` = min member id
+    gives the canonical representative to keep.  Components via min-label
+    propagation (``operators/dedup.py::connected_components``): the graph
+    stage only ever shuffles id pairs, never text.  Oracle: DuckDB
+    recursive CTE computing min reachable id per node.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("k"))
+    epairs = (
+        hashed.join(keepers, "h")
+        .filter(F.col("doc_id") > F.col("k"))
+        .select(F.col("k").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    npairs = D.ngram_jaccard_dedup(docs, threshold=0.6).select("doc_a", "doc_b")
+    pairs = npairs.union(epairs).distinct()
+    cc = D.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_ORACLE_SHINGLES.strip()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+  GROUP BY 1, 2
+),
+npairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.6
+),
+keepers AS (SELECT md5(text) AS h, min(doc_id) AS k FROM documents GROUP BY 1),
+epairs AS (
+  SELECT g.k AS doc_a, d.doc_id AS doc_b
+  FROM documents d JOIN keepers g ON md5(d.text) = g.h AND d.doc_id > g.k
+),
+allp AS (SELECT doc_a, doc_b FROM npairs UNION SELECT doc_a, doc_b FROM epairs),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM allp UNION SELECT doc_b, doc_a FROM allp),
+reach(node, lab) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+ENTRIES["dedup_clusters"] = (dedup_clusters, DEDUP_CLUSTERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+def text_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy/PII-style pattern scrub: per-doc match counts + a hash of
+    the redacted text proving both engines produce the identical scrub.
+
+    The machinery is exactly what an email/phone/ssn scrubber runs —
+    ``regexp_extract_all`` to count, ``regexp_replace`` to redact — the
+    pattern set is just instantiated with terms that occur in this
+    corpus (the synthetic text is digit-free).  Pure codegen expressions,
+    linear scan, no shuffle: the 100 TB cost is one pass over the text.
+    """
+    pat = "(customer|query|key)"
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.md5(F.regexp_replace("text", pat, "<PII>")).alias("redacted_md5"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PATTERN_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '(customer|query|key)')) AS BIGINT) AS n_hits,
+       md5(regexp_replace(text, '(customer|query|key)', '<PII>', 'g')) AS redacted_md5
+FROM documents
+WHERE len(regexp_extract_all(text, '(customer|query|key)')) > 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) dedup: hash non-overlapping 8-token
+    chunks and report chunks appearing in >= 2 distinct docs — the
+    boilerplate / repeated-passage detector that document-level dedup
+    misses (a doc can be unique while half its content is copied).
+
+    Chunk hashes are built IN-ROW (transform over sequence, md5 per
+    chunk) so the only shuffle is the groupBy on the 16-byte chunk hash
+    — document text never co-shuffles.  Linear at 100 TB.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
+                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8))))"
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+PASSAGE_DEDUP_SQL = """
+WITH nums AS (SELECT i FROM range(0, 500) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
+  FROM toks JOIN nums ON i*8+8 <= len(t)
+)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       min(doc_id) AS min_doc_id
+FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-test token-distribution drift over the hash-stable split:
+    per-token probabilities and absolute drift for the top-20 train
+    tokens.  The QA gate that catches a skewed split / domain shift
+    before training sees it.  One explode + two-level agg; token counts
+    shuffle, text does not.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    bucket = F.expr(f"{md5_int_expr('CAST(doc_id AS STRING)', 'spark')} % 100")
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    toks = docs.select(split.alias("split"), F.explode(F.split("text", " ")).alias("token"))
+    counts = (
+        toks.filter(F.col("split").isin("train", "test"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_train").alias("tot_train"), F.sum("n_test").alias("tot_test")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "n_train",
+            "n_test",
+            F.round(F.col("n_train") / F.col("tot_train"), 6).alias("p_train"),
+            F.round(F.col("n_test") / F.col("tot_test"), 6).alias("p_test"),
+            F.round(
+                F.abs(
+                    F.col("n_train") / F.col("tot_train")
+                    - F.col("n_test") / F.col("tot_test")
+                ),
+                6,
+            ).alias("abs_drift"),
+        )
+        .orderBy(F.desc("n_train"), "token")
+        .limit(20)
+    )
+
+
+SPLIT_DIVERGENCE_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 80 THEN 'train'
+              WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT split, string_split(text, ' ') AS t FROM tagged WHERE split IN ('train', 'test')),
+tok AS (SELECT split, t[i] AS token FROM toks JOIN nums ON i <= len(t)),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM tok GROUP BY token
+),
+totals AS (SELECT sum(n_train) AS tot_train, sum(n_test) AS tot_test FROM counts)
+SELECT token, n_train, n_test,
+       round(CAST(n_train AS DOUBLE) / tot_train, 6) AS p_train,
+       round(CAST(n_test AS DOUBLE) / tot_test, 6) AS p_test,
+       round(abs(CAST(n_train AS DOUBLE) / tot_train - CAST(n_test AS DOUBLE) / tot_test), 6) AS abs_drift
+FROM counts, totals
+ORDER BY n_train DESC, token
+LIMIT 20
+"""
+
+ENTRIES["text_pattern_scrub"] = (text_pattern_scrub, TEXT_PATTERN_SCRUB_SQL)
+ENTRIES["passage_dedup"] = (passage_dedup, PASSAGE_DEDUP_SQL)
+ENTRIES["split_divergence"] = (split_divergence, SPLIT_DIVERGENCE_SQL)

@@ -111,3 +111,39 @@ def test_degenerate_corpus_bucket_cap(spark):
     )
     keeper = exact_dedup(docs).collect()
     assert len(keeper) == 1 and keeper[0].n_copies == 1000
+
+
+# ---------------------------------------------------------------------------
+# connected_components: transitive clustering over pair evidence
+def _cc(spark, pairs):
+    from duckdb_webhook_gateway_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return {
+        r.node: r.cluster_id for r in connected_components(df).collect()
+    }
+
+
+def test_cc_transitive_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4: one component even though 1-4 never paired directly
+    out = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_separate_components_keep_own_min(spark):
+    out = _cc(spark, [(5, 9), (2, 7), (7, 3)])
+    assert out == {5: 5, 9: 5, 2: 2, 7: 2, 3: 2}
+
+
+def test_cc_long_chain_converges(spark):
+    # worst-case diameter for propagation: a path graph
+    n = 12
+    out = _cc(spark, [(i, i + 1) for i in range(1, n)])
+    assert out == {i: 1 for i in range(1, n + 1)}
+
+
+def test_cc_empty_pairs_returns_empty(spark):
+    from duckdb_webhook_gateway_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    assert connected_components(df).count() == 0
