@@ -513,19 +513,29 @@ def connected_components(
     id_b: str = "doc_b",
     max_iterations: int = 25,
 ) -> DataFrame:
-    """Min-label propagation: each node's label converges to the smallest
-    id reachable from it, so ``cluster_id`` = the component's minimum id —
-    deterministic, no randomness, engine-independent.
+    """Min-label propagation + pointer jumping: each node's label
+    converges to the smallest id reachable from it, so ``cluster_id`` =
+    the component's minimum id — deterministic, no randomness,
+    engine-independent.
 
-    Scale notes (100 TB posture): near-dup graphs are overwhelmingly tiny
-    star/clique clusters (diameter ≤ 2-3), so plain propagation converges
-    in a handful of rounds; each round is ONE shuffle join keyed on node
-    id over the EDGE relation (two bigints per row — document text never
-    enters the graph stage).  Convergence is detected via the monotone
-    label-sum invariant (labels only decrease), one cheap agg per round.
-    For adversarial long-chain graphs, swap in alternating large-star /
-    small-star contraction (O(log n) rounds) — the join/agg skeleton is
-    identical.  Lineage is truncated per round with ``localCheckpoint``
+    Each round does two monotone contractions:
+    1. propagate — lab(u) := min(lab(u), min over neighbors lab(v));
+       one shuffle join keyed on node id over the EDGE relation.
+    2. pointer-jump — lab(u) := min(lab(u), lab(lab(u))); one join on
+       the LABEL relation.  Labels are always vertex ids, so the hop is
+       well-defined, and jumping halves chain depth per round: an
+       adversarial path graph converges in O(log diameter) rounds
+       instead of O(diameter) — same guarantee class as large-star/
+       small-star contraction, with a much simpler skeleton.
+
+    Scale notes (100 TB posture): every relation the loop touches is
+    bigint pairs — document text never enters the graph stage.  At
+    fixpoint both contractions are no-ops, and on any symmetric edge
+    (u,v) fixpoint forces lab(u) = lab(v), so labels are constant per
+    component and pinned to the component min (the min node's own label
+    can never drop below itself).  Convergence is detected via the
+    monotone label-sum invariant (labels only decrease), one cheap agg
+    per round.  Lineage is truncated per round with ``localCheckpoint``
     so the plan does not grow with iteration count.
 
     Returns (node, cluster_id): one row per node that appears in ``pairs``.
@@ -555,6 +565,16 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+            )
+        )
+        hop = labels.select(
+            F.col("node").alias("h_node"), F.col("lab").alias("h_lab")
+        )
+        labels = (
+            labels.join(hop, labels["lab"] == hop["h_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("h_lab", F.col("lab"))).alias("lab"),
             )
         )
         labels = labels.localCheckpoint(eager=True)

@@ -142,6 +142,22 @@ def test_cc_long_chain_converges(spark):
     assert out == {i: 1 for i in range(1, n + 1)}
 
 
+def test_cc_pointer_jumping_beats_linear_rounds(spark):
+    # A 100-node path needs ~99 propagate-only rounds; with pointer
+    # jumping each round roughly halves chain depth, so 10 must suffice.
+    from duckdb_webhook_gateway_spark.operators.dedup import connected_components
+
+    n = 100
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components(df, max_iterations=10).collect()
+    }
+    assert out == {i: 1 for i in range(1, n + 1)}
+
+
 def test_cc_empty_pairs_returns_empty(spark):
     from duckdb_webhook_gateway_spark.operators.dedup import connected_components
 
