@@ -265,3 +265,80 @@ def test_distributed_delivery_fanout(gateway, spark):
     ).collect()
     assert len(rows) == 4
     assert all(r.success and r.response_code == 200 for r in rows)
+
+
+def test_stream_static_enrichment_join(gateway, spark):
+    """Envelopes enriched against a broadcast static dimension — the
+    stream-static join pattern (no state store, map-side probe)."""
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.enrichment import (
+        run_enriched_once,
+    )
+
+    sg = StreamingGateway(gateway)
+    for i, path in enumerate(["/a", "/a", "/b", "/c"]):
+        envelope = {
+            "event_id": f"en{i}",
+            "source_path": path,
+            "payload_json": _json.dumps({"i": i}),
+            "ingest_ts": "2026-08-13T10:00:05",
+        }
+        with open(os.path.join(sg.landing_dir, f"en{i}.json"), "w") as f:
+            f.write(_json.dumps(envelope) + "\n")
+
+    dim = spark.createDataFrame(
+        [("/a", "alpha", 1), ("/b", "beta", 2)],
+        ["source_path", "team", "priority"],
+    )
+    rows = run_enriched_once(
+        spark, sg.landing_dir, dim, query_name="enriched_test"
+    )
+    by_event = {r.event_id: (r.team, r.priority) for r in rows}
+    assert len(rows) == 4
+    assert by_event["en0"] == ("alpha", 1)
+    assert by_event["en2"] == ("beta", 2)
+    assert by_event["en3"] == (None, None)  # left join keeps unmatched
+
+
+def test_streaming_session_windows(gateway, spark):
+    """Gap-based session windows: two bursts 2 minutes apart on one path
+    must land in two sessions; the second path sessionizes independently."""
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.enrichment import (
+        run_session_windows_once,
+    )
+
+    sg = StreamingGateway(gateway)
+    stamps = [
+        ("/a", "2026-08-13T10:00:00"),
+        ("/a", "2026-08-13T10:00:10"),  # same session (10s gap < 30s)
+        ("/a", "2026-08-13T10:02:30"),  # new session (140s gap)
+        ("/b", "2026-08-13T10:00:05"),
+    ]
+    for i, (path, ts) in enumerate(stamps):
+        envelope = {
+            "event_id": f"s{i}",
+            "source_path": path,
+            "payload_json": _json.dumps({"i": i}),
+            "ingest_ts": ts,
+        }
+        with open(os.path.join(sg.landing_dir, f"s{i}.json"), "w") as f:
+            f.write(_json.dumps(envelope) + "\n")
+
+    rows = run_session_windows_once(
+        spark, sg.landing_dir, gap="30 seconds",
+        query_name="session_counts_test",
+    )
+    sessions = sorted(
+        (r.source_path, r.session_start.strftime("%H:%M:%S"), r.n_events)
+        for r in rows
+    )
+    assert sessions == [
+        ("/a", "10:00:00", 2),
+        ("/a", "10:02:30", 1),
+        ("/b", "10:00:05", 1),
+    ]
