@@ -408,3 +408,72 @@ def near_dup_pairs_lsh(
     return scored.filter(F.col("cosine") >= threshold).select(
         "vec_a", "vec_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the production path for
+    training the IVF coarse quantizer (``ivf_topk`` ships training-free
+    first-k centroids only so its DuckDB oracle can replay the index).
+
+    Deterministic setup: init = the k lowest-id corpus vectors; each
+    round assigns every vector to its nearest centroid by rounded cosine
+    (``ivf_assign``, ties on centroid id) and recomputes centroids as the
+    element-wise mean of their members.  Empty clusters keep their
+    previous centroid.  Float means still depend on partition summation
+    order in the last ulp, so this is an OPERATOR (tested for clustering
+    quality/invariants), not an oracle-paired query.
+
+    Scale notes (100 TB posture): per round, assignment is a broadcast
+    crossJoin + windowed argmax (linear, corpus never shuffles) and the
+    mean is posexplode → (centroid, dim)-keyed partial-agg — shuffle rows
+    = k×d partials per executor after map-side combine, independent of
+    corpus size.  Centroid relations are k rows and live driver-side
+    between rounds (k is small by contract, like ``ivf_topk``'s probe
+    map).
+
+    Returns (centroid_id, embedding, n_members) — n_members from the
+    final assignment.
+    """
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    centroids = (
+        corpus.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col))
+    )
+    renest = (
+        "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            v.withColumnRenamed("v", vec_col), centroids,
+            id_col="vec_id", vec_col=vec_col,
+        )
+        members = v.join(assigned, "vec_id")
+        means = (
+            members.select("centroid_id", F.posexplode("v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.expr(renest).alias(vec_col))
+        )
+        # empty clusters keep their previous centroid
+        kept = centroids.join(means, "centroid_id", "left_anti")
+        centroids = means.unionByName(kept).localCheckpoint(eager=True)
+    final_assign = ivf_assign(
+        v.withColumnRenamed("v", vec_col), centroids,
+        id_col="vec_id", vec_col=vec_col,
+    )
+    sizes = final_assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return centroids.join(sizes, "centroid_id", "left").select(
+        "centroid_id",
+        vec_col,
+        F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+    )

@@ -72,3 +72,47 @@ def test_near_dup_auto_routes_to_lsh(spark):
     exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
     routed_pairs = {(r.vec_a, r.vec_b) for r in routed.collect()}
     assert routed_pairs <= exact_pairs
+
+
+def test_kmeans_fit_invariants_and_improvement(spark):
+    """Lloyd's k-means: k centroids survive, every member is counted, and
+    mean intra-cluster cosine must beat the training-free first-k init."""
+    import numpy as np
+
+    from duckdb_webhook_gateway_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    n = emb.count()
+    fitted = kmeans_fit(emb, k=8, iterations=3)
+    rows = fitted.collect()
+    assert len(rows) == 8
+    assert sum(r.n_members for r in rows) == n
+    assert all(len(r.embedding) == 64 for r in rows)
+
+    def mean_member_cosine(centroids_df):
+        assigned = ivf_assign(emb, centroids_df)
+        joined = (
+            emb.join(assigned, "vec_id")
+            .join(
+                centroids_df.withColumnRenamed("embedding", "cv"),
+                "centroid_id",
+            )
+            .select("embedding", "cv")
+            .collect()
+        )
+        sims = []
+        for r in joined:
+            a = np.asarray(r.embedding, dtype="float64")
+            b = np.asarray(r.cv, dtype="float64")
+            sims.append(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return float(np.mean(sims))
+
+    init = emb.filter(emb.vec_id < 8).select(
+        emb.vec_id.alias("centroid_id"), "embedding"
+    )
+    before = mean_member_cosine(init)
+    after = mean_member_cosine(fitted.select("centroid_id", "embedding"))
+    assert after > before, f"k-means did not tighten clusters: {before:.4f} -> {after:.4f}"
