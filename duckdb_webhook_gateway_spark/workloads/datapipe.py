@@ -1226,3 +1226,49 @@ LIMIT 20
 ENTRIES["text_pattern_scrub"] = (text_pattern_scrub, TEXT_PATTERN_SCRUB_SQL)
 ENTRIES["passage_dedup"] = (passage_dedup, PASSAGE_DEDUP_SQL)
 ENTRIES["split_divergence"] = (split_divergence, SPLIT_DIVERGENCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def ann_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors by INT8-quantized cosine (4× less memory traffic
+    than float32 brute force; integer dots are exact, so unlike the float
+    path this one hashes bit-for-bit against the oracle with no
+    summation-order caveat).  Same query set / k / tie-breaks as
+    ``ann_cosine_topk`` so the two are directly comparable."""
+    emb = _emb(spark, sf_dir)
+    return S.quantized_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_ORACLE_Q8 = (
+    "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / "
+    "list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))"
+)
+
+ANN_Q8_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, {_ORACLE_Q8.format(v='embedding')} AS q
+  FROM embeddings
+),
+sized AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq
+  FROM qv
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(
+           CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS DOUBLE)
+           / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))), 6) AS q8_cosine
+  FROM sized a JOIN sized b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, q8_cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY q8_cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, q8_cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+ENTRIES["ann_q8_topk"] = (ann_q8_topk, ANN_Q8_TOPK_SQL)

@@ -116,3 +116,18 @@ def test_kmeans_fit_invariants_and_improvement(spark):
     before = mean_member_cosine(init)
     after = mean_member_cosine(fitted.select("centroid_id", "embedding"))
     assert after > before, f"k-means did not tighten clusters: {before:.4f} -> {after:.4f}"
+
+
+def test_q8_recall_vs_float(spark):
+    """int8 quantization trades precision for 4× memory: top-5 by q8
+    cosine must still recover most of the float top-5."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in datapipe.ann_cosine_topk(spark, sf_dir("sf0.01")).collect()
+    }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in datapipe.ann_q8_topk(spark, sf_dir("sf0.01")).collect()
+    }
+    recall = len(exact & q8) / len(exact)
+    assert recall >= 0.7, f"q8 recall@5 {recall:.2f} vs float brute force"
