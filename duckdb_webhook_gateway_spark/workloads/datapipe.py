@@ -1272,3 +1272,88 @@ SELECT query_id, neighbor_id, q8_cosine, rank FROM ranked WHERE rank <= 5
 """
 
 ENTRIES["ann_q8_topk"] = (ann_q8_topk, ANN_Q8_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals — the quality gate that catches
+    degenerate/boilerplate text (looped generations, copy-paste spans):
+    longest consecutive same-token run + duplicate token/bigram fractions.
+
+    Everything is computed IN-ROW (one aggregate fold for the run length,
+    array_distinct for the fractions) — a pure projection over the scan,
+    zero shuffles; integer ratios are bit-exact against the oracle, which
+    computes the run via gaps-and-islands windows instead.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    max_run = (
+        "aggregate(sequence(2, size(t)), "
+        "named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)), "
+        "(acc, i) -> IF(element_at(t, i) = element_at(t, i - 1), "
+        "named_struct('cur', acc.cur + CAST(1 AS BIGINT), "
+        "'best', greatest(acc.best, acc.cur + CAST(1 AS BIGINT))), "
+        "named_struct('cur', CAST(1 AS BIGINT), 'best', acc.best)), "
+        "acc -> acc.best)"
+    )
+    bigrams = (
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+            F.expr(max_run).alias("max_run"),
+            F.size(F.array_distinct(F.expr(bigrams)))
+            .cast("bigint")
+            .alias("n_distinct_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "max_run",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams") / (F.col("n_tokens") - 1),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, i AS p, t[i] AS token FROM toks JOIN nums ON i <= len(t)),
+isl AS (
+  SELECT doc_id, token,
+         p - row_number() OVER (PARTITION BY doc_id, token ORDER BY p) AS island
+  FROM tok
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_id, token, island
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         CAST(len(list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_distinct_bigrams
+  FROM toks
+)
+SELECT b.doc_id, n_tokens, n_distinct,
+       (SELECT max(run_len) FROM runs r WHERE r.doc_id = b.doc_id) AS max_run,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+       round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / (n_tokens - 1), 6) AS dup_bigram_frac
+FROM base b
+ORDER BY doc_id
+"""
+
+ENTRIES["text_repetition"] = (text_repetition, TEXT_REPETITION_SQL)
