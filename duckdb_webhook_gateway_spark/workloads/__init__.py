@@ -52,6 +52,8 @@ _CHECK_LAST = (
     "orders_per_month",
     "customers_with_urgent_orders",
     "parts_never_ordered",
+    "events_hourly",
+    "orders_value_quartiles",
 )
 
 
