@@ -73,3 +73,43 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of (backward) join: each left row picks up the right row with
+    the greatest ``ts_col`` <= its own, per ``key_col`` — the operator
+    Spark's join zoo lacks (DuckDB spells it ``ASOF JOIN``).
+
+    Implemented the scale-correct way: tag both sides, UNION, and run one
+    running ``last(ignorenulls)`` window per key ordered by (ts, side) —
+    right rows sort before left at equal ts, so ties match.  That is ONE
+    shuffle of both inputs keyed on ``key_col`` and a sort within
+    partitions — no per-row subquery, no range crossJoin, no broadcast;
+    at 100 TB it behaves exactly like a sort-merge join.  Caller contract:
+    ``right`` has at most one row per (key, ts) — pre-aggregate ties
+    (e.g. max id) so the match is deterministic.
+
+    Returns all left columns plus ``right_value_cols`` (null when no
+    earlier right row exists).
+    """
+    from pyspark.sql import Window
+
+    r = right.select(
+        key_col, ts_col, *right_value_cols
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")

@@ -1357,3 +1357,58 @@ ORDER BY doc_id
 """
 
 ENTRIES["text_repetition"] = (text_repetition, TEXT_REPETITION_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via AS-OF join: each purchase picks up the
+    most recent click at-or-before it for the same user — the classic
+    time-series operator Spark's built-in join zoo lacks (implemented as
+    the single-shuffle union+window merge in
+    ``operators/joins.py::asof_join_backward``; DuckDB's native
+    ``ASOF JOIN`` is the oracle).  Clicks are pre-aggregated to one row
+    per (user, ts) (max event_id) so ties are deterministic."""
+    from ..operators.joins import asof_join_backward
+    from ..sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_us", F.unix_micros("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases, clicks, "user_id", "ts", ["click_id", "click_us"]
+    )
+    return (
+        joined.select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.unix_micros("ts") - F.col("click_us")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+"""
+
+ENTRIES["events_asof_attribution"] = (events_asof_attribution, EVENTS_ASOF_SQL)

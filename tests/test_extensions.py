@@ -41,3 +41,23 @@ def test_grouped_zscore(spark):
     assert abs(out[("a", 2.0)]) < 1e-9  # group mean
     assert math.isclose(out[("a", 3.0)], 1.224745, abs_tol=1e-5)
     assert out[("b", 10.0)] == 0.0  # zero-variance group
+
+
+def test_asof_join_backward_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; equal ts
+    matches; no earlier right row -> null."""
+    from duckdb_webhook_gateway_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")],
+        ["k", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "c1"), (1, 200, "c2"), (2, 60, "c3")],
+        ["k", "ts", "cid"],
+    )
+    out = {
+        r.pid: r.cid
+        for r in asof_join_backward(left, right, "k", "ts", ["cid"]).collect()
+    }
+    assert out == {"p1": "c1", "p2": "c2", "p3": None}

@@ -170,3 +170,17 @@ def test_minhash_broadcasts_only_id_pairs(spark):
                 assert "sarr" not in nxt and "sa#" not in nxt and "sb#" not in nxt, nxt
                 assert "doc_a" in nxt or "doc_b" in nxt, nxt
                 break
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must stay a union + one keyed window — never a
+    BroadcastNestedLoopJoin / range crossJoin (the quadratic trap)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        events_asof_attribution,
+    )
+
+    plan = _plan(events_asof_attribution(spark, sf_dir()))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all: union + window
+    assert plan.count("Window") >= 1
