@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "sequence_packing",
     "events_asof_attribution",
     "text_repetition",
     "ann_q8_topk",

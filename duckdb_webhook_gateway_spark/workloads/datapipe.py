@@ -1412,3 +1412,65 @@ ORDER BY p.purchase_id
 """
 
 ENTRIES["events_asof_attribution"] = (events_asof_attribution, EVENTS_ASOF_SQL)
+
+
+# ---------------------------------------------------------------------------
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training shards, per source: doc d
+    goes to bin floor(exclusive-cumulative-tokens / 2048) in stable
+    doc_id order.  The sharding step that turns a cleaned corpus into
+    fixed-budget sequences for a trainer.
+
+    Partitioned by source so the running sum never needs a global
+    single-partition window — each source packs independently (exactly
+    how sharded corpus builds run; a skewed source bounds one task, not
+    the job).  Integer cumsums are engine-exact.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(2048)).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_toks,
+         CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+              / 2048) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc_id
+FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+ENTRIES["sequence_packing"] = (sequence_packing, SEQUENCE_PACKING_SQL)
