@@ -56,6 +56,8 @@ _CHECK_LAST = (
     "parts_never_ordered",
     "events_hourly",
     "orders_value_quartiles",
+    "supplier_revenue_having",
+    "lineitem_price_quantiles",
 )
 
 
