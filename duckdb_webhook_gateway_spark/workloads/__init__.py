@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "source_mixture",
     "sequence_packing",
     "events_asof_attribution",
     "text_repetition",
@@ -58,6 +59,7 @@ _CHECK_LAST = (
     "orders_value_quartiles",
     "supplier_revenue_having",
     "lineitem_price_quantiles",
+    "part_avg_qty_subquery",
 )
 
 

@@ -1474,3 +1474,67 @@ FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
 """
 
 ENTRIES["sequence_packing"] = (sequence_packing, SEQUENCE_PACKING_SQL)
+
+
+# ---------------------------------------------------------------------------
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture table: token shares and the up/down-sampling
+    weight that flattens the mix to uniform — the knob a training
+    pipeline turns to rebalance domains before sampling.
+
+    One groupBy(source) plus a broadcast of the single-row totals;
+    weights are ratios of integer token counts, so they hash exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.col("tot_tokens")
+                / (F.col("n_sources") * F.col("n_tokens")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         count(*) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+       round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 6) AS uniform_weight
+FROM per_source, totals
+ORDER BY source
+"""
+
+ENTRIES["source_mixture"] = (source_mixture, SOURCE_MIXTURE_SQL)
