@@ -1482,9 +1482,13 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight that flattens the mix to uniform — the knob a training
     pipeline turns to rebalance domains before sampling.
 
-    One groupBy(source) plus a broadcast of the single-row totals;
-    weights are ratios of integer token counts, so they hash exactly.
+    One groupBy(source), then totals via an unpartitioned window over
+    the RESULT (sources-cardinality, a few rows — not the corpus), so the
+    parquet is scanned once; weights are ratios of integer token counts,
+    so they hash exactly.
     """
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     per_source = (
         docs.select(
@@ -1496,12 +1500,10 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("n_tokens"),
         )
     )
-    totals = per_source.agg(
-        F.sum("n_tokens").alias("tot_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
+    w = Window.partitionBy()
     return (
-        per_source.crossJoin(F.broadcast(totals))
+        per_source.withColumn("tot_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w))
         .select(
             "source",
             "n_docs",
