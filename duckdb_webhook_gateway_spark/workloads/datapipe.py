@@ -1172,11 +1172,15 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
         )
     )
-    totals = counts.agg(
-        F.sum("n_train").alias("tot_train"), F.sum("n_test").alias("tot_test")
-    )
+    # Totals via an unpartitioned window over the vocab-cardinality counts
+    # relation — a crossJoin against a separate agg would make Catalyst
+    # re-run the whole explode+groupBy for the totals branch (2× scan).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(totals))
+        counts.withColumn("tot_train", F.sum("n_train").over(w))
+        .withColumn("tot_test", F.sum("n_test").over(w))
         .select(
             "token",
             "n_train",
