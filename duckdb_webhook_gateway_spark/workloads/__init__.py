@@ -24,6 +24,9 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "boilerplate_ratio",
+    "doc_chunk_manifest",
+    "quality_funnel",
     "source_mixture",
     "sequence_packing",
     "events_asof_attribution",
@@ -43,6 +46,9 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "events_type_rate",
+    "corpus_stats",
+    "doc_length_histogram",
     "part_projection",
     "region_keys_union",
     "nation_key_intersect",

@@ -1544,3 +1544,258 @@ ORDER BY source
 """
 
 ENTRIES["source_mixture"] = (source_mixture, SOURCE_MIXTURE_SQL)
+
+# ---------------------------------------------------------------------------
+def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's 8-token
+    chunks whose hash appears in >= 2 distinct documents (C4/RefinedWeb
+    style header/footer/nav detection).  ``passage_dedup`` reports the
+    repeated chunks themselves; this is the downstream per-doc filter
+    signal a cleaning pipeline thresholds on.
+
+    Chunk hashes are built IN-ROW (transform over sequence, md5 per
+    chunk); the shuffles are the groupBy on the 16-byte hash, a
+    hash-keyed join back, and the final doc_id groupBy — all linear in
+    corpus size, nothing doc- or corpus-sized is broadcast.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    # Guard n<8 docs to an empty array so Spark's descending
+    # sequence(0, -1) can't fabricate chunks the oracle doesn't have.
+    inst = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) >= 8 THEN "
+                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
+                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8)))) "
+                "ELSE array() END"
+            )
+        ).alias("chunk_hash"),
+    )
+    ndocs = (
+        inst.distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        inst.join(ndocs, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_ratio",
+            F.round(F.col("n_boilerplate") / F.col("n_chunks"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_RATIO_SQL = """
+WITH nums AS (SELECT i FROM range(0, 500) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+inst AS (
+  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
+  FROM toks JOIN nums ON i*8+8 <= len(t)
+),
+ndocs AS (
+  SELECT chunk_hash, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, chunk_hash FROM inst) GROUP BY chunk_hash
+)
+SELECT i.doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(CAST(sum(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS boilerplate_ratio
+FROM inst i JOIN ndocs n USING (chunk_hash)
+GROUP BY i.doc_id ORDER BY i.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-style chunking manifest: 64-token windows with stride 48
+    (16-token overlap), one manifest row per document carrying the chunk
+    count and an order-sensitive fingerprint (md5 of the concatenated
+    per-chunk hashes).
+
+    Everything is computed IN-ROW with transform/sequence/slice — zero
+    shuffles, pure whole-stage codegen, embarrassingly parallel at
+    100 TB.  The fingerprint makes the full chunk list verifiable
+    without emitting n_chunks rows per doc.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    t = "split(text,' ')"
+    nw = f"(CAST(floor((size({t}) - 1) / 48) AS INT) + 1)"
+    chunk_hashes = (
+        f"transform(sequence(0, {nw} - 1), "
+        f"s -> md5(concat_ws(' ', slice({t}, s*48+1, 64))))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(t)).cast("bigint").alias("n_tokens"),
+            F.expr(f"CAST({nw} AS BIGINT)").alias("n_chunks"),
+            F.expr(
+                f"CAST(size({t}) - ({nw} - 1) * 48 AS BIGINT)"
+            ).alias("last_chunk_tokens"),
+            F.expr(f"md5(concat_ws('', {chunk_hashes}))").alias(
+                "chunk_fingerprint"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_CHUNK_MANIFEST_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(floor((len(string_split(text, ' ')) - 1) / 48) AS INT) + 1 AS nw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(nw AS BIGINT) AS n_chunks,
+       CAST(len(t) - (nw - 1) * 48 AS BIGINT) AS last_chunk_tokens,
+       md5(array_to_string(
+         list_transform(generate_series(0, nw - 1),
+                        s -> md5(array_to_string(t[s*48+1 : s*48+64], ' '))),
+         '')) AS chunk_fingerprint
+FROM toks ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning funnel: how many docs/tokens survive
+    each successive stage — language gate (stopword ratio >= 0.05),
+    quality gate (score >= 0.5), exact-dedup keeper (first doc_id per
+    md5(text)).  The shape every training-data pipeline reports before
+    committing a crawl snapshot.
+
+    Per-doc stats are IN-ROW (array_distinct / filter on the token
+    array — no explode+groupBy), the dedup keeper is one window over
+    the 16-byte text hash, and the funnel itself is a single global
+    aggregate unpivoted with stack().  One corpus scan total.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir, spread=True)
+    stops = "('the','a','of','to','in','and','is')"
+    per = docs.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        F.expr("CAST(size(split(text,' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text,' '))) AS BIGINT)"
+        ).alias("n_distinct"),
+        F.expr(
+            f"CAST(size(filter(split(text,' '), x -> x IN {stops})) AS BIGINT)"
+        ).alias("stop_hits"),
+    )
+    flagged = per.select(
+        "n_tokens",
+        (
+            F.round(F.col("stop_hits") / F.col("n_tokens"), 6) >= 0.05
+        ).alias("is_en"),
+        (
+            F.round(
+                F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.5
+                + F.col("n_distinct") / F.col("n_tokens") * 0.5,
+                6,
+            )
+            >= 0.5
+        ).alias("is_quality"),
+        (
+            F.row_number().over(
+                Window.partitionBy("th").orderBy("doc_id")
+            )
+            == 1
+        ).alias("is_keeper"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("is_en"), F.col("n_tokens")).otherwise(0)).alias("t1"),
+        F.sum(
+            F.when(F.col("is_en") & F.col("is_quality"), 1).otherwise(0)
+        ).alias("d2"),
+        F.sum(
+            F.when(
+                F.col("is_en") & F.col("is_quality"), F.col("n_tokens")
+            ).otherwise(0)
+        ).alias("t2"),
+        F.sum(
+            F.when(
+                F.col("is_en") & F.col("is_quality") & F.col("is_keeper"), 1
+            ).otherwise(0)
+        ).alias("d3"),
+        F.sum(
+            F.when(
+                F.col("is_en") & F.col("is_quality") & F.col("is_keeper"),
+                F.col("n_tokens"),
+            ).otherwise(0)
+        ).alias("t3"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(4, "
+            "'0_total', d0, t0, "
+            "'1_lang_en', d1, t1, "
+            "'2_quality', d2, t2, "
+            "'3_dedup_keeper', d3, t3) AS (stage, n_docs, n_tokens)",
+            "d0 AS total_docs",
+        )
+        .select(
+            "stage",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_docs") / F.col("total_docs"), 6).alias("doc_pct"),
+        )
+        .orderBy("stage")
+    )
+
+
+QUALITY_FUNNEL_SQL = """
+WITH per AS (
+  SELECT doc_id, md5(text) AS th,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text,' '),
+              x -> x IN ('the','a','of','to','in','and','is'))) AS BIGINT) AS stop_hits
+  FROM documents
+),
+flagged AS (
+  SELECT n_tokens,
+         round(CAST(stop_hits AS DOUBLE)/n_tokens, 6) >= 0.05 AS is_en,
+         round(least(1.0, n_tokens/100.0)*0.5
+               + CAST(n_distinct AS DOUBLE)/n_tokens*0.5, 6) >= 0.5 AS is_quality,
+         row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1 AS is_keeper
+  FROM per
+),
+agg AS (
+  SELECT count(*) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN is_en THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN is_en AND is_quality THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN is_en AND is_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN is_en AND is_quality AND is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN is_en AND is_quality AND is_keeper THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+  FROM flagged
+)
+SELECT stage, n_docs, n_tokens, round(CAST(n_docs AS DOUBLE) / d0, 6) AS doc_pct
+FROM (
+  SELECT '0_total' AS stage, d0 AS n_docs, t0 AS n_tokens, d0 FROM agg
+  UNION ALL SELECT '1_lang_en', d1, t1, d0 FROM agg
+  UNION ALL SELECT '2_quality', d2, t2, d0 FROM agg
+  UNION ALL SELECT '3_dedup_keeper', d3, t3, d0 FROM agg
+)
+ORDER BY stage
+"""
+
+ENTRIES["boilerplate_ratio"] = (boilerplate_ratio, BOILERPLATE_RATIO_SQL)
+ENTRIES["doc_chunk_manifest"] = (doc_chunk_manifest, DOC_CHUNK_MANIFEST_SQL)
+ENTRIES["quality_funnel"] = (quality_funnel, QUALITY_FUNNEL_SQL)
