@@ -1621,10 +1621,12 @@ def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and an order-sensitive fingerprint (md5 of the concatenated
     per-chunk hashes).
 
-    Everything is computed IN-ROW with transform/sequence/slice — zero
-    shuffles, pure whole-stage codegen, embarrassingly parallel at
-    100 TB.  The fingerprint makes the full chunk list verifiable
-    without emitting n_chunks rows per doc.
+    All chunking work is IN-ROW with transform/sequence/slice — pure
+    whole-stage codegen, embarrassingly parallel at 100 TB (the only
+    exchanges are the local-mode input spread and the final
+    presentation sort; neither grows with chunk count).  The
+    fingerprint makes the full chunk list verifiable without emitting
+    n_chunks rows per doc.
     """
     docs = _docs(spark, sf_dir, spread=True)
     t = "split(text,' ')"

@@ -184,3 +184,40 @@ def test_asof_join_is_single_shuffle_window(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # no join at all: union + window
     assert plan.count("Window") >= 1
+
+
+def test_chunk_manifest_is_join_free_single_scan(spark):
+    """Retrieval chunking is computed in-row: one parquet scan, no joins,
+    and the only exchanges are the input spread + presentation sort —
+    chunk count must never introduce a data-dependent shuffle."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import doc_chunk_manifest
+
+    plan = _plan(doc_chunk_manifest(spark, sf_dir()))
+    # formatted mode prints each scan twice (tree + detail); count details
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_quality_funnel_single_scan_no_joins(spark):
+    """The cleaning funnel must stay one corpus scan (in-row token stats,
+    one window, stack unpivot) — a per-stage rescan would read the corpus
+    four times at 100 TB."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import quality_funnel
+
+    plan = _plan(quality_funnel(spark, sf_dir()))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_boilerplate_ratio_no_quadratic_joins(spark):
+    """Boilerplate scoring joins chunk instances to chunk doc-frequencies
+    on the 16-byte hash — equi-joins only (no nested-loop/cartesian), and
+    both groupBys must show map-side partial aggregation."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import boilerplate_ratio
+
+    plan = _plan(boilerplate_ratio(spark, sf_dir()))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
