@@ -423,15 +423,30 @@ def minhash_lsh_dedup(
         buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+        # Pair-cardinality by LSH design (near-dup pairs + band false
+        # positives — output-scale, not corpus-scale).  Persisted because
+        # three downstream broadcast subplans reference it; without this
+        # each would re-run the bands pipeline, i.e. re-shingle the whole
+        # corpus.  MEMORY_AND_DISK default; LRU-evicted when cold.
+        .persist()
     )
-    a = (
-        sarr.select(F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa"))
-        .join(F.broadcast(cand), "doc_a")
-    )
-    b = (
-        sarr.select(F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb"))
-        .join(F.broadcast(cand), "doc_b")
-    )
+    # Verify sides re-shingle ONLY candidate docs: broadcast the id list
+    # into the raw-doc scan first, then shingle the handful of survivors.
+    # The full-corpus shingle pass therefore runs exactly once (bands) —
+    # not three times — and what's broadcast stays id-width.
+    def _side(pair_col: str, set_col: str) -> DataFrame:
+        ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
+        restricted = docs.join(F.broadcast(ids), id_col)
+        return (
+            shingle_arrays(restricted, id_col, text_col)
+            .select(
+                F.col("doc_id").alias(pair_col), F.col("sarr").alias(set_col)
+            )
+            .join(F.broadcast(cand), pair_col)
+        )
+
+    a = _side("doc_a", "sa")
+    b = _side("doc_b", "sb")
     inter = (
         a.join(b, ["doc_a", "doc_b"], "inner")
         .select(

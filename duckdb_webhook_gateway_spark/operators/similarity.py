@@ -101,6 +101,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_ceiling: int | None = EXACT_NEAR_DUP_CEILING,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold.
 
@@ -119,9 +120,11 @@ def near_dup_pairs(
     import pandas as pd
 
     if exact_ceiling is not None:
-        # The count is one cheap metadata-only job; at 100 TB it is noise
-        # next to the N×N work it prevents from being attempted.
-        if vectors.count() > exact_ceiling:
+        # Routing needs only the corpus size; callers that know it (e.g.
+        # from parquet footer metadata) pass n_rows and skip the count
+        # job.  The fallback count is metadata-only — at 100 TB it is
+        # noise next to the N×N work it prevents from being attempted.
+        if (vectors.count() if n_rows is None else n_rows) > exact_ceiling:
             return near_dup_pairs_lsh(
                 vectors, threshold, id_col=id_col, vec_col=vec_col
             )

@@ -150,7 +150,11 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def tfidf_top_terms(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — two shuffles, zero joins.
 
@@ -190,7 +194,12 @@ def tfidf_top_terms(
         .select("doc_id", F.explode(F.expr(runs)).alias("e"))
         .select("doc_id", "e.token", "e.tf")
     )
-    n_docs = docs.count()  # scalar; deterministic (parquet metadata count)
+    if n_docs is None:
+        # Scalar N; deterministic.  Callers that know the source (e.g. a
+        # parquet path) should pass n_docs from footer metadata instead —
+        # this count is a full extra Spark job (and re-runs any upstream
+        # repartition) just to fetch one number.
+        n_docs = docs.count()
     scored = exploded.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     ).withColumn(

@@ -303,7 +303,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 # ---------------------------------------------------------------------------
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45, n_rows=n)
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
@@ -463,7 +466,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 # ---------------------------------------------------------------------------
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.tfidf_top_terms(_docs(spark, sf_dir, spread=True), k=3)
+    import pyarrow.parquet as pq
+
+    # N from the parquet footer (sub-ms, driver-side) instead of a
+    # dedicated Spark count job that would re-run the spread shuffle.
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return X.tfidf_top_terms(_docs(spark, sf_dir, spread=True), k=3, n_docs=n)
 
 
 TEXT_TFIDF_SQL = f"""

@@ -150,17 +150,18 @@ def test_ngram_jaccard_broadcasts_nothing(spark):
     assert "Join" not in plan  # neither broadcast nor shuffle join
 
 
-def test_minhash_broadcasts_only_id_pairs(spark):
-    """The only broadcast in the MinHash verify stage is the id-pair
-    candidate relation; document-sized shingle arrays must never be
-    broadcast (8 GB broadcast limit / executor OOM at scale)."""
+def test_minhash_broadcasts_only_id_width_relations(spark):
+    """Every broadcast in the MinHash verify stage is id-width — the
+    (doc_a, doc_b) candidate pairs or a single-column candidate id list
+    used to restrict re-shingling; document-sized shingle arrays must
+    never be broadcast (8 GB broadcast limit / executor OOM at scale)."""
     from duckdb_webhook_gateway_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(sf_dir() + "/documents.parquet")
     plan = _plan(minhash_lsh_dedup(docs))
     assert "BroadcastExchange" in plan
-    # Parse each BroadcastExchange node's Input line: only the two id
-    # columns may cross the wire.
+    # Parse each BroadcastExchange node's Input line: only id columns may
+    # cross the wire.
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
@@ -168,7 +169,7 @@ def test_minhash_broadcasts_only_id_pairs(spark):
         for nxt in lines[i + 1 : i + 4]:
             if "Input" in nxt:
                 assert "sarr" not in nxt and "sa#" not in nxt and "sb#" not in nxt, nxt
-                assert "doc_a" in nxt or "doc_b" in nxt, nxt
+                assert "doc_a" in nxt or "doc_b" in nxt or "doc_id" in nxt, nxt
                 break
 
 
