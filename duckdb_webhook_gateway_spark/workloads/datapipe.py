@@ -1809,3 +1809,60 @@ ORDER BY stage
 ENTRIES["boilerplate_ratio"] = (boilerplate_ratio, BOILERPLATE_RATIO_SQL)
 ENTRIES["doc_chunk_manifest"] = (doc_chunk_manifest, DOC_CHUNK_MANIFEST_SQL)
 ENTRIES["quality_funnel"] = (quality_funnel, QUALITY_FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-trainer iteration: corpus-weighted counts of adjacent
+    character pairs, ranked — the merge candidates a byte-pair-encoding
+    tokenizer would fuse first.
+
+    The scale trick is the classic one from tokenizer training: collapse
+    the corpus to its word VOCABULARY first (one corpus-cardinality
+    groupBy carrying only (word, freq)), then enumerate symbol pairs over
+    vocab entries in-row and aggregate freq-weighted counts.  After the
+    first agg every relation is vocab-cardinality — at 100 TB the corpus
+    is touched once, and pair counting costs the same as at 1 GB.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Guard 1-char words: Spark's sequence(1, 0) is DESCENDING, so an
+    # unguarded transform would fabricate junk pairs.
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 THEN "
+                "transform(sequence(1, length(word) - 1), "
+                "i -> concat(substr(word, i, 1), ' ', substr(word, i + 1, 1))) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+vocab AS (SELECT token AS word, count(*) AS freq FROM tok GROUP BY token),
+pairs AS (
+  SELECT substr(word, i, 1) || ' ' || substr(word, i+1, 1) AS pair, freq
+  FROM vocab JOIN nums ON i <= length(word) - 1
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count, count(*) AS n_vocab_positions
+FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20
+"""
+
+ENTRIES["bpe_merge_candidates"] = (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL)
