@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "mixture_resample",
     "bpe_merge_candidates",
     "boilerplate_ratio",
     "doc_chunk_manifest",
@@ -47,6 +48,7 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "customer_order_counts",
     "part_filter_like_in",
     "events_type_rate",
     "corpus_stats",

@@ -1866,3 +1866,105 @@ FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20
 """
 
 ENTRIES["bpe_merge_candidates"] = (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL)
+
+
+# ---------------------------------------------------------------------------
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ``source_mixture`` uniform weights: deterministically
+    down-sample over-represented sources by content-stable hash and
+    report the resulting mix — the second half of domain rebalancing
+    (``source_mixture`` computes the knob; this turns it).
+
+    A doc survives iff md5_bucket(doc_id)/1e6 < tot/(n_sources·n_tok_s),
+    evaluated as the integer cross-product ``bucket·ns·nt_s < tot·1e6``
+    so both engines decide every boundary doc identically (no float
+    division in the keep decision; at 100 TB token counts the product
+    needs 128-bit math — DuckDB's HUGEINT does it natively, Spark would
+    move to DECIMAL(38,0) — at any bench SF it fits BIGINT comfortably).
+
+    Plan shape: one aggregate pass builds the per-source rate relation
+    (sources-cardinality — a few rows), which broadcast-joins back into
+    a second map-side pass over the corpus; docs never shuffle.  The
+    final shares are a window over the per-source result.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("src_tokens"))
+    )
+    w = Window.partitionBy()
+    rates = per_source.select(
+        "source",
+        "src_tokens",
+        F.sum("src_tokens").over(w).alias("tot_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    )
+    bucket = F.expr(f"{md5_int_expr('CAST(doc_id AS STRING)', 'spark')} % 1000000")
+    tagged = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        )
+        .join(F.broadcast(rates), "source")
+        .withColumn(
+            "kept",
+            bucket * F.col("n_sources") * F.col("src_tokens")
+            < F.col("tot_tokens") * F.lit(1000000),
+        )
+    )
+    kept_agg = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return (
+        kept_agg.withColumn(
+            "resampled_share",
+            F.round(
+                F.col("kept_tokens") / F.sum("kept_tokens").over(w), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_RESAMPLE_SQL = f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, src_tokens,
+         CAST(sum(src_tokens) OVER () AS BIGINT) AS tot_tokens,
+         CAST(count(*) OVER () AS BIGINT) AS n_sources
+  FROM per_source
+),
+tagged AS (
+  SELECT d.source, d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         ({md5_int_expr("CAST(d.doc_id AS VARCHAR)", 'duckdb')} % 1000000)
+           * r.n_sources * r.src_tokens < r.tot_tokens * 1000000 AS kept
+  FROM documents d JOIN rates r USING (source)
+),
+kept_agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+  FROM tagged GROUP BY source
+)
+SELECT source, n_docs, n_kept, n_tokens, kept_tokens,
+       round(CAST(kept_tokens AS DOUBLE) / sum(kept_tokens) OVER (), 6) AS resampled_share
+FROM kept_agg ORDER BY source
+"""
+
+ENTRIES["mixture_resample"] = (mixture_resample, MIXTURE_RESAMPLE_SQL)
