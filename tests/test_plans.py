@@ -222,3 +222,27 @@ def test_boilerplate_ratio_no_quadratic_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_mixture_resample_docs_never_shuffle(spark):
+    """The per-source rate relation must broadcast into the corpus pass —
+    a SortMergeJoin here would shuffle every doc by source (skewed keys,
+    corpus-sized exchange) for a few-row lookup."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import mixture_resample
+
+    plan = _plan(mixture_resample(spark, sf_dir()))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counting_is_vocab_cardinality(spark):
+    """BPE merge counting must collapse to the (word, freq) vocabulary
+    before pair enumeration: two partial-agg groupBys, no joins — the
+    corpus-cardinality token stream shuffles once, pairs come from
+    vocab-cardinality rows only."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import bpe_merge_candidates
+
+    plan = _plan(bpe_merge_candidates(spark, sf_dir()))
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
