@@ -1,0 +1,129 @@
+"""Semantic unit tests for the round-3 cleaning/tokenization queries on
+crafted corpora — oracle parity checks agreement on the driver's testdata;
+these pin the intended behavior on edge cases that data may not contain."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_webhook_gateway_spark.workloads.datapipe import (
+    boilerplate_ratio,
+    bpe_merge_candidates,
+    doc_chunk_manifest,
+    mixture_resample,
+    quality_funnel,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source).  Returns the sf_dir."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+W8 = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-token chunk
+
+
+def test_boilerplate_ratio_flags_shared_chunks(spark, tmp_path):
+    # Docs 0 and 1 share their first 8-token chunk (boilerplate header);
+    # their second chunks differ.  Doc 2 is fully unique.
+    rows = [
+        (0, W8 + " a1 a2 a3 a4 a5 a6 a7 a8", "en", "s"),
+        (1, W8 + " b1 b2 b3 b4 b5 b6 b7 b8", "en", "s"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "s"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ratio(spark, _write_docs(spark, tmp_path, rows))
+        .collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_boilerplate"] == 1
+    assert out[0]["boilerplate_ratio"] == 0.5
+    assert out[1]["n_boilerplate"] == 1
+    assert out[2]["n_boilerplate"] == 0 and out[2]["boilerplate_ratio"] == 0.0
+
+
+def test_boilerplate_ratio_skips_short_docs(spark, tmp_path):
+    # A doc under 8 tokens yields no chunks and must be ABSENT (not a
+    # fabricated row from Spark's descending sequence(0, -1)).
+    rows = [(0, "only three tokens", "en", "s"), (1, W8, "en", "s")]
+    ids = [
+        r["doc_id"]
+        for r in boilerplate_ratio(spark, _write_docs(spark, tmp_path, rows))
+        .collect()
+    ]
+    assert ids == [1]
+
+
+def test_chunk_manifest_window_arithmetic(spark, tmp_path):
+    # 100 tokens, window 64 / stride 48: chunks start at 0 and 48 ->
+    # n_chunks=3 would need a start of 96 < 100 — yes, 3 chunks; the last
+    # starts at 96 and holds 4 tokens.
+    text = " ".join(f"t{i}" for i in range(100))
+    rows = [(0, text, "en", "s"), (1, "single", "en", "s")]
+    out = {
+        r["doc_id"]: r
+        for r in doc_chunk_manifest(spark, _write_docs(spark, tmp_path, rows))
+        .collect()
+    }
+    assert out[0]["n_chunks"] == 3 and out[0]["last_chunk_tokens"] == 4
+    assert out[1]["n_chunks"] == 1 and out[1]["last_chunk_tokens"] == 1
+    assert out[0]["chunk_fingerprint"] != out[1]["chunk_fingerprint"]
+
+
+def test_quality_funnel_stages_are_nested(spark, tmp_path):
+    en = (
+        "the cat sat on the mat and the dog is in the yard of the house "
+        "to watch the birds in a tree and the sun is warm"
+    )
+    rows = [
+        (0, en, "en", "s"),           # passes lang; quality depends on score
+        (1, en, "en", "s"),           # exact dup of 0 -> dropped at stage 3
+        (2, "zz yy xx ww vv uu", "xx", "s"),  # no stopwords -> dropped at lang
+    ]
+    out = {r["stage"]: r for r in quality_funnel(
+        spark, _write_docs(spark, tmp_path, rows)).collect()}
+    assert out["0_total"]["n_docs"] == 3
+    assert out["1_lang_en"]["n_docs"] == 2
+    # Monotone: each stage keeps a subset of the previous one.
+    assert out["2_quality"]["n_docs"] <= out["1_lang_en"]["n_docs"]
+    assert out["3_dedup_keeper"]["n_docs"] == out["2_quality"]["n_docs"] - (
+        1 if out["2_quality"]["n_docs"] == 2 else 0
+    )
+    assert out["0_total"]["doc_pct"] == 1.0
+
+
+def test_mixture_resample_downsamples_only_heavy_sources(spark, tmp_path):
+    # 'heavy' has ~9x the tokens of 'light': its keep-rate is < 1 so some
+    # docs may drop; 'light' is under the uniform share so its rate
+    # saturates at >= 1 and every doc MUST survive.
+    heavy = [(i, " ".join(f"h{i}_{j}" for j in range(90)), "en", "heavy")
+             for i in range(10)]
+    light = [(100 + i, " ".join(f"l{i}_{j}" for j in range(10)), "en", "light")
+             for i in range(10)]
+    out = {r["source"]: r for r in mixture_resample(
+        spark, _write_docs(spark, tmp_path, heavy + light)).collect()}
+    assert out["light"]["n_kept"] == out["light"]["n_docs"] == 10
+    assert out["heavy"]["n_kept"] <= out["heavy"]["n_docs"]
+    assert out["heavy"]["kept_tokens"] <= out["heavy"]["n_tokens"]
+    # Invariant: shares sum to 1 (within rounding).
+    total_share = sum(r["resampled_share"] for r in out.values())
+    assert total_share == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bpe_counts_are_freq_weighted_and_skip_single_chars(spark, tmp_path):
+    # vocab: 'ab' freq 2, 'b' freq 1, 'abc' freq 1.
+    # pairs: 'a b' = 2 (from ab) + 1 (from abc) = 3; 'b c' = 1.
+    # The 1-char word 'b' must contribute nothing.
+    rows = [(0, "ab ab b", "en", "s"), (1, "abc", "en", "s")]
+    out = {r["pair"]: r for r in bpe_merge_candidates(
+        spark, _write_docs(spark, tmp_path, rows)).collect()}
+    assert set(out) == {"a b", "b c"}
+    assert out["a b"]["pair_count"] == 3 and out["a b"]["n_vocab_positions"] == 2
+    assert out["b c"]["pair_count"] == 1
