@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "split_ngram_decontamination",
     "mixture_resample",
     "bpe_merge_candidates",
     "boilerplate_ratio",
@@ -48,6 +49,7 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "events_json_bucket",
     "customer_order_counts",
     "part_filter_like_in",
     "events_type_rate",

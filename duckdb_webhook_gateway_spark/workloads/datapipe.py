@@ -1968,3 +1968,74 @@ FROM kept_agg ORDER BY source
 """
 
 ENTRIES["mixture_resample"] = (mixture_resample, MIXTURE_RESAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination by n-gram overlap: train docs sharing at least
+    one 8-token chunk with the TEST split, with the shared-chunk count —
+    the GPT-3-style benchmark-leakage sweep that content-hash
+    ``split_contamination`` (exact duplicates only) cannot catch.
+
+    Both sides chunk IN-ROW over the hash-stable split tag, then meet in
+    one equi-join on the 16-byte chunk hash (the test side is a distinct
+    hash set, ~1/10 of corpus chunks).  No broadcast hints: at bench
+    scale Catalyst broadcasts the small test side from its stats, at
+    100 TB the same code becomes a shuffle join on the hash key — both
+    correct, neither moves document text.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    bucket = F.expr(
+        f"{md5_int_expr('CAST(doc_id AS STRING)', 'spark')} % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    chunks = docs.withColumn("split", split).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) >= 8 THEN "
+                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
+                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8)))) "
+                "ELSE array() END"
+            )
+        ).alias("chunk_hash"),
+    )
+    test_chunks = (
+        chunks.filter(F.col("split") == "test").select("chunk_hash").distinct()
+    )
+    return (
+        chunks.filter(F.col("split") == "train")
+        .join(test_chunks, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("chunk_hash").alias("n_shared_chunks"))
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_NGRAM_DECONTAMINATION_SQL = f"""
+WITH nums AS (SELECT i FROM range(0, 500) r(i)),
+tagged AS (
+  SELECT doc_id, string_split(text,' ') AS t,
+         CASE WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 80 THEN 'train'
+              WHEN {md5_int_expr("CAST(doc_id AS VARCHAR)", 'duckdb')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, split, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
+  FROM tagged JOIN nums ON i*8+8 <= len(t)
+),
+test_chunks AS (SELECT DISTINCT chunk_hash FROM chunks WHERE split = 'test')
+SELECT c.doc_id, count(DISTINCT c.chunk_hash) AS n_shared_chunks
+FROM chunks c JOIN test_chunks tc USING (chunk_hash)
+WHERE c.split = 'train'
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+ENTRIES["split_ngram_decontamination"] = (
+    split_ngram_decontamination,
+    SPLIT_NGRAM_DECONTAMINATION_SQL,
+)

@@ -246,3 +246,28 @@ def test_bpe_pair_counting_is_vocab_cardinality(spark):
     plan = _plan(bpe_merge_candidates(spark, sf_dir()))
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ngram_decontamination_equi_join_only(spark):
+    """Train and test chunk streams must meet in a hash equi-join — never
+    a nested-loop/cartesian — and document text must not appear in any
+    Exchange (only (doc_id, split, 16-byte hash) rows move)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        split_ngram_decontamination,
+    )
+
+    plan = _plan(split_ngram_decontamination(spark, sf_dir()))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Hash-partitioned (data-dependent) exchanges must carry only
+    # (doc_id, split, hash) rows; the round-robin input spread is the
+    # documented local-mode exception and may carry raw text.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Input" not in line:
+            continue
+        args = next(
+            (l for l in lines[i + 1 : i + 3] if "Arguments: " in l), ""
+        )
+        if "hashpartitioning" in args:
+            assert "text#" not in line, (line, args)
