@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the dedup/chunking operators —
+randomized inputs against an independent pure-Python mirror of the math.
+The reference's test pyramid has no property layer (SURVEY.md §5); this
+one exists because hash/set operators have exactly the kind of edge cases
+(1-token docs, identical docs, all-distinct docs) example tests miss.
+
+Examples are kept few and batched (one Spark action per example) — Spark
+job latency, not case count, dominates runtime here.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcd", min_size=1, max_size=2)
+_doc = st.lists(_token, min_size=1, max_size=24).map(" ".join)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_shingles(text: str) -> set[str]:
+    t = text.split(" ")
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_exact_ngram_jaccard_matches_python_mirror(spark, texts):
+    """With pruning off and threshold 0, every pair sharing a shingle is
+    reported with the exact Jaccard of the Python set computation."""
+    from duckdb_webhook_gateway_spark.operators.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(
+        _docs_df(spark, texts), threshold=0.0, max_shingle_df=None
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["shared_shingles"], r["jaccard"]) for r in out}
+
+    sh = [_py_shingles(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            if inter:
+                want[(a, b)] = (inter, inter / len(sh[a] | sh[b]))
+
+    assert set(got) == set(want)
+    for k, (n, j) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - j) < 1e-6
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5), seed=st.integers(0, 2**31))
+@settings(**SETTINGS)
+def test_simhash_is_token_order_invariant(spark, texts, seed):
+    """SimHash is a bag-of-tokens vote: permuting token order within each
+    doc must not change a single fingerprint."""
+    import random
+
+    from duckdb_webhook_gateway_spark.operators.dedup import simhash
+
+    rng = random.Random(seed)
+    shuffled = []
+    for t in texts:
+        toks = t.split(" ")
+        rng.shuffle(toks)
+        shuffled.append(" ".join(toks))
+
+    a = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark, texts)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark, shuffled)).collect()}
+    assert a == b
+
+
+@given(lengths=st.lists(st.integers(1, 300), min_size=1, max_size=12, unique=True))
+@settings(**SETTINGS)
+def test_chunk_manifest_window_arithmetic_property(spark, tmp_path_factory, lengths):
+    """n_chunks == floor((n-1)/48)+1 and the last chunk holds the
+    remainder, for arbitrary doc lengths (batched into one corpus)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import doc_chunk_manifest
+
+    tmp = tmp_path_factory.mktemp("chunkprop")
+    df = spark.createDataFrame(
+        [
+            (i, " ".join("t" for _ in range(n)), "en", "s", n)
+            for i, n in enumerate(lengths)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = {r["doc_id"]: r for r in doc_chunk_manifest(spark, str(tmp)).collect()}
+    for i, n in enumerate(lengths):
+        nw = (n - 1) // 48 + 1
+        assert out[i]["n_chunks"] == nw, (n, out[i])
+        assert out[i]["last_chunk_tokens"] == n - (nw - 1) * 48
