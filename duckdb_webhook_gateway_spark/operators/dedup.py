@@ -377,6 +377,12 @@ def minhash_bands_inrow(
     return _stack_bands(mins, num_hashes, rows_per_band)
 
 
+# Candidate relation cached by the most recent minhash_lsh_dedup call;
+# replaced (and the predecessor unpersisted) on the next call so repeated
+# invocations in one session hold at most one cached relation.
+_prev_cand: DataFrame | None = None
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -427,9 +433,18 @@ def minhash_lsh_dedup(
         # positives — output-scale, not corpus-scale).  Persisted because
         # three downstream broadcast subplans reference it; without this
         # each would re-run the bands pipeline, i.e. re-shingle the whole
-        # corpus.  MEMORY_AND_DISK default; LRU-evicted when cold.
+        # corpus.  The previous call's cached relation is released below —
+        # persist() alone would pin disk-spilled blocks for the life of
+        # the SparkContext (memory blocks LRU-evict; disk ones do not).
         .persist()
     )
+    global _prev_cand
+    if _prev_cand is not None:
+        try:
+            _prev_cand.unpersist(blocking=False)
+        except Exception:
+            pass  # context may be gone; nothing to release then
+    _prev_cand = cand
     # Verify sides re-shingle ONLY candidate docs: broadcast the id list
     # into the raw-doc scan first, then shingle the handful of survivors.
     # The full-corpus shingle pass therefore runs exactly once (bands) —

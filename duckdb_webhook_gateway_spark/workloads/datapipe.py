@@ -47,12 +47,48 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _footer_rows(path: str) -> int | None:
+    """Row count from the parquet footer (sub-ms, driver-side, no Spark
+    job).  Returns None for directory-style parquet or unreadable footers
+    — callers fall back to a Spark count.  Only valid as the cardinality
+    of the UNFILTERED table the path names; operators that filter first
+    must count the filtered frame instead."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 # Shared oracle CTEs: tokens / shingles via a constant numbers relation
 # (DuckDB 1.0 has neither lateral range nor WITH ORDINALITY).
 _ORACLE_TOKS = """
 nums AS (SELECT i FROM range(1, 4001) r(i)),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 tok AS (SELECT doc_id, i AS p, t[i] AS token FROM toks JOIN nums ON i <= len(t))
+"""
+
+# 8-token non-overlapping chunk hashes, built in-row.  Shared verbatim by
+# passage_dedup / boilerplate_ratio / split_ngram_decontamination — the
+# three must stay byte-identical or their semantics silently diverge.
+# The n>=8 CASE keeps Spark's DESCENDING sequence(0, -1) from fabricating
+# chunks on short docs (the oracle's join condition emits none).
+_CHUNK8_EXPR = (
+    "CASE WHEN size(split(text,' ')) >= 8 THEN "
+    "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
+    "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8)))) "
+    "ELSE array() END"
+)
+
+# Matching DuckDB form: one row per (doc_id, chunk_hash) occurrence.
+_ORACLE_CHUNK8 = """
+nums AS (SELECT i FROM range(0, 500) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunk8 AS (
+  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
+  FROM toks JOIN nums ON i*8+8 <= len(t)
+)
 """
 
 _ORACLE_SHINGLES = """
@@ -303,9 +339,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 # ---------------------------------------------------------------------------
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    n = _footer_rows(os.path.join(sf_dir, "embeddings.parquet"))
     return S.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45, n_rows=n)
 
 
@@ -466,11 +500,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 # ---------------------------------------------------------------------------
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyarrow.parquet as pq
-
     # N from the parquet footer (sub-ms, driver-side) instead of a
-    # dedicated Spark count job that would re-run the spread shuffle.
-    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    # dedicated Spark count job that would re-run the spread shuffle;
+    # None (directory-style parquet) falls back to the operator's count.
+    n = _footer_rows(os.path.join(sf_dir, "documents.parquet"))
     return X.tfidf_top_terms(_docs(spark, sf_dir, spread=True), k=3, n_docs=n)
 
 
@@ -1126,13 +1159,7 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir, spread=True)
     chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
-                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8))))"
-            )
-        ).alias("chunk_hash"),
+        "doc_id", F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash")
     )
     return (
         chunks.groupBy("chunk_hash")
@@ -1146,16 +1173,11 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PASSAGE_DEDUP_SQL = """
-WITH nums AS (SELECT i FROM range(0, 500) r(i)),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-chunks AS (
-  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
-  FROM toks JOIN nums ON i*8+8 <= len(t)
-)
+PASSAGE_DEDUP_SQL = f"""
+WITH {_ORACLE_CHUNK8.strip()}
 SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
        min(doc_id) AS min_doc_id
-FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+FROM chunk8 GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 ORDER BY chunk_hash
 """
 
@@ -1567,18 +1589,8 @@ def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, nothing doc- or corpus-sized is broadcast.
     """
     docs = _docs(spark, sf_dir, spread=True)
-    # Guard n<8 docs to an empty array so Spark's descending
-    # sequence(0, -1) can't fabricate chunks the oracle doesn't have.
     inst = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text,' ')) >= 8 THEN "
-                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
-                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8)))) "
-                "ELSE array() END"
-            )
-        ).alias("chunk_hash"),
+        "doc_id", F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash")
     )
     ndocs = (
         inst.distinct()
@@ -1602,22 +1614,17 @@ def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOILERPLATE_RATIO_SQL = """
-WITH nums AS (SELECT i FROM range(0, 500) r(i)),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-inst AS (
-  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
-  FROM toks JOIN nums ON i*8+8 <= len(t)
-),
+BOILERPLATE_RATIO_SQL = f"""
+WITH {_ORACLE_CHUNK8.strip()},
 ndocs AS (
   SELECT chunk_hash, count(*) AS n_docs
-  FROM (SELECT DISTINCT doc_id, chunk_hash FROM inst) GROUP BY chunk_hash
+  FROM (SELECT DISTINCT doc_id, chunk_hash FROM chunk8) GROUP BY chunk_hash
 )
 SELECT i.doc_id, count(*) AS n_chunks,
        CAST(sum(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
        round(CAST(sum(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
          AS boilerplate_ratio
-FROM inst i JOIN ndocs n USING (chunk_hash)
+FROM chunk8 i JOIN ndocs n USING (chunk_hash)
 GROUP BY i.doc_id ORDER BY i.doc_id
 """
 
@@ -1994,14 +2001,7 @@ def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.withColumn("split", split).select(
         "doc_id",
         "split",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text,' ')) >= 8 THEN "
-                "transform(sequence(0, CAST(floor(size(split(text,' '))/8) AS INT) - 1), "
-                "i -> md5(concat_ws(' ', slice(split(text,' '), i*8+1, 8)))) "
-                "ELSE array() END"
-            )
-        ).alias("chunk_hash"),
+        F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash"),
     )
     test_chunks = (
         chunks.filter(F.col("split") == "test").select("chunk_hash").distinct()
@@ -2015,6 +2015,8 @@ def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the chunks CTE below must build chunk hashes byte-identically to
+# _ORACLE_CHUNK8 (it re-states the CTE only to carry the split column).
 SPLIT_NGRAM_DECONTAMINATION_SQL = f"""
 WITH nums AS (SELECT i FROM range(0, 500) r(i)),
 tagged AS (

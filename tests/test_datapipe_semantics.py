@@ -78,12 +78,14 @@ def test_chunk_manifest_window_arithmetic(spark, tmp_path):
 
 
 def test_quality_funnel_stages_are_nested(spark, tmp_path):
-    en = (
-        "the cat sat on the mat and the dog is in the yard of the house "
-        "to watch the birds in a tree and the sun is warm"
+    # 120 tokens (length score saturates at 0.5, so quality >= 0.5 always
+    # passes) with "the" sprinkled in for the stopword gate — both dup
+    # docs MUST reach stage 3, where exactly one is dropped.
+    en = " ".join(
+        f"the word{i}" if i % 6 == 0 else f"word{i}" for i in range(100)
     )
     rows = [
-        (0, en, "en", "s"),           # passes lang; quality depends on score
+        (0, en, "en", "s"),           # passes lang + quality; keeper
         (1, en, "en", "s"),           # exact dup of 0 -> dropped at stage 3
         (2, "zz yy xx ww vv uu", "xx", "s"),  # no stopwords -> dropped at lang
     ]
@@ -91,11 +93,9 @@ def test_quality_funnel_stages_are_nested(spark, tmp_path):
         spark, _write_docs(spark, tmp_path, rows)).collect()}
     assert out["0_total"]["n_docs"] == 3
     assert out["1_lang_en"]["n_docs"] == 2
-    # Monotone: each stage keeps a subset of the previous one.
-    assert out["2_quality"]["n_docs"] <= out["1_lang_en"]["n_docs"]
-    assert out["3_dedup_keeper"]["n_docs"] == out["2_quality"]["n_docs"] - (
-        1 if out["2_quality"]["n_docs"] == 2 else 0
-    )
+    assert out["2_quality"]["n_docs"] == 2   # length-saturated score >= 0.5
+    assert out["3_dedup_keeper"]["n_docs"] == 1  # the dup is dropped HERE
+    assert out["3_dedup_keeper"]["n_tokens"] * 2 == out["2_quality"]["n_tokens"]
     assert out["0_total"]["doc_pct"] == 1.0
 
 

@@ -169,6 +169,7 @@ def test_minhash_broadcasts_only_id_width_relations(spark):
         for nxt in lines[i + 1 : i + 4]:
             if "Input" in nxt:
                 assert "sarr" not in nxt and "sa#" not in nxt and "sb#" not in nxt, nxt
+                assert "text#" not in nxt, nxt  # raw doc text is doc-sized too
                 assert "doc_a" in nxt or "doc_b" in nxt or "doc_id" in nxt, nxt
                 break
 
