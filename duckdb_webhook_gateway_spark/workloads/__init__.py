@@ -24,6 +24,8 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "events_cohort_retention",
+    "join_key_skew",
     "split_ngram_decontamination",
     "mixture_resample",
     "bpe_merge_candidates",
@@ -49,6 +51,8 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "events_funnel",
+    "rollup_region_nation",
     "events_json_bucket",
     "customer_order_counts",
     "part_filter_like_in",

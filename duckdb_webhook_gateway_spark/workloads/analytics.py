@@ -948,3 +948,109 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 """
 
 ENTRIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each subsequent week they return, with retention as a
+    share of the cohort's week-0 size — the standard activation/churn
+    matrix over the audit-style event stream.
+
+    Week ids are integer epoch-week divisions (identical arithmetic both
+    engines, no timezone/locale week functions).  One shuffle keyed by
+    user for the first-week window, one for the (cohort, offset) agg;
+    the retention denominator comes from a window over the tiny cohort
+    matrix, not a rescan.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(unix_micros(ts) DIV 604800000000 AS BIGINT)").alias("wk")
+    )
+    first = ev.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    matrix = (
+        first.select(
+            "user_id",
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+    base = Window.partitionBy("cohort_week")
+    return (
+        matrix.withColumn(
+            "retention_pct",
+            F.round(
+                F.col("n_active_users")
+                / F.max(
+                    F.when(F.col("week_offset") == 0, F.col("n_active_users"))
+                ).over(base),
+                6,
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+first AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM ev
+),
+matrix AS (
+  SELECT cohort_week, wk - cohort_week AS week_offset,
+         count(DISTINCT user_id) AS n_active_users
+  FROM first GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active_users,
+       round(CAST(n_active_users AS DOUBLE)
+             / max(CASE WHEN week_offset = 0 THEN n_active_users END)
+                 OVER (PARTITION BY cohort_week), 6) AS retention_pct
+FROM matrix ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the 10 heaviest customer keys in orders
+    with their share of all rows — the diagnostic a pipeline runs before
+    deciding between a plain shuffle join and ``salted_join``
+    (operators/joins.py).  One partial-agg groupBy; the total comes from
+    a window over the per-key counts (key-cardinality), and top-k
+    compiles to TakeOrderedAndProject, never a global sort.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_key.withColumn(
+            "share",
+            F.round(
+                F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()),
+                6,
+            ),
+        )
+        .orderBy(F.desc("n_orders"), "o_custkey")
+        .limit(10)
+    )
+
+
+JOIN_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders,
+       round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6) AS share
+FROM per_key ORDER BY n_orders DESC, o_custkey LIMIT 10
+"""
+
+ENTRIES["events_cohort_retention"] = (
+    events_cohort_retention,
+    EVENTS_COHORT_RETENTION_SQL,
+)
+ENTRIES["join_key_skew"] = (join_key_skew, JOIN_KEY_SKEW_SQL)
