@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "leakage_safe_split",
     "events_cohort_retention",
     "join_key_skew",
     "split_ngram_decontamination",
@@ -51,6 +52,7 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "window_top_orders_per_customer",
     "events_funnel",
     "rollup_region_nation",
     "events_json_bucket",

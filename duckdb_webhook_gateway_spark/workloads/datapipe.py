@@ -2041,3 +2041,62 @@ ENTRIES["split_ngram_decontamination"] = (
     split_ngram_decontamination,
     SPLIT_NGRAM_DECONTAMINATION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assigned by DUPLICATE-CLUSTER representative:
+    every doc hashes on the min doc_id of its exact-duplicate cluster, so
+    two copies of the same text can never land in different splits — the
+    leakage hole a per-doc hash split (``dataset_split``) leaves open.
+
+    One window over the 16-byte text hash finds the representative, the
+    split bucket is the same md5 arithmetic as ``dataset_split`` applied
+    to the representative id, and one aggregate reports the split sizes.
+    Single corpus scan; only (doc_id, hash, counts) rows shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    rep = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text,' ')) AS BIGINT)").alias("n_toks"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("rep"),
+    )
+    bucket = F.expr(f"{md5_int_expr('CAST(rep AS STRING)', 'spark')} % 100")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        rep.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH rep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, rep, n_toks,
+         CASE WHEN {md5_int_expr("CAST(rep AS VARCHAR)", 'duckdb')} % 100 < 80 THEN 'train'
+              WHEN {md5_int_expr("CAST(rep AS VARCHAR)", 'duckdb')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+ENTRIES["leakage_safe_split"] = (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL)

@@ -272,3 +272,25 @@ def test_ngram_decontamination_equi_join_only(spark):
         )
         if "hashpartitioning" in args:
             assert "text#" not in line, (line, args)
+
+
+def test_join_key_skew_uses_take_ordered(spark):
+    """Top-k heaviest keys must be TakeOrderedAndProject over a
+    partial-agg groupBy, never a global sort of the key counts."""
+    from duckdb_webhook_gateway_spark.workloads.analytics import join_key_skew
+
+    plan = _plan(join_key_skew(spark, sf_dir()))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_leakage_safe_split_single_scan(spark):
+    """Representative lookup is one window over md5(text) on a single
+    corpus scan — a join against a separate cluster relation would scan
+    the corpus twice."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import leakage_safe_split
+
+    plan = _plan(leakage_safe_split(spark, sf_dir()))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
