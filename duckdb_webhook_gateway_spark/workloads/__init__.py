@@ -24,6 +24,10 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "events_anomaly_zscore",
+    "training_order_manifest",
+    "vocab_oov_rate",
+    "cross_source_overlap",
     "leakage_safe_split",
     "events_cohort_retention",
     "join_key_skew",
@@ -52,6 +56,10 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "text_language_id",
+    "text_quality",
+    "doc_fingerprint",
+    "ann_lsh_buckets",
     "window_top_orders_per_customer",
     "events_funnel",
     "rollup_region_nation",

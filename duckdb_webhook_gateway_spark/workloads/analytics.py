@@ -1054,3 +1054,89 @@ ENTRIES["events_cohort_retention"] = (
     EVENTS_COHORT_RETENTION_SQL,
 )
 ENTRIES["join_key_skew"] = (join_key_skew, JOIN_KEY_SKEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-type hourly volume anomalies.  The monitoring
+# query a gateway operator runs over the audit store (reference keeps raw
+# webhook events queryable ad hoc; src/app.py:1266-1273 is the ad-hoc SQL
+# surface this formalizes).
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count z-scores per event type; |z| >= 2 rows only.
+
+    Two map-side-combinable aggregations (hourly counts, then per-type
+    moment sums) + a broadcast join of the type-cardinality stats back
+    onto the hourly relation — no window over the corpus, no shuffle
+    wider than (type, hour).  All moments are BIGINT-exact; the z
+    expression is written with the IDENTICAL association order in both
+    engines so the rounded value hashes bit-for-bit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    z = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+        )
+        .withColumn(
+            "zscore",
+            F.round(
+                (
+                    F.col("n_events").cast("double")
+                    - F.col("s").cast("double") / F.col("n")
+                )
+                / F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) >= 2.0)
+        .select("event_type", "hour_start", "n_events", "zscore")
+        .orderBy("event_type", "hour_start")
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM hourly GROUP BY event_type
+),
+z AS (
+  SELECT h.event_type, h.hour_start, h.n_events,
+         round((CAST(h.n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)), 6) AS zscore
+  FROM hourly h JOIN stats t ON h.event_type = t.event_type
+  WHERE n > 1 AND n * ss - s * s > 0
+)
+SELECT event_type, hour_start, n_events, zscore
+FROM z WHERE abs(zscore) >= 2.0
+ORDER BY event_type, hour_start
+"""
+
+ENTRIES["events_anomaly_zscore"] = (
+    events_anomaly_zscore,
+    EVENTS_ANOMALY_ZSCORE_SQL,
+)

@@ -2100,3 +2100,200 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 ENTRIES["leakage_safe_split"] = (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL)
+
+
+# ---------------------------------------------------------------------------
+def training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global training order + shard manifest, computed WITHOUT a
+    single-partition window.
+
+    A training run wants a deterministic, reproducible global order (so
+    every re-run reads the same shard boundaries), but a naive
+    ``row_number() OVER (ORDER BY hash)`` serializes the whole corpus
+    through one task.  The distributed equivalent: hex-prefix buckets are
+    ranked independently (256-way parallel window), bucket offsets come
+    from a 256-row cumulative sum, and ``global_pos = offset +
+    local_rank`` — exact, and every corpus-sized stage is partitioned.
+    The only unpartitioned window runs over the 256-row bucket-count
+    relation, which is constant-size at any corpus scale.
+
+    Shards are fixed 64-doc slices of the global order; the manifest row
+    per shard (doc/token counts + hash range) is what a dataloader needs
+    to plan an epoch without touching the data.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = d.withColumn("local_rank", F.row_number().over(w))
+    # 256 rows max: the one unpartitioned window in the plan, by design.
+    offs = (
+        d.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "off")
+    )
+    pos = ranked.join(F.broadcast(offs), "bucket").withColumn(
+        "pos", F.col("off") + F.col("local_rank")
+    )
+    return (
+        pos.withColumn("shard_id", F.expr("CAST((pos - 1) div 64 AS INT)"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("h").alias("first_hash"),
+            F.max("h").alias("last_hash"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+TRAINING_ORDER_MANIFEST_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h, n_toks,
+         row_number() OVER (ORDER BY h, doc_id) AS pos
+  FROM d
+)
+SELECT CAST((pos - 1) // 64 AS INTEGER) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(h) AS first_hash, max(h) AS last_hash
+FROM r GROUP BY shard_id ORDER BY shard_id
+"""
+
+ENTRIES["training_order_manifest"] = (
+    training_order_manifest,
+    TRAINING_ORDER_MANIFEST_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against a frequency-derived
+    vocabulary — the coverage check run before committing to a tokenizer
+    vocab.
+
+    One token explode feeds BOTH aggregates: per-(source, token) counts
+    (map-side combinable) and, re-aggregated from that same relation, the
+    global top-16 vocabulary (total order: count desc, token asc — no
+    nondeterministic boundary ties).  The vocabulary is broadcast (16
+    rows; vocab size is a constant, never corpus-scale), so the OOV join
+    adds no shuffle: the corpus is read once, shuffled once on (source,
+    token).
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(16)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
+            ).alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_OOV_RATE_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+st AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+cnt AS (SELECT token, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY token),
+vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 16)
+SELECT st.source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS DOUBLE)
+             / sum(n), 6) AS oov_rate
+FROM st LEFT JOIN vocab v ON st.token = v.token
+GROUP BY st.source ORDER BY st.source
+"""
+
+ENTRIES["vocab_oov_rate"] = (vocab_oov_rate, VOCAB_OOV_RATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: how many distinct 8-token
+    passages each pair of sources shares — the provenance check that
+    catches one crawl re-hosting another's content before both end up in
+    the training mix.
+
+    Posting-list shape, not a self-join: group chunk hashes by value,
+    ``collect_set(source)`` per hash, explode ordered source pairs
+    in-row.  Pairs per chunk are bounded by n_sources², a constant
+    independent of corpus size, so the explosion can never go quadratic
+    in documents — the two shuffles (chunk groupBy, pair groupBy) both
+    move hash/source-width rows, never text.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    ch = docs.select(
+        "source", F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash")
+    )
+    lists = (
+        ch.groupBy("chunk_hash")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
+    return (
+        lists.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH {_ORACLE_CHUNK8.strip().replace("SELECT doc_id, md5", "SELECT doc_id, source, md5").replace("SELECT doc_id, string_split", "SELECT doc_id, source, string_split")},
+s AS (SELECT DISTINCT chunk_hash, source FROM chunk8)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_chunks
+FROM s a JOIN s b ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+ENTRIES["cross_source_overlap"] = (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL)

@@ -294,3 +294,59 @@ def test_leakage_safe_split_single_scan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_training_order_manifest_no_global_sort(spark):
+    """Exact global ordering must come from bucket-rank + broadcast
+    offsets — a single-partition global window (Sort over Exchange
+    SinglePartition of the corpus) would serialize the corpus through
+    one task at scale."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        training_order_manifest,
+    )
+
+    plan = _plan(training_order_manifest(spark, sf_dir()))
+    assert "BroadcastHashJoin" in plan  # 256-row offsets join
+    assert "SortMergeJoin" not in plan
+    # Both windows present: per-bucket row_number + 256-row cumsum.
+    assert plan.count("Window") >= 2
+
+
+def test_vocab_oov_join_is_broadcast_topk(spark):
+    """The vocabulary (constant-size top-k) must be TakeOrdered +
+    broadcast; a shuffle join against a 16-row relation means the
+    planner lost the cardinality plot."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import vocab_oov_rate
+
+    plan = _plan(vocab_oov_rate(spark, sf_dir()))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cross_source_overlap_join_free(spark):
+    """Posting-list pair explosion: one corpus scan, zero join nodes —
+    the self-join formulation would shuffle the chunk relation twice
+    and explode quadratically on hot chunks."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        cross_source_overlap,
+    )
+
+    plan = _plan(cross_source_overlap(spark, sf_dir()))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_events_anomaly_zscore_broadcast_stats(spark):
+    """Per-type stats (type-cardinality) broadcast back onto hourly
+    counts; both aggregations partial — and no window anywhere (a
+    corpus-wide stddev window was the tempting wrong plan)."""
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        events_anomaly_zscore,
+    )
+
+    plan = _plan(events_anomaly_zscore(spark, sf_dir()))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
