@@ -2297,3 +2297,66 @@ GROUP BY 1, 2 ORDER BY source_a, source_b
 """
 
 ENTRIES["cross_source_overlap"] = (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup agreement: every text near-dup pair (3-gram
+    Jaccard) annotated with its embedding cosine and a per-pair verdict
+    on whether the vector space CONFIRMS the lexical evidence.
+
+    Destructive dedup at scale wants two independent witnesses before
+    dropping a document; pairs where the modalities disagree are the
+    review queue (template text with different payloads, or paraphrases
+    the shingles miss).  Pair generation is the join-free Jaccard path;
+    the embedding lookups join the OUTPUT-scale pair relation against
+    the id-keyed vectors — Catalyst picks broadcast-vs-shuffle from pair
+    stats, and nothing corpus-sized is ever broadcast by hint.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    emb = _emb(spark, sf_dir)
+    pairs = D.ngram_jaccard_dedup(docs, threshold=0.35)
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("xva"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("xvb"))
+    scored = S.with_cosine(pairs.join(ea, "doc_a").join(eb, "doc_b"), "xva", "xvb")
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "shared_shingles",
+            "jaccard",
+            "cosine",
+            (F.col("cosine") >= 0.2).alias("both_agree"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ENSEMBLE_NEAR_DUP_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_shingles,
+         round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+)
+SELECT p.doc_a, p.doc_b, p.shared_shingles, p.jaccard,
+       round({_ORACLE_COS.format(a='ea.embedding', b='eb.embedding')}, 6) AS cosine,
+       round({_ORACLE_COS.format(a='ea.embedding', b='eb.embedding')}, 6) >= 0.2 AS both_agree
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.doc_a
+JOIN embeddings eb ON eb.vec_id = p.doc_b
+WHERE p.jaccard >= 0.35
+ORDER BY doc_a, doc_b
+"""
+
+ENTRIES["ensemble_near_dup"] = (ensemble_near_dup, ENSEMBLE_NEAR_DUP_SQL)

@@ -350,3 +350,16 @@ def test_events_anomaly_zscore_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_ensemble_near_dup_single_doc_scan_no_cartesian(spark):
+    """Pair generation must stay join-free (one documents scan); the
+    embedding lookups are two id-keyed equi-joins (embeddings scanned
+    once per side) — never a cartesian/nested-loop, and never a
+    hint-forced broadcast of a corpus-sized relation."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ensemble_near_dup
+
+    plan = _plan(ensemble_near_dup(spark, sf_dir()))
+    assert plan.count("Location: InMemoryFileIndex") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
