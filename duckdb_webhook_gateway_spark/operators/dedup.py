@@ -377,10 +377,11 @@ def minhash_bands_inrow(
     return _stack_bands(mins, num_hashes, rows_per_band)
 
 
-# Candidate relation cached by the most recent minhash_lsh_dedup call;
-# replaced (and the predecessor unpersisted) on the next call so repeated
-# invocations in one session hold at most one cached relation.
-_prev_cand: DataFrame | None = None
+# Relations cached by the most recent minhash_lsh_dedup call (candidate
+# pairs + candidate shingle sets); replaced (and the predecessors
+# unpersisted) on the next call so repeated invocations in one session
+# hold at most one call's worth of cached blocks.
+_prev_cached: list[DataFrame] = []
 
 
 def minhash_lsh_dedup(
@@ -438,23 +439,31 @@ def minhash_lsh_dedup(
         # the SparkContext (memory blocks LRU-evict; disk ones do not).
         .persist()
     )
-    global _prev_cand
-    if _prev_cand is not None:
+    # Verify re-shingles ONLY candidate docs, exactly once: broadcast the
+    # union id list (id-width) into the raw-doc scan, shingle the
+    # survivors, and persist that candidate-cardinality set relation so
+    # BOTH pair sides read it from cache instead of re-scanning/
+    # re-shingling per side.  The full-corpus shingle pass therefore runs
+    # exactly once (bands), the candidate pass exactly once, and what's
+    # broadcast stays id-width (pairs + ids) — never document-sized rows.
+    ids = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
+        .distinct()
+    )
+    sarr_cand = shingle_arrays(
+        docs.join(F.broadcast(ids), id_col), id_col, text_col
+    ).persist()
+    global _prev_cached
+    for rel in _prev_cached:
         try:
-            _prev_cand.unpersist(blocking=False)
+            rel.unpersist(blocking=False)
         except Exception:
             pass  # context may be gone; nothing to release then
-    _prev_cand = cand
-    # Verify sides re-shingle ONLY candidate docs: broadcast the id list
-    # into the raw-doc scan first, then shingle the handful of survivors.
-    # The full-corpus shingle pass therefore runs exactly once (bands) —
-    # not three times — and what's broadcast stays id-width.
+    _prev_cached = [cand, sarr_cand]
+
     def _side(pair_col: str, set_col: str) -> DataFrame:
-        ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
-        restricted = docs.join(F.broadcast(ids), id_col)
         return (
-            shingle_arrays(restricted, id_col, text_col)
-            .select(
+            sarr_cand.select(
                 F.col("doc_id").alias(pair_col), F.col("sarr").alias(set_col)
             )
             .join(F.broadcast(cand), pair_col)
