@@ -102,3 +102,45 @@ def test_chunk_manifest_window_arithmetic_property(spark, tmp_path_factory, leng
         nw = (n - 1) // 48 + 1
         assert out[i]["n_chunks"] == nw, (n, out[i])
         assert out[i]["last_chunk_tokens"] == n - (nw - 1) * 48
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation + pointer jumping must produce EXACTLY the
+    components of a plain union-find on any random edge list (self-loops
+    excluded; duplicates and both orientations allowed)."""
+    from duckdb_webhook_gateway_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {v for e in edges for v in e}
+    roots: dict[int, int] = {}
+    for v in sorted(nodes):
+        roots.setdefault(find(v), v)
+    want = {v: roots[find(v)] for v in nodes}
+
+    assert got == want
