@@ -430,22 +430,35 @@ def minhash_lsh_dedup(
         buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        # Pair-cardinality by LSH design (near-dup pairs + band false
-        # positives — output-scale, not corpus-scale).  Persisted because
-        # three downstream broadcast subplans reference it; without this
-        # each would re-run the bands pipeline, i.e. re-shingle the whole
-        # corpus.  The previous call's cached relation is released below —
-        # persist() alone would pin disk-spilled blocks for the life of
-        # the SparkContext (memory blocks LRU-evict; disk ones do not).
-        .persist()
     )
-    # Verify re-shingles ONLY candidate docs, exactly once: broadcast the
-    # union id list (id-width) into the raw-doc scan, shingle the
-    # survivors, and persist that candidate-cardinality set relation so
-    # BOTH pair sides read it from cache instead of re-scanning/
-    # re-shingling per side.  The full-corpus shingle pass therefore runs
-    # exactly once (bands), the candidate pass exactly once, and what's
-    # broadcast stays id-width (pairs + ids) — never document-sized rows.
+    return _verify_candidates(docs, cand, threshold, id_col, text_col)
+
+
+def _verify_candidates(
+    docs: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verify of an id-pair candidate relation (doc_a, doc_b).
+
+    ``cand`` is pair-cardinality by LSH design (near-dup pairs + band false
+    positives — output-scale, not corpus-scale).  It is persisted because
+    three downstream broadcast subplans reference it; without this each
+    would re-run the candidate pipeline, i.e. re-shingle the whole corpus.
+    The previous call's cached relations are released — persist() alone
+    would pin disk-spilled blocks for the life of the SparkContext (memory
+    blocks LRU-evict; disk ones do not).
+
+    Verify re-shingles ONLY candidate docs, exactly once: broadcast the
+    union id list (id-width) into the raw-doc scan, shingle the survivors,
+    and persist that candidate-cardinality set relation so BOTH pair sides
+    read it from cache instead of re-scanning/re-shingling per side.
+    What's broadcast stays id-width (pairs + ids) — never document-sized
+    rows — and set sizes come free as ``size(sa)``/``size(sb)`` in-row.
+    """
+    cand = cand.persist()
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
         .distinct()
@@ -484,6 +497,101 @@ def minhash_lsh_dedup(
         )
     )
     return _with_jaccard(inter, threshold)
+
+
+# ---------------------------------------------------------------------------
+def build_band_store(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band_id, band_key) — the persistable MinHash signature
+    store for INCREMENTAL dedup.
+
+    In production this relation is written once per corpus (bucketed by
+    ``band_key`` so incremental probes are co-located) and appended per
+    accepted ingest batch; it is ~(4 bands × 32-char key) per document
+    regardless of document size, so the store for a 100 TB corpus is
+    O(100 GB) — scan-able without touching document text.
+    """
+    return minhash_bands_inrow(
+        shingle_arrays(docs, id_col, text_col), num_hashes, rows_per_band
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store: DataFrame | None = None,
+    max_store_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-dup check of a NEW ingest batch against an EXISTING corpus
+    without re-shingling (or even re-reading the text of) the corpus.
+
+    This is the steady-state dedup path at 100 TB: the full
+    ``minhash_lsh_dedup`` runs once to bootstrap, ``build_band_store``
+    persists the signatures, and every subsequent batch runs this —
+    touching the corpus only through (a) the band-key probe of the store
+    and (b) the text of the handful of candidate docs.
+
+    Shuffle budget: the new batch's bands are computed in-row and
+    BROADCAST (an ingest batch is small by contract), so the store-side
+    probe join is map-side — with the store bucketed by band_key it reads
+    shuffle-free; nothing corpus-sized ever moves.  Candidate pairs,
+    bucket-cap counts, and the exact-Jaccard verify are all candidate-
+    cardinality.  Verify re-reads text for candidate ids only (broadcast
+    id semi-join into the doc scans).
+
+    ``max_store_bucket`` caps the number of DISTINCT store docs sharing a
+    probed band key (computed lazily on matched keys only — never a
+    corpus-wide aggregation): a degenerate band bucket (thousands of
+    near-identical corpus docs) would otherwise fan every probing new doc
+    into thousands of verify pairs.  Same rationale as
+    ``minhash_lsh_dedup``'s ``max_bucket_size``; pass ``None`` to disable.
+
+    Returns (doc_a, doc_b, shared_shingles, jaccard) with the pair
+    normalized to doc_a < doc_b; which side is the new doc is recoverable
+    from the caller's batch predicate.
+    """
+    if store is None:
+        store = build_band_store(
+            corpus_docs, num_hashes, rows_per_band, id_col, text_col
+        )
+    new_bands = build_band_store(
+        new_docs, num_hashes, rows_per_band, id_col, text_col
+    )
+    probe = F.broadcast(
+        new_bands.select(
+            F.col("doc_id").alias("new_id"), "band_id", "band_key"
+        )
+    )
+    matched = store.select(
+        F.col("doc_id").alias("store_id"), "band_id", "band_key"
+    ).join(probe, ["band_id", "band_key"])
+    if max_store_bucket is not None:
+        ok_keys = (
+            matched.groupBy("band_id", "band_key")
+            .agg(F.countDistinct("store_id").alias("n_store"))
+            .filter(F.col("n_store") <= max_store_bucket)
+            .select("band_id", "band_key")
+        )
+        matched = matched.join(F.broadcast(ok_keys), ["band_id", "band_key"])
+    cand = (
+        matched.select(
+            F.least("store_id", "new_id").alias("doc_a"),
+            F.greatest("store_id", "new_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docs_all = corpus_docs.unionByName(new_docs)
+    return _verify_candidates(docs_all, cand, threshold, id_col, text_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,104 @@
+"""Stream-stream interval join: correlate the ingest stream with a
+delivery-receipt stream.
+
+The reference has no streaming joins at all (its "streaming" is ad-hoc SQL
+over accumulated audit tables — SURVEY §2B); this is the Spark-native
+completion of the streaming operator surface: windowed aggregation,
+stateful dedup, stream-static enrichment, session windows, and now
+stream-STREAM joins.
+
+Semantics: a receipt matches an envelope when the ``event_id`` is equal
+AND the receipt arrives within ``max_lag`` of ingest
+(``ingest_ts <= receipt_ts <= ingest_ts + max_lag``).  Both sides carry
+watermarks, and the join condition bounds event time on both sides, so
+Spark's state store evicts every buffered row once the watermark passes
+``ingest_ts + max_lag`` — state is O(events within the lag window), not
+O(stream history).  At 100 TB/day that bound is what makes the join
+runnable at all: an unconstrained stream-stream equi-join would buffer
+both streams forever.
+
+Inner join only in the one-shot helpers: inner matches emit as soon as
+both sides arrive (no watermark wait), so ``availableNow`` drains give a
+deterministic answer.  Outer variants additionally need the watermark to
+actually advance past the lag bound before emitting unmatched rows —
+that requires a second trigger with later data and is deliberately not
+wrapped here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .webhook_source import ENVELOPE_SCHEMA
+
+RECEIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("status_code", T.IntegerType(), False),
+        T.StructField("receipt_ts", T.TimestampType(), False),
+    ]
+)
+
+
+def ingest_receipt_join(
+    spark: SparkSession,
+    landing_dir: str,
+    receipt_dir: str,
+    max_lag: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """(event_id, source_path, ingest_ts, status_code, receipt_ts,
+    delivery_lag_us) for every receipt arriving within ``max_lag`` of its
+    envelope's ingest."""
+    env = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .json(landing_dir)
+        .withWatermark("ingest_ts", watermark)
+    )
+    rec = (
+        spark.readStream.schema(RECEIPT_SCHEMA)
+        .json(receipt_dir)
+        .withWatermark("receipt_ts", watermark)
+    )
+    joined = env.join(
+        rec,
+        (env["event_id"] == rec["event_id"])
+        & (rec["receipt_ts"] >= env["ingest_ts"])
+        & (rec["receipt_ts"] <= env["ingest_ts"] + F.expr(f"interval {max_lag}")),
+        "inner",
+    )
+    return joined.select(
+        env["event_id"].alias("event_id"),
+        "source_path",
+        "ingest_ts",
+        "status_code",
+        "receipt_ts",
+        (F.unix_micros("receipt_ts") - F.unix_micros("ingest_ts"))
+        .cast("double")
+        .alias("delivery_lag_us"),
+    )
+
+
+def run_ingest_receipt_join_once(
+    spark: SparkSession,
+    landing_dir: str,
+    receipt_dir: str,
+    max_lag: str = "10 minutes",
+    watermark: str = "2 minutes",
+    query_name: str = "ingest_receipts",
+) -> list:
+    """Drain both directories once through the interval join."""
+    df = ingest_receipt_join(spark, landing_dir, receipt_dir, max_lag, watermark)
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(query_name).collect()
+    q.stop()
+    return rows

@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "dedup_incremental",
     "ensemble_near_dup",
     "events_anomaly_zscore",
     "training_order_manifest",
@@ -57,6 +58,7 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "events_recent_topk",
     "events_pivot_by_type",
     "text_language_id",
     "text_quality",

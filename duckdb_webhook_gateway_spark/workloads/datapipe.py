@@ -168,8 +168,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(_docs(spark, sf_dir, spread=True), threshold=0.5)
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH {_ORACLE_SHINGLES.strip()},
+# Shared oracle CTE chain: per-doc banded minhash signatures (16 hashes /
+# 4 bands, affine family over one md5 per shingle) — must stay identical
+# between the full-LSH and incremental oracles.
+_ORACLE_MINHASH_BANDS = f"""
 shb AS (SELECT doc_id, shingle, {md5_int_expr('shingle', 'duckdb')} AS base FROM sh),
 seeds AS (SELECT s FROM range(0, 16) r(s)),
 mh AS (
@@ -181,7 +183,12 @@ bands AS (
   SELECT doc_id, CAST(s // 4 AS INTEGER) AS band_id,
          md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY s)) AS band_key
   FROM mh GROUP BY doc_id, CAST(s // 4 AS INTEGER)
-),
+)
+"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+{_ORACLE_MINHASH_BANDS.strip()},
 bsz AS (
   SELECT band_id, band_key FROM bands
   GROUP BY band_id, band_key HAVING count(*) BETWEEN 2 AND 256
@@ -192,6 +199,43 @@ cand AS (
   JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
   JOIN bsz s ON s.band_id = a.band_id AND s.band_key = a.band_key
+),
+{_ORACLE_JACCARD_TAIL.strip()}
+SELECT p.doc_a, p.doc_b, p.shared_shingles, p.jaccard
+FROM pairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE p.jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest dedup: the 10%% of docs with doc_id % 10 == 0
+    play the NEW batch; the rest are the existing corpus whose band-key
+    signature store is probed without re-shingling corpus text (see
+    ``operators/dedup.py::incremental_minhash_dedup``)."""
+    docs = _docs(spark, sf_dir, spread=True)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_minhash_dedup(new, corpus, threshold=0.5)
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+{_ORACLE_MINHASH_BANDS.strip()},
+m AS (
+  SELECT s.doc_id AS store_id, n.doc_id AS new_id, s.band_id, s.band_key
+  FROM bands s
+  JOIN bands n ON s.band_id = n.band_id AND s.band_key = n.band_key
+  WHERE s.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+),
+capped AS (
+  SELECT band_id, band_key FROM m
+  GROUP BY band_id, band_key HAVING count(DISTINCT store_id) <= 256
+),
+cand AS (
+  SELECT DISTINCT least(m.store_id, m.new_id) AS doc_a,
+                  greatest(m.store_id, m.new_id) AS doc_b
+  FROM m JOIN capped c ON c.band_id = m.band_id AND c.band_key = m.band_key
 ),
 {_ORACLE_JACCARD_TAIL.strip()}
 SELECT p.doc_a, p.doc_b, p.shared_shingles, p.jaccard
@@ -399,6 +443,7 @@ ENTRIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),

@@ -5,7 +5,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_webhook_gateway_spark.operators.dedup import (
+    build_band_store,
     exact_dedup,
+    incremental_minhash_dedup,
     jaccard_pairs,
     minhash_lsh_dedup,
     ngram_jaccard_dedup,
@@ -43,6 +45,59 @@ def test_ngram_jaccard_finds_near_dup(spark):
 def test_minhash_catches_exact_dup(spark):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(_docs(spark), threshold=0.9).collect()}
     assert (1, 4) in pairs  # identical signatures share every band
+
+
+def test_incremental_finds_cross_batch_dup(spark):
+    """A new batch containing a dup of a corpus doc is flagged; unrelated
+    corpus docs never pair."""
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") == 4)
+    corpus = docs.filter(F.col("doc_id") != 4)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in incremental_minhash_dedup(new, corpus, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 4): 1.0}
+
+
+def test_incremental_accepts_precomputed_store(spark):
+    """Passing the persisted signature store must give the same answer as
+    recomputing it from corpus text (the 100 TB path never re-shingles)."""
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") == 4)
+    corpus = docs.filter(F.col("doc_id") != 4)
+    store = build_band_store(corpus)
+    with_store = sorted(
+        map(tuple, incremental_minhash_dedup(new, corpus, store=store, threshold=0.9).collect())
+    )
+    without = sorted(
+        map(tuple, incremental_minhash_dedup(new, corpus, threshold=0.9).collect())
+    )
+    assert with_store == without == [(1, 4, 7, 1.0)]
+
+
+def test_incremental_equals_full_run_cross_subset(spark):
+    """On the real corpus, incremental(batch=%10) returns exactly the
+    straddling subset of the full LSH run (bucket caps never bind here)."""
+    from conftest import sf_dir
+
+    docs = spark.read.parquet(f"{sf_dir('sf0.001')}/documents.parquet")
+    full = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    cross_expected = {
+        p: v for p, v in full.items() if (p[0] % 10 == 0) != (p[1] % 10 == 0)
+    }
+    inc = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            threshold=0.5,
+        ).collect()
+    }
+    assert inc == cross_expected and len(inc) > 0
 
 
 def test_simhash_identical_docs_same_bucket(spark):

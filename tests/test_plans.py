@@ -174,6 +174,38 @@ def test_minhash_broadcasts_only_id_width_relations(spark):
                 break
 
 
+def test_incremental_dedup_store_probe_is_broadcast(spark):
+    """Incremental dedup must probe the corpus signature store with the
+    NEW batch broadcast (map-side join — the store never shuffles), and
+    no broadcast anywhere may carry document text or shingle arrays.
+    (The candidate-restricted verify joins may shuffle — they are
+    candidate-cardinality by design.)"""
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    out = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+    plan = _plan(out)
+    lines = plan.splitlines()
+    saw_band_probe = False
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Input" in nxt:
+                assert "sarr" not in nxt and "text#" not in nxt, nxt
+                if "band_key" in nxt:
+                    saw_band_probe = True
+                break
+    assert saw_band_probe  # the new batch's bands are what gets broadcast
+
+
 def test_asof_join_is_single_shuffle_window(spark):
     """The as-of join must stay a union + one keyed window — never a
     BroadcastNestedLoopJoin / range crossJoin (the quadratic trap)."""

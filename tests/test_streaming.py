@@ -342,3 +342,55 @@ def test_streaming_session_windows(gateway, spark):
         ("/a", "10:02:30", 1),
         ("/b", "10:00:05", 1),
     ]
+
+
+def test_stream_stream_interval_join(gateway, spark, tmp_path):
+    """Stream-stream interval join: receipts match their envelope only
+    within max_lag of ingest; both sides watermarked so join state is
+    bounded.  The out-of-window receipt and the receipt-less envelope
+    must not produce rows."""
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.joins import (
+        run_ingest_receipt_join_once,
+    )
+
+    sg = StreamingGateway(gateway)
+    receipt_dir = str(tmp_path / "receipts")
+    os.makedirs(receipt_dir)
+    envelopes = [
+        ("e0", "2026-08-13T10:00:00"),  # receipt 30 s later -> match
+        ("e1", "2026-08-13T10:00:00"),  # receipt 20 min later -> no match
+        ("e2", "2026-08-13T10:00:00"),  # no receipt at all
+    ]
+    for i, (eid, ts) in enumerate(envelopes):
+        env = {
+            "event_id": eid,
+            "source_path": "/a",
+            "payload_json": _json.dumps({"i": i}),
+            "ingest_ts": ts,
+        }
+        with open(os.path.join(sg.landing_dir, f"j{i}.json"), "w") as f:
+            f.write(_json.dumps(env) + "\n")
+    receipts = [
+        ("e0", 200, "2026-08-13T10:00:30"),
+        ("e1", 200, "2026-08-13T10:20:00"),
+        ("e9", 404, "2026-08-13T10:00:10"),  # receipt for unknown event
+    ]
+    for i, (eid, code, ts) in enumerate(receipts):
+        with open(os.path.join(receipt_dir, f"r{i}.json"), "w") as f:
+            f.write(
+                _json.dumps(
+                    {"event_id": eid, "status_code": code, "receipt_ts": ts}
+                )
+                + "\n"
+            )
+
+    rows = run_ingest_receipt_join_once(
+        spark, sg.landing_dir, receipt_dir, max_lag="10 minutes",
+        query_name="ingest_receipts_test",
+    )
+    assert [(r.event_id, r.status_code, r.delivery_lag_us) for r in rows] == [
+        ("e0", 200, 30_000_000.0)
+    ]
