@@ -24,6 +24,8 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "source_lang_mix",
+    "passage_savings",
     "dedup_incremental",
     "ensemble_near_dup",
     "events_anomaly_zscore",
@@ -58,6 +60,8 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    "order_priority_rate",
+    "dedup_exact",
     "events_recent_topk",
     "events_pivot_by_type",
     "text_language_id",

@@ -2405,3 +2405,102 @@ ORDER BY doc_a, doc_b
 """
 
 ENTRIES["ensemble_near_dup"] = (ensemble_near_dup, ENSEMBLE_NEAR_DUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition: share of docs per (source, lang)
+    and the dominant language flag — the standard corpus-health check
+    before fixing per-language mixture weights.
+
+    The corpus collapses to (source × lang) cardinality in ONE partial
+    aggregation; both windows then run over that tiny relation, so at
+    100 TB the only corpus-scale work is the map-side count.  Dominance
+    ties break on lang ASC (deterministic across engines)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w_share = Window.partitionBy("source")
+    w_rank = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    return counts.select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_share), 6).alias(
+            "share"
+        ),
+        F.when(F.row_number().over(w_rank) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_dominant"),
+    )
+
+
+SOURCE_LANG_MIX_SQL = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+)
+SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source), 6) AS share,
+       CAST(CASE WHEN row_number() OVER (
+         PARTITION BY source ORDER BY n DESC, lang) = 1 THEN 1 ELSE 0 END
+         AS INTEGER) AS is_dominant
+FROM counts
+"""
+
+ENTRIES["source_lang_mix"] = (source_lang_mix, SOURCE_LANG_MIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+def passage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source passage-dedup savings report: how many 8-token chunks
+    are duplicate occurrences (a lower-doc_id doc already carries the
+    chunk) — the "what would passage dedup buy us" estimate that decides
+    whether the full pipeline is worth running on a new source.
+
+    Chunk hashing is in-row (the shared ``_CHUNK8_EXPR``); the keeper is
+    a min-window over the 16-byte chunk hash, so the shuffle moves
+    (hash, doc_id, source) triples — never text.  The final agg is
+    source-cardinality."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir, spread=True)
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash"),
+    )
+    keeper = chunks.withColumn(
+        "keeper_doc", F.min("doc_id").over(Window.partitionBy("chunk_hash"))
+    )
+    dup = F.sum(
+        F.when(F.col("doc_id") != F.col("keeper_doc"), 1).otherwise(0)
+    )
+    return keeper.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        dup.cast("bigint").alias("dup_chunks"),
+        F.round(
+            dup.cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+PASSAGE_SAVINGS_SQL = f"""
+WITH {_ORACLE_CHUNK8.strip()},
+ranked AS (
+  SELECT doc_id, chunk_hash,
+         min(doc_id) OVER (PARTITION BY chunk_hash) AS keeper_doc
+  FROM chunk8
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN r.doc_id <> r.keeper_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       round(CAST(sum(CASE WHEN r.doc_id <> r.keeper_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+GROUP BY d.source
+"""
+
+ENTRIES["passage_savings"] = (passage_savings, PASSAGE_SAVINGS_SQL)
