@@ -16,11 +16,32 @@ from __future__ import annotations
 
 import json as _json
 import re
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
 
 _JSON_EXTRACT_RE = re.compile(r"\bjson_extract(_string)?\s*\(", re.IGNORECASE)
+
+
+def epoch_us(col: Union[str, Column]) -> Column:
+    """Exact integer epoch microseconds, NTZ-safe (== DuckDB ``epoch_us``).
+
+    The testdata parquet stores naive (non-UTC-adjusted) timestamps, which
+    Spark 4 reads as TIMESTAMP_NTZ when ``parquet.inferTimestampNTZ`` is on
+    (the driver's harness session) and as TIMESTAMP otherwise — and
+    ``unix_micros`` rejects NTZ input outright.  ``timestamp_diff`` from the
+    NTZ epoch accepts NTZ directly with no timezone in the arithmetic; for
+    LTZ input the ``timestamp_ntz`` cast first recovers the wall-clock the
+    naive parquet value was read as, so both session flavors produce the
+    same integer DuckDB computes.  Stays inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
 
 
 def rewrite_dialect(sql: str) -> str:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
+
 
 def sessionize(
     events: DataFrame,
@@ -28,14 +30,13 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_seq`` (1-based per user) to each event."""
     w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
-    # Exact integer microseconds (Spark unix_micros == DuckDB epoch_us);
+    # Exact integer microseconds (epoch_us == DuckDB epoch_us, NTZ-safe);
     # second-granularity unix_timestamp would truncate and misclassify
     # events that straddle the gap by <1s.
     gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(epoch_us(ts_col)).over(w)
     new_session = F.when(
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_us),
+        prev_us.isNull() | ((epoch_us(ts_col) - prev_us) > gap_us),
         1,
     ).otherwise(0)
     return events.withColumn("is_new_session", new_session).withColumn(
@@ -61,7 +62,7 @@ def session_stats(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
                 (
-                    F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+                    epoch_us(F.max(ts_col)) - epoch_us(F.min(ts_col))
                 ).cast("double")
                 / 1_000_000.0,
                 6,

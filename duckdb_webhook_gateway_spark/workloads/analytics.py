@@ -964,7 +964,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix, not a rescan.
     """
     ev = read_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("CAST(unix_micros(ts) DIV 604800000000 AS BIGINT)").alias("wk")
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
+            " CAST(ts AS TIMESTAMP_NTZ)) DIV 604800000000 AS BIGINT)"
+        ).alias("wk"),
     )
     first = ev.withColumn(
         "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))

@@ -12,6 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
 from ..functions.hashing import md5_int_expr
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -1455,7 +1456,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
-        .withColumn("click_us", F.unix_micros("ts"))
+        .withColumn("click_us", epoch_us("ts"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
@@ -1468,7 +1469,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "user_id",
             "click_id",
-            (F.unix_micros("ts") - F.col("click_us")).alias("gap_us"),
+            (epoch_us("ts") - F.col("click_us")).alias("gap_us"),
         )
         .orderBy("purchase_id")
     )

@@ -18,6 +18,13 @@ assert e.entry(spark).count() > 0
 qs = e.queries()
 assert qs["events_json_bucket"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["events_recent_topk"](spark, "/root/testdata/sf0.001").count() > 0
+# TIMESTAMP_NTZ regression: a vanilla Spark 4 session reads the naive
+# parquet ts as NTZ (inferTimestampNTZ on), which unix_micros rejects —
+# every epoch-arithmetic query must run under that dtype (functions.epoch_us).
+ts_type = dict(spark.read.parquet("/root/testdata/sf0.001/events.parquet").dtypes)["ts"]
+assert ts_type == "timestamp_ntz", ts_type
+for q in ("events_sessionize", "events_cohort_retention", "events_asof_attribution"):
+    assert qs[q](spark, "/root/testdata/sf0.001").count() > 0, q
 print("VANILLA_OK")
 """
 
