@@ -24,6 +24,9 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "events_rolling_features",
+    "distinct_kmv_sketch",
+    "events_range_join",
     "source_lang_mix",
     "passage_savings",
     "dedup_incremental",
@@ -50,9 +53,6 @@ _CHECK_FIRST = (
     "text_pattern_scrub",
     "passage_dedup",
     "split_divergence",
-    "text_char_stats",
-    "dataset_split",
-    "corpus_top_bigrams",
     "multimodal_audio_features",
     "multimodal_image_features",
     "dedup_keeplist",
@@ -60,6 +60,11 @@ _CHECK_FIRST = (
     "split_contamination",
 )
 _CHECK_LAST = (
+    # r3-green rotations (driver-verified once; cycle back through the
+    # sample as slots free up):
+    "text_char_stats",
+    "dataset_split",
+    "corpus_top_bigrams",
     "order_priority_rate",
     "dedup_exact",
     "events_recent_topk",

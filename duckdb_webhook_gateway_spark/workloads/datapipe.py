@@ -9,11 +9,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import epoch_us
 from ..functions.hashing import md5_int_expr
+from ..sources.files import read_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -2505,3 +2506,201 @@ GROUP BY d.source
 """
 
 ENTRIES["passage_savings"] = (passage_savings, PASSAGE_SAVINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity features for each purchase event —
+    the classic feature-generation operator for training data (rolling
+    counts/sums keyed to the example's own timestamp).
+
+    A RANGE window frame over exact epoch microseconds: one shuffle keyed
+    by user, then a linear in-partition sweep — Spark's window RangeFrame
+    is O(n) amortized per partition, so the plan survives any scale-up
+    where single-user history fits an executor (true for clickstream
+    data; a pathological single-user firehose would need day-bucketed
+    salting first).  The frame includes same-timestamp peers identically
+    in both engines (RANGE semantics), so results are deterministic.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", epoch_us("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.withColumn("n_1h", F.count(F.lit(1)).over(w))
+        .withColumn("sum_1h", F.round(F.sum("value").over(w), 2))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ROLLING_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+), feat AS (
+  SELECT event_id, user_id, event_type,
+         CAST(count(*) OVER w AS BIGINT) AS n_1h,
+         round(sum(value) OVER w, 2) AS sum_1h
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_1h, sum_1h FROM feat
+WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+ENTRIES["events_rolling_features"] = (events_rolling_features, EVENTS_ROLLING_SQL)
+
+
+# ---------------------------------------------------------------------------
+def distinct_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality: exact count next to a KMV
+    (k-minimum-values) sketch estimate, k=64 — the mergeable-sketch pattern
+    that replaces exact COUNT(DISTINCT) at 100 TB.
+
+    The sketch side never globally sorts: each of 32 hash shards keeps its
+    k smallest md5-derived hash values (map-side combinable groupBy), and
+    merging partial k-mins is EXACTLY the global k-min — the same property
+    that lets a 1000-executor cluster maintain one 64-value sketch per key
+    with no wide sort.  Estimate = (k-1) / U_k where U_k is the k-th
+    smallest hash normalized to [0,1); with fewer than k distinct hashes
+    the sketch is exact by construction.  All hashing is md5 (identical
+    bytes in Spark and DuckDB — functions/hashing.py), so the estimate is
+    bit-reproducible cross-engine.
+    """
+    K = 64
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.expr(md5_int_expr("CAST(user_id AS STRING)", "spark", 12))
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    partial = hashed.groupBy(
+        "event_type", (F.col("h") % 32).alias("shard")
+    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, K).alias("mins"))
+    ranked = (
+        partial.select("event_type", F.explode("mins").alias("h"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+        )
+        .withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+    )
+    # cnt here is the merged candidate count (<= 32*K); when the true
+    # distinct count is below K every hash survives into the merge, so
+    # rn == least(K, cnt) selects the same row the oracle's global rank does.
+    kth = ranked.filter(
+        F.col("rn") == F.least(F.lit(K), F.col("cnt"))
+    ).select("event_type", F.col("h").alias("hk"), "cnt")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(F.col("cnt") < K, F.col("cnt").cast("double")).otherwise(
+        (K - 1) * F.lit(float(16**12)) / F.col("hk")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select("event_type", "n_exact", F.round(est, 4).alias("kmv_est"))
+        .orderBy("event_type")
+    )
+
+
+_KMV_H_DUCK = md5_int_expr("CAST(user_id AS VARCHAR)", "duckdb", 12)
+DISTINCT_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_KMV_H_DUCK} AS h FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM hashed
+), kth AS (
+  SELECT event_type, h AS hk, cnt FROM ranked WHERE rn = least(64, cnt)
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type AS event_type, e.n_exact,
+       round(CASE WHEN k.cnt < 64 THEN CAST(k.cnt AS DOUBLE)
+                  ELSE 63 * 281474976710656.0 / k.hk END, 4) AS kmv_est
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY event_type
+"""
+
+ENTRIES["distinct_kmv_sketch"] = (distinct_kmv_sketch, DISTINCT_KMV_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase joined to ALL same-user clicks in the preceding 30
+    minutes (count + value sum) — the range join that complements the
+    as-of join's most-recent-only semantics.
+
+    Catalyst would execute the raw inequality join as a broadcast
+    nested-loop; instead both sides bucket time into 30-minute epochs and
+    each purchase probes its own and the previous bucket (a window spanning
+    G microseconds overlaps at most 2 G-sized buckets), turning the plan
+    into an equi-join on (user_id, bucket) with a bounded 2x probe fan-out
+    — shuffle-partitionable at any scale, no nested loop.  Zero-click
+    purchases are restored by a final left join against the purchase side.
+    """
+    G = 1_800_000_000  # 30 min in microseconds
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        epoch_us("ts").alias("pus"),
+    )
+    # Integer DIV, not float division-and-cast: epoch micros sit near 2^51,
+    # where a 0.5-ulp FP quotient error can flip a boundary value into the
+    # neighboring bucket and silently drop a matching click.
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        epoch_us("ts").alias("cus"),
+        "value",
+    ).withColumn("bkt", F.expr(f"cus DIV {G}"))
+    probes = p.withColumn(
+        "bkt",
+        F.explode(F.array(F.expr(f"pus DIV {G} - 1"), F.expr(f"pus DIV {G}"))),
+    )
+    matched = (
+        probes.join(c, (probes["user_id"] == c["c_user"]) & (probes["bkt"] == c["bkt"]))
+        .filter((F.col("cus") >= F.col("pus") - G) & (F.col("cus") <= F.col("pus")))
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_30m"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        p.join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_clicks_30m", F.lit(0)).alias("n_clicks_30m"),
+            F.round(F.coalesce("v", F.lit(0.0)), 2).alias("click_value_30m"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS cus, value FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(count(c.cus) AS BIGINT) AS n_clicks_30m,
+       round(coalesce(sum(c.value), 0), 2) AS click_value_30m
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 1800000000 AND p.pus
+GROUP BY p.purchase_id, p.user_id
+ORDER BY p.purchase_id
+"""
+
+ENTRIES["events_range_join"] = (events_range_join, EVENTS_RANGE_JOIN_SQL)

@@ -395,3 +395,39 @@ def test_ensemble_near_dup_single_doc_scan_no_cartesian(spark):
     assert plan.count("Location: InMemoryFileIndex") == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # The 30-min range join must compile to hash equi-joins on
+    # (user_id, bucket) — a BroadcastNestedLoopJoin/CartesianProduct here
+    # is the O(n*m) plan Catalyst emits for raw inequality joins and dies
+    # at scale.
+    from duckdb_webhook_gateway_spark.workloads.datapipe import events_range_join
+
+    plan = _plan(events_range_join(spark, sf_dir()))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_features_single_user_shuffle(spark):
+    # One hash partitioning by user_id feeds the RANGE-frame window; the
+    # only other exchange is the final presentation sort's rangepartition.
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        events_rolling_features,
+    )
+
+    plan = _plan(events_rolling_features(spark, sf_dir()))
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
+
+
+def test_kmv_sketch_no_global_sort_of_hashes(spark):
+    # The sketch must reduce per (event_type, shard) with a map-side
+    # partial aggregate and only rank the tiny merged candidate set — a
+    # global Sort of the distinct-hash relation means the "sketch" is a
+    # full sort in disguise.
+    from duckdb_webhook_gateway_spark.workloads.datapipe import distinct_kmv_sketch
+
+    plan = _plan(distinct_kmv_sketch(spark, sf_dir()))
+    assert "partial_" in plan  # map-side combine on the shard aggregation
+    assert "BroadcastHashJoin" in plan  # 5-row kth/exact merge stays broadcast
