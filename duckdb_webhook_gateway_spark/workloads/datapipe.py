@@ -2704,3 +2704,90 @@ ORDER BY p.purchase_id
 """
 
 ENTRIES["events_range_join"] = (events_range_join, EVENTS_RANGE_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+def corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI (pointwise mutual information) token pairs over the
+    40-token head vocabulary — the corpus-statistics operator behind
+    collocation mining and tokenizer-merge diagnostics.
+
+    Scale shape: the only corpus-cardinality work is one distinct
+    (doc, token) explode feeding a map-side-combinable df count.  The
+    head vocabulary (40 rows) broadcasts into the token stream; per-doc
+    pair generation is in-row over the <=40 surviving tokens (bounded
+    780 pairs/doc regardless of corpus size); the co-occurrence count is
+    vocab^2-bounded, and both df lookups are broadcast joins.  Nothing
+    quadratic in documents, nothing document-sized shuffles twice.
+    """
+    V, MIN_CO, TOPK = 40, 5, 20
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("token")).limit(V)
+    per_doc = (
+        dt.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("token")).alias("ts"))
+    )
+    pair_expr = (
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+    )
+    co = (
+        per_doc.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_CO)
+    )
+    va = vocab.select(F.col("token").alias("a"), F.col("df").alias("c_a"))
+    vb = vocab.select(F.col("token").alias("b"), F.col("df").alias("c_b"))
+    return (
+        co.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(F.lit(n_docs) * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(TOPK)
+    )
+
+
+CORPUS_PMI_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY token
+), vocab AS (
+  SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 40
+), iv AS (
+  SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)
+), pairs AS (
+  SELECT x.doc_id, x.token AS a, y.token AS b
+  FROM iv x JOIN iv y ON x.doc_id = y.doc_id AND x.token < y.token
+), co AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b
+  HAVING count(*) >= 5
+)
+SELECT co.a AS tok_a, co.b AS tok_b, co.c_ab,
+       va.df AS c_a, vb.df AS c_b,
+       round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                * co.c_ab / (va.df * vb.df)), 6) AS pmi
+FROM co JOIN vocab va ON va.token = co.a JOIN vocab vb ON vb.token = co.b
+ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+"""
+
+ENTRIES["corpus_pmi_pairs"] = (corpus_pmi_pairs, CORPUS_PMI_SQL)

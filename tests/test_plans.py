@@ -431,3 +431,16 @@ def test_kmv_sketch_no_global_sort_of_hashes(spark):
     plan = _plan(distinct_kmv_sketch(spark, sf_dir()))
     assert "partial_" in plan  # map-side combine on the shard aggregation
     assert "BroadcastHashJoin" in plan  # 5-row kth/exact merge stays broadcast
+
+
+def test_pmi_pairs_all_joins_broadcast(spark):
+    # Every join is against the 40-row head vocabulary — broadcast only;
+    # per-doc pair generation is in-row, so no document-side SortMergeJoin
+    # (which would mean the corpus shuffles for a vocab lookup) and the
+    # final top-20 is TakeOrderedAndProject, not a global sort.
+    from duckdb_webhook_gateway_spark.workloads.datapipe import corpus_pmi_pairs
+
+    plan = _plan(corpus_pmi_pairs(spark, sf_dir()))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
