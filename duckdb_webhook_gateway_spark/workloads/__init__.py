@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "embedding_label_quality",
     "corpus_pmi_pairs",
     "events_rolling_features",
     "distinct_kmv_sketch",
@@ -57,9 +58,9 @@ _CHECK_FIRST = (
     "multimodal_audio_features",
     "multimodal_image_features",
     "dedup_keeplist",
-    "stratified_sample",
 )
 _CHECK_LAST = (
+    "stratified_sample",
     # r3-green rotations (driver-verified once; cycle back through the
     # sample as slots free up):
     "split_contamination",

@@ -2791,3 +2791,91 @@ ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
 """
 
 ENTRIES["corpus_pmi_pairs"] = (corpus_pmi_pairs, CORPUS_PMI_SQL)
+
+
+# ---------------------------------------------------------------------------
+_EMB_D = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def embedding_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cluster quality: each label's centroid, the mean
+    cosine of members to their own centroid, and how many members sit
+    below a 0.1 cosine margin — the mislabeled-example sweep every
+    embedding-supervised corpus needs.
+
+    Scale shape: centroids come from ONE partial-aggregable groupBy of 64
+    ``avg(element_at(...))`` expressions — vectors never explode and never
+    shuffle; the exchange carries 10 labels × 64 partial sums per map
+    task.  The 10-row centroid relation broadcasts back, and the cosine
+    is an in-row ``aggregate(zip_with(...))`` fold with a fixed left-to-
+    right summation order, matching the oracle's generated 64-term sum
+    exactly (same association order ⇒ same double, before the 1e-6
+    round absorbs cross-row avg() drift).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
+                for i in range(_EMB_D)
+            ]
+        )
+        .select(
+            "label", F.array(*[F.col(f"c{i}") for i in range(_EMB_D)]).alias("centroid")
+        )
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    dot = F.expr(
+        "aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    vn = F.expr(
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    cn = F.expr(
+        "sqrt(aggregate(centroid, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+    )
+    scored = j.select("label", (dot / (vn * cn)).alias("cos"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.sum(F.when(F.col("cos") < 0.1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_marginal"),
+        )
+        .orderBy("label")
+    )
+
+
+def _emb_quality_sql() -> str:
+    cent_cols = ", ".join(
+        f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS c{i}" for i in range(_EMB_D)
+    )
+    dot = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * c.c{i}" for i in range(_EMB_D)
+    )
+    vn = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_D)
+    )
+    cn = " + ".join(f"c.c{i} * c.c{i}" for i in range(_EMB_D))
+    return f"""
+WITH cent AS (
+  SELECT label, {cent_cols} FROM embeddings GROUP BY label
+), scored AS (
+  SELECT e.label,
+         ({dot}) / (sqrt({vn}) * sqrt({cn})) AS cos
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(cos), 6) AS mean_cos,
+       CAST(sum(CASE WHEN cos < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_marginal
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+ENTRIES["embedding_label_quality"] = (embedding_label_quality, _emb_quality_sql())

@@ -444,3 +444,19 @@ def test_pmi_pairs_all_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_centroids_no_explode_no_vector_shuffle(spark):
+    # Centroids must come from a partial-aggregable groupBy of per-dim
+    # avg() expressions: no Generate/Explode of the vector column (64x row
+    # blowup), and the join back to members is the 10-row centroid
+    # broadcast — vectors themselves never shuffle.
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        embedding_label_quality,
+    )
+
+    plan = _plan(embedding_label_quality(spark, sf_dir()))
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
