@@ -144,3 +144,38 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {v: roots[find(v)] for v in nodes}
 
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 _-", min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=15, deadline=None)
+def test_hex_to_int_dialects_bit_equal(spark, values, n):
+    """Spark's conv()-based hex→int must equal DuckDB's nibble-sum for the
+    same md5 input — every oracle-checked hash (dedup, splits, sketches)
+    rides on this equivalence."""
+    import duckdb
+
+    from duckdb_webhook_gateway_spark.functions.hashing import md5_int_expr
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = {
+        r.s: r.v
+        for r in sdf.select(
+            "s", F.expr(md5_int_expr("s", "spark", n)).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in values:
+        expr = md5_int_expr("?", "duckdb", n).replace("md5(?)", "md5(CAST(? AS VARCHAR))")
+        want = con.execute(f"SELECT {expr}", [v] * expr.count("?")).fetchone()[0]
+        assert got[v] == want, (v, n, got[v], want)
