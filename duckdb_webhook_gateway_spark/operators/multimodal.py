@@ -325,3 +325,123 @@ def image_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: YUV4MPEG2 (.y4m) — a REAL uncompressed video container (plain
+# header + raw planar frames) encodable/decodable without media libs.
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, n_sampled int, "
+    "mean_y double"
+)
+
+
+def encode_y4m(frames: "object", fps: int = 25) -> bytes:
+    """Encode (n, h, w, 3) uint8 YUV frames as YUV4MPEG2, C444 planar."""
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        for plane in range(3):
+            out.append(f[:, :, plane].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(blob: bytes) -> "tuple":
+    """Parse a YUV4MPEG2 stream -> ((n, h, w, 3) uint8, width, height).
+
+    Handles the C444 planar layout this engine writes; chroma-subsampled
+    variants (C420 etc.) and parameterized FRAME headers raise
+    ``NotImplementedError`` with the signature intact (same contract as
+    the BMP/WAV decoders: wire in a real AV lib for exotic inputs)."""
+    import numpy as np
+
+    nl = blob.index(b"\n")
+    header = blob[:nl].decode("ascii")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {p[0]: p[1:] for p in header.split()[1:]}
+    w, h = int(params["W"]), int(params["H"])
+    if params.get("C", "420") != "444":
+        raise NotImplementedError(f"chroma mode unsupported: C{params.get('C')}")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        if blob[pos : pos + 6] != b"FRAME\n":
+            raise NotImplementedError("parameterized FRAME headers unsupported")
+        pos += 6
+        planes = np.frombuffer(blob[pos : pos + 3 * fsize], dtype=np.uint8)
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos += 3 * fsize
+    return np.stack(frames), w, h
+
+
+def _synth_frames(doc_id: int, n_chars: int):
+    import numpy as np
+
+    w = n_chars % 8 + 2
+    h = n_chars % 6 + 2
+    n = n_chars % 13 + 1
+    f = np.arange(n, dtype=np.int64)[:, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    yv = (doc_id * 11 + f * 17 + x * 3 + y * 5) % 256
+    u = (doc_id * 5 + f * 3 + x * 7 + y) % 256
+    v = (doc_id + f * 13 + x + y * 9) % 256
+    return np.stack(
+        [np.broadcast_to(c, (n, h, w)) for c in (yv, u, v)], axis=-1
+    ).astype("uint8")
+
+
+def synth_video_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): one real .y4m clip per document (dims, frame count
+    and pixels all deterministic functions of doc_id / n_chars)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), encode_y4m(_synth_frames(int(d), int(n))))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+
+
+def video_features(media: DataFrame, sample_stride: int = 2) -> DataFrame:
+    """Decode .y4m blobs (REAL container parse) and frame-sample: every
+    ``sample_stride``-th frame contributes to the luma mean — the
+    decode → frame-sample → feature-extract pipeline stage for video
+    corpora.  Luma mean is an exact int64 sum over sampled Y planes with
+    one final double division, so the oracle reproduces it bit-exactly."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr, w, h = decode_y4m(bytes(blob))
+                n = arr.shape[0]
+                sampled = arr[::sample_stride, :, :, 0].astype(np.int64)
+                ns = sampled.shape[0]
+                out.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        n,
+                        ns,
+                        round(int(sampled.sum()) / (ns * w * h), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "n_sampled", "mean_y",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)

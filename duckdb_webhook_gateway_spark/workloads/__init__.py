@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "multimodal_video_features",
     "embedding_label_quality",
     "corpus_pmi_pairs",
     "events_rolling_features",
@@ -53,13 +54,13 @@ _CHECK_FIRST = (
     "ann_q8_topk",
     "dedup_clusters",
     "text_pattern_scrub",
-    "passage_dedup",
     "split_divergence",
     "multimodal_audio_features",
     "multimodal_image_features",
     "dedup_keeplist",
 )
 _CHECK_LAST = (
+    "passage_dedup",
     "stratified_sample",
     # r3-green rotations (driver-verified once; cycle back through the
     # sample as slots free up):

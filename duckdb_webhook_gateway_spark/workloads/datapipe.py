@@ -2879,3 +2879,44 @@ FROM scored GROUP BY label ORDER BY label
 
 
 ENTRIES["embedding_label_quality"] = (embedding_label_quality, _emb_quality_sql())
+
+
+# ---------------------------------------------------------------------------
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video round-trip: synthesize genuine YUV4MPEG2 clips (content
+    a deterministic function of doc_id/n_chars), DECODE the container,
+    frame-sample every 2nd frame, and aggregate luma — the oracle
+    reproduces the features from the generating formula, so a hash match
+    proves the encode→decode→frame-sample path end to end."""
+    return M.video_features(M.synth_video_table(_docs(spark, sf_dir))).orderBy(
+        "doc_id"
+    )
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH fs AS (SELECT i AS f FROM range(0, 13) r(i)),
+xs AS (SELECT i AS x FROM range(0, 10) r(i)),
+ys AS (SELECT i AS y FROM range(0, 8) r(i)),
+px AS (
+  SELECT d.doc_id,
+         (d.n_chars % 8) + 2 AS w,
+         (d.n_chars % 6) + 2 AS h,
+         (d.n_chars % 13) + 1 AS nf,
+         (d.doc_id * 11 + f * 17 + x * 3 + y * 5) % 256 AS yv
+  FROM documents d
+  JOIN fs ON f < (d.n_chars % 13) + 1 AND f % 2 = 0
+  JOIN xs ON x < (d.n_chars % 8) + 2
+  JOIN ys ON y < (d.n_chars % 6) + 2
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+       round(CAST(sum(CAST(yv AS BIGINT)) AS DOUBLE)
+             / (((nf + 1) // 2) * w * h), 6) AS mean_y
+FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id
+"""
+
+ENTRIES["multimodal_video_features"] = (
+    multimodal_video_features,
+    MULTIMODAL_VIDEO_SQL,
+)

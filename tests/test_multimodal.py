@@ -69,3 +69,44 @@ def test_image_features_pipeline(spark):
     for r in rows:
         assert 2 <= r.width <= 32 and 2 <= r.height <= 18
         assert 0 <= r.mean_r < 256
+
+
+def test_y4m_roundtrip():
+    import numpy as np
+
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        _synth_frames,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    fr = _synth_frames(42, 257)
+    back, w, h = decode_y4m(encode_y4m(fr))
+    assert np.array_equal(fr, back)
+    assert (w, h) == (fr.shape[2], fr.shape[1])
+
+
+def test_y4m_unsupported_chroma_raises():
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators.multimodal import decode_y4m
+
+    blob = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(6)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(blob)
+
+
+def test_video_features_pipeline(spark):
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        synth_video_table,
+        video_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 50), (2, "y" * 123)], ["doc_id", "text"]
+    ).selectExpr("doc_id", "length(text) AS n_chars")
+    rows = {r.doc_id: r for r in video_features(synth_video_table(docs)).collect()}
+    assert rows[1].n_frames == 50 % 13 + 1
+    assert rows[1].width == 50 % 8 + 2 and rows[1].height == 50 % 6 + 2
+    assert rows[1].n_sampled == (rows[1].n_frames + 1) // 2
+    assert 0.0 <= rows[2].mean_y <= 255.0
