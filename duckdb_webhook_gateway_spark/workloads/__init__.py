@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "source_temperature_mixture",
     "multimodal_video_features",
     "embedding_label_quality",
     "corpus_pmi_pairs",
@@ -50,7 +51,6 @@ _CHECK_FIRST = (
     "source_mixture",
     "sequence_packing",
     "events_asof_attribution",
-    "text_repetition",
     "ann_q8_topk",
     "dedup_clusters",
     "text_pattern_scrub",
@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "dedup_keeplist",
 )
 _CHECK_LAST = (
+    "text_repetition",
     "passage_dedup",
     "stratified_sample",
     # r3-green rotations (driver-verified once; cycle back through the

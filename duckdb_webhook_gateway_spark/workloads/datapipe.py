@@ -2920,3 +2920,72 @@ ENTRIES["multimodal_video_features"] = (
     multimodal_video_features,
     MULTIMODAL_VIDEO_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: p_s ∝ n_s^0.7 — the standard
+    alpha-sampling rule that upweights small domains without flattening
+    to uniform (``source_mixture`` is the alpha→0 extreme, raw sampling
+    is alpha=1; 0.7 is the common multilingual/LLM recipe point).
+
+    Scale shape matches source_mixture: one map-side-combinable
+    groupBy(source) scan of the corpus, then both normalizations via
+    unpartitioned windows over the RESULT (sources-cardinality, ~20
+    rows).  Shares are double ratios of exact integer token counts;
+    pow() last-ulp drift across libms sits ~1e-12, absorbed by the 1e-6
+    round.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy()
+    raw = F.col("n_toks").cast("double") / F.sum("n_toks").over(w)
+    powed = F.pow(F.col("n_toks").cast("double"), 0.7)
+    temp = powed / F.sum(powed).over(w)
+    return (
+        s.select(
+            "source",
+            "n_docs",
+            "n_toks",
+            F.round(raw, 6).alias("raw_share"),
+            F.round(temp, 6).alias("temp_share"),
+            F.round(temp / raw, 6).alias("upsample"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TEMPERATURE_SQL = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_toks,
+         CAST(n_toks AS DOUBLE) / sum(n_toks) OVER () AS raw_share,
+         pow(CAST(n_toks AS DOUBLE), 0.7)
+           / sum(pow(CAST(n_toks AS DOUBLE), 0.7)) OVER () AS temp_share
+  FROM s
+)
+SELECT source, n_docs, n_toks,
+       round(raw_share, 6) AS raw_share,
+       round(temp_share, 6) AS temp_share,
+       round(temp_share / raw_share, 6) AS upsample
+FROM t ORDER BY source
+"""
+
+ENTRIES["source_temperature_mixture"] = (
+    source_temperature_mixture,
+    SOURCE_TEMPERATURE_SQL,
+)
