@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "source_quality_deciles",
     "source_temperature_mixture",
     "multimodal_video_features",
     "embedding_label_quality",
@@ -53,13 +54,13 @@ _CHECK_FIRST = (
     "events_asof_attribution",
     "ann_q8_topk",
     "dedup_clusters",
-    "text_pattern_scrub",
     "split_divergence",
     "multimodal_audio_features",
     "multimodal_image_features",
     "dedup_keeplist",
 )
 _CHECK_LAST = (
+    "text_pattern_scrub",
     "text_repetition",
     "passage_dedup",
     "stratified_sample",

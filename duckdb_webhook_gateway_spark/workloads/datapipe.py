@@ -2989,3 +2989,98 @@ ENTRIES["source_temperature_mixture"] = (
     source_temperature_mixture,
     SOURCE_TEMPERATURE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def source_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality deciles via NTILE: the "keep the top X% of each
+    domain" gate normalized within source, so a verbose domain can't
+    crowd out a terse one under a single global threshold.
+
+    One corpus scan carries source through the token aggregation (no
+    join back), then the NTILE window shuffles once by source; the
+    ordering (score, doc_id) is total, so decile assignment — including
+    NTILE's first-buckets-get-extras distribution — is identical in both
+    engines.  Output is sources × 10 rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    agg = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+        )
+    )
+    sc = agg.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * 0.5
+            + (F.col("n_distinct").cast("double") / F.col("n_tokens")) * 0.5,
+            6,
+        ).alias("q"),
+    )
+    dec = sc.select(
+        "source",
+        "q",
+        # avg() over doubles sums in engine-dependent order, and a decile
+        # mean can land exactly on a 1e-6 rounding boundary — so the mean
+        # is computed from exact integer micro-units (q is already
+        # 6-dp-rounded, so round(q*1e6) is the same BIGINT in both
+        # engines) with ONE final double division.
+        F.round(F.col("q") * 1_000_000, 0).cast("bigint").alias("qq"),
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("q", "doc_id"))
+        .alias("decile"),
+    )
+    return (
+        dec.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            # NOT re-rounded: a decile mean can sit exactly on a half-ulp
+            # boundary where Spark (BigDecimal HALF_UP on the shortest
+            # decimal) and DuckDB (binary-double) round apart.  The value
+            # is already deterministic — exact integer sum, then two
+            # single divisions — so both engines emit the identical double.
+            (
+                F.sum("qq").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+            ).alias("avg_q"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+SOURCE_QUALITY_DECILES_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+), agg AS (
+  SELECT doc_id, source, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+  FROM tok GROUP BY 1, 2
+), sc AS (
+  SELECT doc_id, source,
+         round(least(1.0, n_tokens / 100.0) * 0.5
+               + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5, 6) AS q
+  FROM agg
+), dec AS (
+  SELECT source, q,
+         CAST(round(q * 1000000, 0) AS BIGINT) AS qq,
+         ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS decile
+  FROM sc
+)
+SELECT source, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(q), 6) AS min_q, round(max(q), 6) AS max_q,
+       CAST(sum(qq) AS DOUBLE) / (count(*) * 1000000.0) AS avg_q
+FROM dec GROUP BY source, decile ORDER BY source, decile
+"""
+
+ENTRIES["source_quality_deciles"] = (
+    source_quality_deciles,
+    SOURCE_QUALITY_DECILES_SQL,
+)
