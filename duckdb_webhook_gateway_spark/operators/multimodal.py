@@ -445,3 +445,56 @@ def video_features(media: DataFrame, sample_stride: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+RESIZE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "mean_r8 double, mean_g8 double, mean_b8 double"
+)
+
+
+def resize_nn(arr: "object", out_w: int, out_h: int) -> "object":
+    """Nearest-neighbor resize of an (h, w, c) array via integer source
+    mapping: src_x = out_x·w DIV out_w (floor) — pure index arithmetic,
+    so the oracle can address the same source pixels symbolically."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return arr[sy[:, None], sx[None, :]]
+
+
+def resized_image_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode BMP blobs, nearest-neighbor resize to out_w×out_h, and
+    aggregate the thumbnail's channel means — the decode → resize →
+    feature stage of an image-corpus pipeline.  Integer-exact sums over
+    the fixed-size thumbnail (one division by out_w·out_h)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob))
+                h, w, _ = arr.shape
+                small = resize_nn(arr, out_w, out_h).astype(np.int64)
+                sums = small.sum(axis=(0, 1))
+                n = out_w * out_h
+                out.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        round(int(sums[0]) / n, 6),
+                        round(int(sums[1]) / n, 6),
+                        round(int(sums[2]) / n, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "mean_r8", "mean_g8", "mean_b8"],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_FEATURE_SCHEMA)

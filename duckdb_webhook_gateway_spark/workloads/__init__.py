@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "multimodal_image_resize",
     "source_quality_deciles",
     "source_temperature_mixture",
     "multimodal_video_features",
@@ -46,7 +47,6 @@ _CHECK_FIRST = (
     "split_ngram_decontamination",
     "mixture_resample",
     "bpe_merge_candidates",
-    "boilerplate_ratio",
     "doc_chunk_manifest",
     "quality_funnel",
     "source_mixture",
@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "dedup_keeplist",
 )
 _CHECK_LAST = (
+    "boilerplate_ratio",
     "text_pattern_scrub",
     "text_repetition",
     "passage_dedup",

@@ -3084,3 +3084,38 @@ ENTRIES["source_quality_deciles"] = (
     source_quality_deciles,
     SOURCE_QUALITY_DECILES_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize (8×8) → thumbnail channel means,
+    over real BMP blobs.  The oracle evaluates the pixel-generating
+    formula at the resize's integer source mapping (sx = ox·w DIV 8), so
+    a hash match proves decode AND the resize index arithmetic."""
+    return M.resized_image_features(M.synth_image_table(_docs(spark, sf_dir))).orderBy(
+        "doc_id"
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH xs AS (SELECT i AS ox FROM range(0, 8) r(i)),
+ys AS (SELECT i AS oy FROM range(0, 8) r(i)),
+px AS (
+  SELECT d.doc_id,
+         (d.n_chars % 31) + 2 AS w,
+         (d.n_chars % 17) + 2 AS h,
+         (ox * ((d.n_chars % 31) + 2)) // 8 AS sx,
+         (oy * ((d.n_chars % 17) + 2)) // 8 AS sy
+  FROM documents d, xs, ys
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       round(CAST(sum((doc_id + 3 * sx + 5 * sy) % 256) AS DOUBLE) / 64, 6) AS mean_r8,
+       round(CAST(sum((doc_id * 7 + sx + 2 * sy) % 256) AS DOUBLE) / 64, 6) AS mean_g8,
+       round(CAST(sum((doc_id + sx * sy) % 256) AS DOUBLE) / 64, 6) AS mean_b8
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+ENTRIES["multimodal_image_resize"] = (
+    multimodal_image_resize,
+    MULTIMODAL_RESIZE_SQL,
+)

@@ -110,3 +110,28 @@ def test_video_features_pipeline(spark):
     assert rows[1].width == 50 % 8 + 2 and rows[1].height == 50 % 6 + 2
     assert rows[1].n_sampled == (rows[1].n_frames + 1) // 2
     assert 0.0 <= rows[2].mean_y <= 255.0
+
+
+def test_resize_nn_maps_corners_and_means(spark):
+    import numpy as np
+
+    from duckdb_webhook_gateway_spark.operators.multimodal import resize_nn
+
+    arr = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    small = resize_nn(arr, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert (small[0, 0] == arr[0, 0]).all()  # top-left fixed point
+    # last output row/col maps to floor(7*h/8), floor(7*w/8) — never OOB
+    assert (small[7, 7] == arr[(7 * 3) // 8, (7 * 5) // 8]).all()
+
+
+def test_resized_image_features_pipeline(spark):
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        resized_image_features,
+        synth_image_table,
+    )
+
+    docs = spark.createDataFrame([(3, 77)], ["doc_id", "n_chars"])
+    r = resized_image_features(synth_image_table(docs)).collect()[0]
+    assert r.width == 77 % 31 + 2 and r.height == 77 % 17 + 2
+    assert 0.0 <= r.mean_r8 <= 255.0
