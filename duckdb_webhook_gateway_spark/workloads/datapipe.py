@@ -3119,3 +3119,92 @@ ENTRIES["multimodal_image_resize"] = (
     multimodal_image_resize,
     MULTIMODAL_RESIZE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distribution diagnostics: total/vocabulary token
+    counts, unigram Shannon entropy (bits), and the Zipf slope — the OLS
+    fit of ln(freq) on ln(rank) over the top-100 terms.  Entropy and the
+    Zipf exponent are the first things to drift when a scrape goes bad
+    (boilerplate flattens entropy; dedup failures steepen the head).
+
+    Scale shape: ONE token groupBy is the only corpus-cardinality work.
+    Entropy reuses the same vocab relation with the 1-row totals
+    broadcast in; the regression runs over a bounded 100-row TakeOrdered
+    head (its unpartitioned rank window is 100 rows by construction, not
+    corpus-sized).  Per-term double terms are identical cross-engine;
+    only summation order differs, absorbed by the 1e-6 round.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        freq.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
+    order = [F.desc("c"), F.asc("token")]
+    top = (
+        freq.orderBy(*order)
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    reg = top.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    return (
+        tot.crossJoin(ent)
+        .crossJoin(reg)
+        .select(
+            F.col("n").alias("n_tokens"),
+            F.col("v").alias("vocab_size"),
+            "entropy_bits",
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+CORPUS_ZIPF_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM freq),
+ent AS (
+  SELECT round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+           AS entropy_bits
+  FROM freq, tot
+),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+  FROM freq ORDER BY c DESC, token LIMIT 100
+),
+reg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         sum(ln(CAST(rnk AS DOUBLE))) AS sx,
+         sum(ln(CAST(c AS DOUBLE))) AS sy,
+         sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+         sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))) AS sxx
+  FROM top
+)
+SELECT t.n AS n_tokens, t.v AS vocab_size, e.entropy_bits,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+FROM tot t, ent e, reg
+"""
+
+ENTRIES["corpus_zipf_stats"] = (corpus_zipf_stats, CORPUS_ZIPF_SQL)
