@@ -48,11 +48,12 @@ _SCHEMA_CACHE: dict = {}
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing physical-type quirks.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark only
-    reads as a nanos LongType (session flag
-    ``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
-    TimestampType so SQL semantics match every other engine reading the
-    same file (DuckDB also truncates ns -> µs at the Python boundary).
+    The driver has shipped ``events.ts`` in two physical generations:
+    TIMESTAMP(NANOS) (readable only as a nanos LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong``, converted to µs below) and
+    naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ by a vanilla Spark 4
+    session — left as-is; epoch arithmetic goes through the NTZ-safe
+    ``functions.epoch_us``).  Both paths yield DuckDB-identical values.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
