@@ -77,3 +77,50 @@ def run_windowed_counts_once(
     rows = spark.table(query_name).collect()
     q.stop()
     return rows
+
+
+def replay_hourly_counts(
+    spark: SparkSession, events: DataFrame, landing_dir: Optional[str] = None
+) -> DataFrame:
+    """Replay a batch events relation through Structured Streaming and
+    return the tumbling 1-hour (window_start, event_type) counts — the
+    oracle-checkable bridge between the batch and streaming halves of the
+    engine: identical answers whether events arrive as a table or as a
+    stream of files.
+
+    The batch rows land as JSON envelopes; a file-source stream reads
+    them back (TIMESTAMP_NTZ event time — wall-clock semantics, matching
+    DuckDB's naive timestamps) and aggregates with ``F.window`` under
+    ``availableNow``, so the run drains everything and terminates.  No
+    watermark: Spark requires LTZ event time for watermarks, and this
+    bounded replay in complete mode retracts nothing — the unbounded
+    production path (``windowed_event_counts``) keeps its LTZ
+    ``ingest_ts`` watermark for state bounds.
+    """
+    import tempfile
+    import uuid
+
+    if landing_dir is None:
+        landing_dir = tempfile.mkdtemp(prefix="stream_replay_")
+    events.coalesce(4).write.mode("overwrite").json(landing_dir)
+    stream = spark.readStream.schema(
+        "event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"
+    ).json(landing_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    name = "hourly_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")

@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",
     "source_quality_deciles",
@@ -45,7 +46,6 @@ _CHECK_FIRST = (
     "leakage_safe_split",
     "events_cohort_retention",
     "join_key_skew",
-    "split_ngram_decontamination",
     "bpe_merge_candidates",
     "doc_chunk_manifest",
     "quality_funnel",
@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "dedup_keeplist",
 )
 _CHECK_LAST = (
+    "split_ngram_decontamination",
     "mixture_resample",
     "boilerplate_ratio",
     "text_pattern_scrub",

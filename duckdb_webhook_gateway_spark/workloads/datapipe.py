@@ -3208,3 +3208,31 @@ FROM tot t, ent e, reg
 """
 
 ENTRIES["corpus_zipf_stats"] = (corpus_zipf_stats, CORPUS_ZIPF_SQL)
+
+
+# ---------------------------------------------------------------------------
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming entry in the correctness gate: the events
+    table replays through a file-source stream into a tumbling 1-hour
+    event-time window aggregate (``streaming/aggregates.py::
+    replay_hourly_counts``), and the result must hash-match the plain
+    GROUP BY the oracle runs — proving stream/batch answer equivalence,
+    the core Structured Streaming guarantee."""
+    from ..streaming.aggregates import replay_hourly_counts
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    return replay_hourly_counts(spark, ev)
+
+
+STREAMING_HOURLY_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ENTRIES["streaming_hourly_counts"] = (
+    streaming_hourly_counts,
+    STREAMING_HOURLY_SQL,
+)
