@@ -229,8 +229,13 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
+
+    ``keep_vec=True`` carries the vector through as column ``v`` so
+    callers that score within clusters (``semantic_dedup``) skip a
+    shuffle-join back to the corpus.
 
     The IVF coarse quantizer: with C centroids the corpus is split into C
     inverted lists; search then probes a few lists instead of the whole
@@ -244,10 +249,13 @@ def ivf_assign(
     )
     scored = with_cosine(v.crossJoin(F.broadcast(c)), "v", "cv", out="c_cos")
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    cols = ["vec_id", "centroid_id"]
+    if keep_vec:
+        cols.append("v")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .select(*cols)
     )
 
 
@@ -410,6 +418,80 @@ def near_dup_pairs_lsh(
     scored = with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"), "xva", "xvb")
     return scored.filter(F.col("cosine") >= threshold).select(
         "vec_a", "vec_b", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    vectors: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster only.
+
+    Centroids here are the ``num_clusters`` lowest-id vectors —
+    deterministic, so the DuckDB oracle can replay the index exactly; at
+    production scale feed ``kmeans_fit`` centroids in instead (the plan
+    shape is identical).  The cluster assignment is what bounds the
+    otherwise-quadratic pair space: the dup scan self-joins keyed on
+    ``centroid_id``, so each task scores one cluster's ~N/C vectors — the
+    same candidates-within-buckets shape as MinHash-LSH and
+    ``lsh_buckets``, but in embedding space (catches paraphrases that
+    share no n-grams).
+
+    A vector is a dup if some LOWER-id vector in the same cluster has
+    rounded cosine >= ``threshold`` (keep-lowest-id greedy, matching the
+    exact/MinHash dedup family).  Returns one row per cluster:
+    (cluster_id, n_members, n_dups).
+    """
+    assigned = ivf_assign(
+        vectors,
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(num_clusters)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_vec=True,
+    )
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    # shuffle_hash, not the planner default: both sides are corpus-
+    # cardinality, so letting the small-SF planner pick a broadcast join
+    # here would pin a corpus-sized build side (the round-2 scale-killer
+    # pattern).  Shuffling on centroid_id co-locates each cluster on one
+    # task, which is exactly SemDeDup's unit of work.  (At production
+    # scale, materialize `assigned` once and reuse it; it is left
+    # unmaterialized here so the oracle-checked builder stays a pure
+    # plan-returning function — the recomputes are linear scans.)
+    dup_ids = (
+        with_cosine(
+            a.hint("shuffle_hash")
+            .join(b, "centroid_id")
+            .filter(F.col("a_id") < F.col("b_id")),
+            "va",
+            "vb",
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("centroid_id", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    members = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    dups = dup_ids.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_dups")
+    )
+    return members.join(dups, "centroid_id", "left").select(
+        F.col("centroid_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
     )
 
 

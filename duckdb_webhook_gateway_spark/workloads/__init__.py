@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "semantic_dedup",
     "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",

@@ -3236,3 +3236,46 @@ ENTRIES["streaming_hourly_counts"] = (
     streaming_hourly_counts,
     STREAMING_HOURLY_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 deterministic centroids,
+    within-cluster cosine >= 0.45 marks the higher id as a semantic dup
+    (operators/similarity.py::semantic_dedup)."""
+    return S.semantic_dedup(_emb(spark, sf_dir), num_clusters=8, threshold=0.45)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         round({_ORACLE_COS.format(a='e.embedding', b='c.cemb')}, 6) AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id, b.centroid_id
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({_ORACLE_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.45
+)
+SELECT a.centroid_id AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_dups
+FROM assign a
+LEFT JOIN (
+  SELECT centroid_id, count(*) AS n FROM dups GROUP BY centroid_id
+) d ON a.centroid_id = d.centroid_id
+GROUP BY a.centroid_id, d.n
+"""
+
+ENTRIES["semantic_dedup"] = (semantic_dedup, SEMANTIC_DEDUP_SQL)

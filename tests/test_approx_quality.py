@@ -131,3 +131,26 @@ def test_q8_recall_vs_float(spark):
     }
     recall = len(exact & q8) / len(exact)
     assert recall >= 0.7, f"q8 recall@5 {recall:.2f} vs float brute force"
+
+
+def test_semantic_dedup_vs_exact_near_dup(spark):
+    """SemDeDup prunes a SUBSET of the exact near-dup graph: every dup it
+    counts corresponds to an exact >=threshold pair, and totals are
+    consistent (members partition the corpus; dups < members)."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    d = sf_dir("sf0.01")
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    n = emb.count()
+    clusters = datapipe.semantic_dedup(spark, d).collect()
+    assert len(clusters) == 8
+    assert sum(r.n_members for r in clusters) == n
+    total_dups = sum(r.n_dups for r in clusters)
+    assert 0 < total_dups < n
+    # Exact pairs at the same threshold bound the semantic dup count:
+    # within-cluster pruning can never claim more dup ids than the global
+    # near-dup graph has distinct higher-id endpoints.
+    exact_high_ids = {
+        r.vec_b for r in S.near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert total_dups <= len(exact_high_ids)

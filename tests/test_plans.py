@@ -460,3 +460,32 @@ def test_embedding_centroids_no_explode_no_vector_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_semantic_dedup_broadcasts_only_centroids(spark):
+    """SemDeDup's only broadcast is the K-row centroid relation (the
+    assignment crossJoin); the corpus itself must never be broadcast, and
+    the within-cluster dup scan must key on centroid_id (equi-join), not
+    a cartesian pair blow-up."""
+    from duckdb_webhook_gateway_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, num_clusters=8))
+    # Assignment: centroids broadcast to a nested-loop crossJoin.
+    assert "BroadcastNestedLoopJoin" in plan
+    # Dup scan: hinted shuffle-hash equi-join on centroid_id.  A plain
+    # cartesian would be O(N^2) rows, and a planner-picked broadcast of
+    # either pair side would pin a corpus-sized build table at scale.
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Input" in nxt:
+                # Only the K-row relations may broadcast: centroid vectors
+                # (cv/embedding + centroid_id) or the K-row dup-count side
+                # of the final summary join — never a corpus pair side.
+                assert "va#" not in nxt and "vb#" not in nxt, nxt
+                break
