@@ -98,12 +98,20 @@ def main() -> None:
     # inflated the later timed loop ~4×).
     timings: dict[str, float] = {}
     total = 0.0
+    jvm_system = spark.sparkContext._jvm.System
     for name in names:
         fn, _ = entries[name]
         try:
             fn(spark, WARMUP_DIR).count()
         except Exception:
             pass
+        # Force a JVM GC before each timed pair: the ContextCleaner only
+        # reclaims dead broadcasts/shuffles after a GC notices them, and
+        # letting 27 plans' worth pile up produces multi-second GC pauses
+        # that land inside LATER queries' timed windows (observed: the
+        # same query 0.75 s or 2.8 s depending on when the pause hit —
+        # measurement noise, not engine time).
+        jvm_system.gc()
         # Best of two timed runs: this host is shared, and a co-tenant CPU
         # burst during a single run has been observed to inflate one query
         # 10-20×; min-of-2 reports the engine, not the neighbors.  For the
