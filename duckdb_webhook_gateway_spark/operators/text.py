@@ -8,7 +8,7 @@ deterministic division, so the DuckDB oracle reproduces results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int_expr
@@ -222,4 +222,77 @@ def tfidf_top_terms(
             F.col("col.tfidf").alias("tfidf"),
             (F.col("pos") + 1).cast("int").alias("term_rank"),
         )
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 4000,
+) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020, arXiv:1911.00359):
+    score every document by the cross-entropy of an add-one-smoothed
+    bigram LM trained on the corpus itself, then decile-bucket so the
+    high-perplexity tail (gibberish, boilerplate, OCR noise) can be
+    dropped.
+
+    bits(w1,w2) = -log2((c(w1,w2)+1) / (c(w1)+V)); a document's score is
+    the mean over its bigrams, rounded to 1e-6 before the decile window
+    (sum-order FP drift is ~1e-13, so rounding makes the NTILE ordering
+    engine-portable; ties break on doc_id).
+
+    Plan shape: the two count relations are vocab-cardinality (paired
+    partial/final HashAggregates), and the probability lookup joins key
+    on words — corpus bigram occurrences shuffle once per join key.
+    Stop-word contexts make c(w1) skewed: at cluster scale run with AQE
+    skew-join enabled (session default) or salt w1.  The final NTILE is
+    a single global window over DOC-cardinality rows (doc_id, score) —
+    at 100 TB replace with broadcast approx-quantile cutoffs; kept exact
+    here so the DuckDB oracle can replay it bit-for-bit.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.slice(F.split(F.col(text_col), " "), 1, max_tokens).alias("t"),
+    )
+    tok = t.select("doc_id", F.explode("t").alias("token"))
+    big = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni_c = tok.groupBy(F.col("token").alias("w1")).agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    big_c = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("cb"))
+    vocab = tok.agg(
+        F.countDistinct("token").cast("bigint").alias("vocab")
+    )
+    scored = (
+        big.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("cb") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))).alias("bits"),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("bits"), 6).alias("bits_per_bigram"),
+    )
+    w = Window.orderBy(F.asc("bits_per_bigram"), F.asc("doc_id"))
+    return doc_scores.select(
+        "doc_id",
+        "n_bigrams",
+        "bits_per_bigram",
+        F.ntile(10).over(w).cast("int").alias("ppl_decile"),
     )

@@ -25,6 +25,7 @@ from . import analytics, datapipe  # noqa: E402
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
     "semantic_dedup",
+    "lm_perplexity_filter",
     "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",

@@ -3279,3 +3279,42 @@ GROUP BY a.centroid_id, d.n
 """
 
 ENTRIES["semantic_dedup"] = (semantic_dedup, SEMANTIC_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality scoring with decile buckets
+    (operators/text.py::lm_perplexity) — the CCNet-style 'train a small
+    LM on the corpus, drop the high-perplexity tail' pipeline stage."""
+    return X.lm_perplexity(_docs(spark, sf_dir))
+
+
+LM_PERPLEXITY_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, t[i] AS token FROM toks JOIN nums ON i <= len(t)),
+big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks JOIN nums ON i <= len(t) - 1),
+uni_c AS (SELECT token AS w1, CAST(count(*) AS BIGINT) AS c1
+          FROM tok GROUP BY token),
+big_c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+          FROM big GROUP BY w1, w2),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab FROM tok),
+scored AS (
+  SELECT b.doc_id, -log2((bc.cb + 1.0) / (uc.c1 + v.vocab)) AS bits
+  FROM big b JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+             JOIN uni_c uc ON b.w1 = uc.w1
+             CROSS JOIN v
+),
+doc_scores AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(bits), 6) AS bits_per_bigram
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, bits_per_bigram,
+       CAST(ntile(10) OVER (ORDER BY bits_per_bigram, doc_id) AS INTEGER)
+         AS ppl_decile
+FROM doc_scores
+"""
+
+ENTRIES["lm_perplexity_filter"] = (lm_perplexity_filter, LM_PERPLEXITY_SQL)

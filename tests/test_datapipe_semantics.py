@@ -127,3 +127,26 @@ def test_bpe_counts_are_freq_weighted_and_skip_single_chars(spark, tmp_path):
     assert set(out) == {"a b", "b c"}
     assert out["a b"]["pair_count"] == 3 and out["a b"]["n_vocab_positions"] == 2
     assert out["b c"]["pair_count"] == 1
+
+
+def test_lm_perplexity_flags_gibberish(spark, tmp_path):
+    """A document of corpus-frequent bigrams must land in a strictly lower
+    perplexity decile than a document of singleton gibberish bigrams, and
+    deciles must partition the scored docs evenly."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        lm_perplexity_filter,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common, "en", "web") for i in range(18)]
+    rows.append((98, "zq xv qj vk jx kq", "en", "web"))  # unique bigrams
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in lm_perplexity_filter(spark, d).collect()}
+    assert len(out) == 19
+    sizes = {}
+    for r in out.values():
+        sizes[r.ppl_decile] = sizes.get(r.ppl_decile, 0) + 1
+    assert sum(sizes.values()) == 19 and max(sizes.keys()) == 10
+    assert out[98].ppl_decile == 10  # gibberish lands in the worst decile
+    assert out[98].bits_per_bigram > out[0].bits_per_bigram
+    assert out[0].ppl_decile == 1  # common-bigram doc, lowest tie-break id
