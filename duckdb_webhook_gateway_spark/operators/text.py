@@ -296,3 +296,96 @@ def lm_perplexity(
         "bits_per_bigram",
         F.ntile(10).over(w).cast("int").alias("ppl_decile"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    max_tokens: int = 4000,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): weight
+    every document by how much its hashed-bigram feature distribution
+    looks like a TARGET domain rather than the raw corpus.
+
+    ``target`` is a boolean Column marking target-domain docs (e.g.
+    ``F.col("lang") == "en"``).  Features are word bigrams hashed into
+    ``n_buckets`` buckets; both the raw and target bucket distributions
+    are add-one smoothed, and a document's weight is the mean
+    log2(p_target/p_raw) over its bigram occurrences.  ``selected`` =
+    weight > 0 (importance-ratio above 1).
+
+    Plan shape: the target flag is evaluated in-row BEFORE the bigram
+    explode, so distribution-building needs no doc-id join at all — just
+    two bucket-keyed aggregations (both ``n_buckets``-cardinality with
+    map-side partials) plus a single-row totals agg.  The learned
+    distribution (n_buckets rows) and totals then BROADCAST back into
+    the per-occurrence scoring join: the corpus shuffles only for the
+    final per-doc aggregate.
+    """
+    from ..functions.hashing import md5_int_expr
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.slice(F.split(F.col(text_col), " "), 1, max_tokens).alias("t"),
+        target.alias("is_tgt"),
+    )
+    feats = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            ).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            (F.expr(md5_int_expr("feat", "spark")) % n_buckets).alias("bucket"),
+        )
+    )
+    raw_c = feats.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("cr")
+    )
+    tgt_c = (
+        feats.filter("is_tgt")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    tot = feats.agg(
+        F.count("*").cast("bigint").alias("nr"),
+        F.count_if("is_tgt").cast("bigint").alias("nt"),
+    )
+    dist = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(n_buckets)))
+                )
+                - F.log2(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = feats.join(F.broadcast(dist), "bucket").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.round(F.avg("lr"), 6).alias("logratio_per_feature"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "logratio_per_feature",
+        (F.col("logratio_per_feature") > 0).alias("selected"),
+    )

@@ -26,6 +26,7 @@ from . import analytics, datapipe  # noqa: E402
 _CHECK_FIRST = (
     "semantic_dedup",
     "lm_perplexity_filter",
+    "dsir_selection",
     "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",

@@ -3318,3 +3318,42 @@ FROM doc_scores
 """
 
 ENTRIES["lm_perplexity_filter"] = (lm_perplexity_filter, LM_PERPLEXITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting toward the lang='en' target domain
+    (operators/text.py::dsir_weights): hashed-bigram distribution ratio,
+    selected = weight > 0."""
+    return X.dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
+
+
+DSIR_SELECTION_SQL = f"""
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                (lang = 'en') AS is_tgt FROM documents),
+feats AS (
+  SELECT doc_id, is_tgt,
+         ({md5_int_expr("t[i] || ' ' || t[i+1]", 'duckdb')}) % 1024 AS bucket
+  FROM toks JOIN nums ON i <= len(t) - 1
+),
+raw_c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+          FROM feats GROUP BY bucket),
+tgt_c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+          FROM feats WHERE is_tgt GROUP BY bucket),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+               CAST(count(*) FILTER (is_tgt) AS BIGINT) AS nt FROM feats),
+dist AS (
+  SELECT r.bucket,
+         log2((coalesce(t.ct, 0) + 1.0) / (tot.nt + 1024.0))
+           - log2((r.cr + 1.0) / (tot.nr + 1024.0)) AS lr
+  FROM raw_c r LEFT JOIN tgt_c t USING (bucket) CROSS JOIN tot
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       round(avg(d.lr), 6) AS logratio_per_feature,
+       round(avg(d.lr), 6) > 0 AS selected
+FROM feats f JOIN dist d USING (bucket)
+GROUP BY f.doc_id
+"""
+
+ENTRIES["dsir_selection"] = (dsir_selection, DSIR_SELECTION_SQL)

@@ -154,3 +154,19 @@ def test_semantic_dedup_vs_exact_near_dup(spark):
         r.vec_b for r in S.near_dup_pairs(emb, threshold=0.45).collect()
     }
     assert total_dups <= len(exact_high_ids)
+
+
+def test_dsir_selection_enriches_target_domain(spark):
+    """DSIR's selected set must be substantially enriched for the target
+    domain vs the base rate — the whole point of importance resampling."""
+    d = sf_dir("sf0.01")
+    docs = spark.read.parquet(d + "/documents.parquet")
+    en = {r.doc_id for r in docs.filter("lang = 'en'").select("doc_id").collect()}
+    base_rate = len(en) / docs.count()
+    sel = {
+        r.doc_id
+        for r in datapipe.dsir_selection(spark, d).filter("selected").collect()
+    }
+    assert sel, "DSIR selected nothing"
+    precision = len(sel & en) / len(sel)
+    assert precision >= base_rate + 0.25, (precision, base_rate)
