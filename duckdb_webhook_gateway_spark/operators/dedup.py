@@ -731,3 +731,73 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
+def substring_dedup(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): find
+    every maximal span whose ``window_tokens``-token substrings also occur
+    elsewhere in the corpus — the scalable stand-in for their suffix
+    array (any shared >=k-token substring contains a shared k-token
+    window, so window-hash matching finds the same spans).
+
+    OVERLAPPING stride-1 windows, unlike ``passage_dedup``'s aligned
+    chunks: a copied passage is caught at ANY offset.  Window hashes are
+    computed in-row (one md5 per window); the ONLY corpus-scale shuffle
+    keys on the 32-char window hash, where a count window marks hashes
+    seen >=2 times (within- or cross-doc).  Duplicated windows then merge
+    into maximal spans per doc via the classic interval cummax — window
+    partitioned by doc, so span merging never crosses executors with
+    doc-cardinality state.
+
+    Returns only docs containing duplicated spans: (doc_id, n_tokens,
+    n_dup_spans, n_dup_tokens, dup_token_frac).
+    """
+    k = window_tokens
+    t = tokenized(docs, id_col, text_col)
+    win = (
+        t.filter(F.size("t") >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}), i -> "
+                    f"struct(i AS pos, md5(concat_ws(' ', slice(t, i, {k}))) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "n_tokens", "w.pos", "w.h")
+    )
+    dup = (
+        win.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "n_tokens", "pos", (F.col("pos") + k - 1).alias("pend"))
+    )
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup.withColumn("cm", F.max("pend").over(prior))
+        .withColumn(
+            "new_island",
+            F.when(F.col("cm").isNull() | (F.col("cm") < F.col("pos")), 1).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("new_island").over(ordered))
+        .groupBy("doc_id", "n_tokens", "island_id")
+        .agg(F.min("pos").alias("s"), F.max("pend").alias("e"))
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("n_dup_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s") + 1) / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_token_frac"),
+    )

@@ -27,6 +27,7 @@ _CHECK_FIRST = (
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",
+    "substring_dup_spans",
     "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",

@@ -3357,3 +3357,51 @@ GROUP BY f.doc_id
 """
 
 ENTRIES["dsir_selection"] = (dsir_selection, DSIR_SELECTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup via overlapping 8-token window hashes +
+    maximal-span interval merge (operators/dedup.py::substring_dedup)."""
+    return D.substring_dedup(_docs(spark, sf_dir, spread=True))
+
+
+SUBSTRING_DUP_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, i AS pos,
+         md5(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS h,
+         len(t) AS n_tokens
+  FROM toks JOIN nums ON i <= len(t) - 7
+),
+dup_h AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+dupw AS (
+  SELECT w.doc_id, w.pos, w.pos + 7 AS pend, w.n_tokens
+  FROM win w JOIN dup_h USING (h)
+),
+islands AS (
+  SELECT doc_id, pos, pend, n_tokens,
+         CASE WHEN max(pend) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+              THEN 0 ELSE 1 END AS new_island
+  FROM dupw
+),
+spans AS (
+  SELECT doc_id, n_tokens,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island_id,
+         pos, pend
+  FROM islands
+),
+merged AS (
+  SELECT doc_id, n_tokens, island_id, min(pos) AS s, max(pend) AS e
+  FROM spans GROUP BY doc_id, n_tokens, island_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens,
+       round(sum(e - s + 1) * 1.0 / n_tokens, 6) AS dup_token_frac
+FROM merged GROUP BY doc_id, n_tokens
+"""
+
+ENTRIES["substring_dup_spans"] = (substring_dup_spans, SUBSTRING_DUP_SQL)

@@ -218,3 +218,30 @@ def test_cc_empty_pairs_returns_empty(spark):
 
     df = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
     assert connected_components(df).count() == 0
+
+
+def test_substring_dedup_catches_unaligned_copy_and_merges_spans(spark):
+    """A copied 8-token passage is caught at ANY offset (stride-1 windows,
+    unlike aligned chunking), overlapping windows merge into one maximal
+    span, and clean docs don't appear."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"  # 10 shared tokens
+    rows = [
+        (1, "intro words " + passage + " outro"),          # offset 3
+        (2, "x1 x2 x3 x4 x5 " + passage),                  # offset 6 (unaligned)
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),     # unique, >=8 tokens
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 " * 2),               # self-repetition
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    # Doc 1: tokens 3..12 are the copied passage -> one merged 10-token span.
+    assert out[1].n_dup_spans == 1 and out[1].n_dup_tokens == 10
+    # Doc 2: same passage at a different offset -> also one 10-token span.
+    assert out[2].n_dup_spans == 1 and out[2].n_dup_tokens == 10
+    # Doc 4: "r1..r8 r1..r8" — every window repeats (the sequence itself
+    # appears twice), so the merged span covers the whole doc.
+    assert out[4].dup_token_frac == 1.0

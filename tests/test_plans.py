@@ -489,3 +489,19 @@ def test_semantic_dedup_broadcasts_only_centroids(spark):
                 # of the final summary join — never a corpus pair side.
                 assert "va#" not in nxt and "vb#" not in nxt, nxt
                 break
+
+
+def test_substring_dedup_single_hash_shuffle_no_joins(spark):
+    """Window hashes are computed in-row and marked duplicated by a count
+    window — the plan must be join-free, with exchanges keyed only on the
+    window hash h (dup marking) and doc_id (span merge): nothing
+    text-sized or pair-quadratic ever moves."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    plan = _plan(substring_dedup(docs))
+    assert "Join" not in plan
+    keys = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert keys, "expected keyed exchanges"
+    for l in keys:
+        assert "h#" in l or "doc_id#" in l, l
