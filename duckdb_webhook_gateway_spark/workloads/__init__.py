@@ -28,6 +28,7 @@ _CHECK_FIRST = (
     "lm_perplexity_filter",
     "dsir_selection",
     "substring_dup_spans",
+    "events_profile",
     "streaming_hourly_counts",
     "corpus_zipf_stats",
     "multimodal_image_resize",

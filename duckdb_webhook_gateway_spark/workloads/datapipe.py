@@ -3405,3 +3405,38 @@ FROM merged GROUP BY doc_id, n_tokens
 """
 
 ENTRIES["substring_dup_spans"] = (substring_dup_spans, SUBSTRING_DUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profile of the events table
+    (operators/profile.py::table_profile)."""
+    from ..operators.profile import table_profile
+
+    return table_profile(read_table(spark, sf_dir, "events"))
+
+
+def _profile_col_sql(name: str, repr_fn) -> str:
+    return f"""
+SELECT '{name}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {repr_fn(f'min({name})')} AS min_repr,
+       {repr_fn(f'max({name})')} AS max_repr
+FROM events"""
+
+
+EVENTS_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(n, r)
+    for n, r in [
+        ("event_id", lambda x: f"CAST({x} AS VARCHAR)"),
+        ("ts", lambda x: f"strftime({x}, '%Y-%m-%d %H:%M:%S')"),
+        ("user_id", lambda x: f"CAST({x} AS VARCHAR)"),
+        ("event_type", lambda x: x),
+        ("value", lambda x: f"printf('%.6f', {x})"),
+        ("props", lambda x: x),
+    ]
+)
+
+ENTRIES["events_profile"] = (events_profile, EVENTS_PROFILE_SQL)

@@ -150,3 +150,23 @@ def test_lm_perplexity_flags_gibberish(spark, tmp_path):
     assert out[98].ppl_decile == 10  # gibberish lands in the worst decile
     assert out[98].bits_per_bigram > out[0].bits_per_bigram
     assert out[0].ppl_decile == 1  # common-bigram doc, lowest tie-break id
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    from duckdb_webhook_gateway_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", None)],
+        "id long, s string, v double",
+    )
+    out = {r.column_name: r for r in table_profile(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["v"].n_nulls == 2 and out["v"].n_distinct == 2
+    assert out["v"].min_repr == "1.500000" and out["v"].max_repr == "2.500000"
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 4
+    # One scan: the multi-distinct aggregate compiles to a single Expand,
+    # not one job per column.
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
