@@ -96,3 +96,135 @@ def run_dedup_once(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization: the stateful twin of the batch
+# operators/sessions.py::sessionize (gap-based, 30-min default).
+# ---------------------------------------------------------------------------
+
+SESSION_INPUT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, value double"
+)
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+# One open session per user rides across micro-batches (and restarts —
+# it lives in the checkpointed state store).
+SESSION_STATE_SCHEMA = (
+    "start long, last long, n long, sv double"
+)
+
+_US = 1_000_000
+
+
+def _session_rows(user_id, sessions):
+    """Arrow-safe emission: timestamp columns must be datetime64, not
+    object-dtype lists of pd.Timestamp (object columns crash the Arrow
+    serializer in the state runner)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+            "session_start": pd.to_datetime(
+                [s[0] for s in sessions], unit="us"
+            ),
+            "session_end": pd.to_datetime(
+                [s[1] for s in sessions], unit="us"
+            ),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            "sum_value": pd.Series([s[3] for s in sessions], dtype="float64"),
+        }
+    )
+
+
+def _session_group(key, pdfs, state):
+    """Fold a user's events (event-time order) into gap-separated
+    sessions: emit every session CLOSED by a later event; park the open
+    tail in state.  If an idle timeout is configured (continuous mode),
+    its firing flushes the parked session."""
+    (user_id,) = key
+    gap_us = 30 * 60 * _US
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n, sv = state.get
+            yield _session_rows(user_id, [(start, last, n, sv)])
+        state.remove()
+        return
+
+    cur = list(state.get) if state.exists else None
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, val in zip(pdf["ts"], pdf["value"]):
+            t = ts.value // 1000  # pandas ns -> epoch us
+            if cur is None:
+                cur = [t, t, 0, 0.0]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 0, 0.0]
+            cur[1] = t
+            cur[2] += 1
+            cur[3] += float(val)
+    if closed:
+        yield _session_rows(user_id, closed)
+    state.update(tuple(cur))
+
+
+def session_stream(
+    spark: SparkSession, events_dir: str, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming DataFrame of CLOSED sessions (gap 30 min) per user.
+
+    Reads an events-shaped json drop directory as a file stream; state is
+    one open session per user, so memory is user-cardinality regardless
+    of stream length — the built-in ``F.session_window`` gives windowed
+    aggregates, while this operator variant controls emission
+    (close-on-gap) and arbitrary session payload.
+
+    ``idle_timeout_ms`` enables a processing-time idle flush of parked
+    sessions for CONTINUOUS queries (processing-time triggers).  Leave it
+    None for ``availableNow``/drain usage: timeout-conf'd stateful ops
+    re-trigger empty micro-batches under availableNow (observed to spin
+    hundreds of batches into a Spark-internal planning error), and a
+    drain closes sessions deterministically via later events anyway.
+    """
+
+    def group_fn(key, pdfs, state):
+        yield from _session_group(key, pdfs, state)
+        if idle_timeout_ms is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    stream = spark.readStream.schema(SESSION_INPUT_SCHEMA).json(events_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        group_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_sessions_once(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Drain available events once, appending closed sessions to out_dir."""
+    q = (
+        session_stream(spark, events_dir)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

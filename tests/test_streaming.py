@@ -394,3 +394,52 @@ def test_stream_stream_interval_join(gateway, spark, tmp_path):
     assert [(r.event_id, r.status_code, r.delivery_lag_us) for r in rows] == [
         ("e0", 200, 30_000_000.0)
     ]
+
+
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """Gap-closed sessions emit as later events arrive; the open tail
+    rides the checkpointed state across drains (restart-safe)."""
+    import json as _json
+
+    from duckdb_webhook_gateway_spark.streaming.stateful import (
+        run_sessions_once,
+    )
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions.parquet")
+
+    def drop(name, rows):
+        with open(events_dir / name, "w") as f:
+            for eid, ts, uid, val in rows:
+                f.write(_json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "value": val}
+                ) + "\n")
+
+    t = "2026-01-01T10:{m:02d}:00"
+    drop("b1.json", [
+        (1, t.format(m=0), 1, 1.0),
+        (2, t.format(m=10), 1, 2.0),   # same session (gap 10 min)
+        (3, "2026-01-01T11:00:00", 1, 4.0),  # 50-min gap -> closes s1
+        (4, t.format(m=5), 2, 8.0),    # user 2, stays open
+    ])
+    run_sessions_once(spark, str(events_dir), ckpt, out)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1  # only user 1's first session has closed
+    s1 = got[0]
+    assert s1.user_id == 1 and s1.n_events == 2 and s1.sum_value == 3.0
+    assert s1.session_start.minute == 0 and s1.session_end.minute == 10
+
+    drop("b2.json", [
+        (5, "2026-01-01T13:00:00", 1, 0.5),   # closes user 1's second session
+        (6, "2026-01-01T14:00:00", 2, 0.25),  # closes user 2's first session
+    ])
+    run_sessions_once(spark, str(events_dir), ckpt, out)
+    rows = {(r.user_id, r.n_events, r.sum_value)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (1, 2, 3.0),   # drain-1 emission, still present (append sink)
+        (1, 1, 4.0),   # user 1 session 2, closed by event 5
+        (2, 1, 8.0),   # user 2 session 1, closed by event 6
+    }
