@@ -170,3 +170,45 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     # not one job per column.
     plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Every doc lands in exactly one shard, assignment is identical
+    across runs/partitionings, shard dirs are hive-partitioned, and the
+    manifest totals match the input."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.shards import (
+        with_shard,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, out, n_shards=8, token_col="n_tokens"
+    ).collect()
+    assert [r.shard_id for r in manifest] == list(range(8))
+    assert sum(r.n_docs for r in manifest) == 500
+    assert sum(r.n_tokens for r in manifest) == sum(i % 7 + 1 for i in range(500))
+    assert len(glob.glob(out + "/shard_id=*")) == 8
+    # Hash sharding balances within ~3x at this size (no empty shards).
+    sizes = [r.n_docs for r in manifest]
+    assert min(sizes) > 0 and max(sizes) / min(sizes) < 3
+
+    # Re-derive assignment under a different partitioning: identical.
+    a = {r.doc_id: r.shard_id for r in with_shard(docs, 8).collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in with_shard(docs.repartition(13), 8).collect()
+    }
+    assert a == b
+    back = spark.read.parquet(out)
+    c = {r.doc_id: r.shard_id for r in back.select("doc_id", "shard_id").collect()}
+    assert c == a
