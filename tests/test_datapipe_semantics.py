@@ -166,10 +166,13 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     assert out["v"].n_nulls == 2 and out["v"].n_distinct == 2
     assert out["v"].min_repr == "1.500000" and out["v"].max_repr == "2.500000"
     assert out["id"].n_nulls == 0 and out["id"].n_distinct == 4
-    # One scan: the multi-distinct aggregate compiles to a single Expand,
-    # not one job per column.
+    # Every corpus-touching aggregate must be hash-based: the multi-
+    # distinct Expand formulation degrades to SortAggregate over the
+    # expanded corpus when string min/max is present (non-mutable agg
+    # buffer).  Only the distinct-cardinality rollup may sort.
     plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_training_shards_deterministic_and_complete(spark, tmp_path):
