@@ -179,3 +179,53 @@ def test_hex_to_int_dialects_bit_equal(spark, values, n):
         expr = md5_int_expr("?", "duckdb", n).replace("md5(?)", "md5(CAST(? AS VARCHAR))")
         want = con.execute(f"SELECT {expr}", [v] * expr.count("?")).fetchone()[0]
         assert got[v] == want, (v, n, got[v], want)
+
+
+def _py_dup_spans(texts: list[str], k: int = 8):
+    """Pure-Python mirror of substring_dedup: window hashes -> dup mark ->
+    interval merge."""
+    from collections import Counter
+
+    wins = []  # (doc, pos(1-based), window-string)
+    counts: Counter = Counter()
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i : i + k])
+            wins.append((d, i + 1, w))
+            counts[w] += 1
+    spans: dict[int, list[list[int]]] = {}
+    for d, pos, w in wins:
+        if counts[w] < 2:
+            continue
+        iv = [pos, pos + k - 1]
+        cur = spans.setdefault(d, [])
+        if cur and iv[0] <= cur[-1][1]:
+            cur[-1][1] = max(cur[-1][1], iv[1])
+        else:
+            cur.append(iv)
+    return {
+        d: (len(ivs), sum(e - s + 1 for s, e in ivs))
+        for d, ivs in spans.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.lists(_token, min_size=8, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_substring_dedup_matches_python_mirror(spark, texts):
+    """Span count and duplicated-token totals match an independent
+    interval-merge implementation on random corpora (tiny alphabet makes
+    shared windows likely, including self-repeats)."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup
+
+    out = {
+        r.doc_id: (r.n_dup_spans, r.n_dup_tokens)
+        for r in substring_dedup(_docs_df(spark, texts)).collect()
+    }
+    assert out == _py_dup_spans(texts)
