@@ -1,0 +1,86 @@
+"""Mergeable streaming sketches that replace corpus-wide shuffles at scale.
+
+``misra_gries_candidates`` implements the classic deterministic
+heavy-hitters summary (Misra & Gries 1982): each partition keeps at most
+``k`` counters over its local stream; any item whose LOCAL frequency
+exceeds n_p/k is guaranteed to survive that partition's summary.  By
+pigeonhole, any item with GLOBAL frequency > n/k must exceed n_p/k in at
+least one partition, so the union of per-partition candidate sets is a
+superset of the true heavy hitters — regardless of how rows are
+partitioned.  ``heavy_hitters`` then recounts ONLY the candidates
+(broadcast semi-join, output-cardinality aggregate) and filters with the
+integer-exact ``cnt * k > n`` test, which discards every false positive.
+The final result is therefore deterministic and partitioning-independent
+even though the intermediate candidate set is not.
+
+At 100 TB the payoff is that the corpus is never shuffled on the item
+key: pass 1 is a map-only mapInPandas emitting <= partitions x k
+candidate rows; pass 2 aggregates only rows matching the broadcast
+candidate list (<= partitions x k distinct keys).  An exact top-k via
+groupBy would shuffle every (item, count) pair — vocabulary-cardinality
+— and a skewed hot key lands on one reducer; here hot keys are absorbed
+map-side by the counter array.
+
+The reference has no sketch machinery (single-node DuckDB can always
+afford the exact GROUP BY); this extends SURVEY.md §2's aggregate family
+with the canonical bounded-memory form, same spirit as the KMV distinct
+sketch in workloads/datapipe.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries; returns a 1-column DataFrame
+    ``[col]`` whose distinct values form a superset of every item with
+    global frequency > n/k.  Map-only: no shuffle, <= k rows emitted per
+    partition.  The candidate SET depends on partition boundaries; only
+    its guaranteed-superset property is contract.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[col].values:
+                c = counters.get(item)
+                if c is not None:
+                    counters[item] = c + 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all; drop zeros (amortized O(1) per row:
+                    # each decrement pays back one earlier increment)
+                    counters = {t: c - 1 for t, c in counters.items() if c > 1}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(mg, schema=f"{col} string")
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int, total: int | None = None
+) -> DataFrame:
+    """All items with frequency strictly greater than n/k, with exact
+    counts — computed in two map-side passes (MG candidates + recount of
+    candidates only), never a vocabulary-wide shuffle.
+
+    ``total`` lets callers who already counted the stream skip the extra
+    count job.  Output columns: ``[col, cnt]``, deterministic for any
+    partitioning.
+    """
+    cand = misra_gries_candidates(df, col, k).distinct()
+    n = total if total is not None else df.count()
+    counts = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # integer-exact threshold: freq > n/k  <=>  freq * k > n
+    return counts.filter(F.col("cnt") * k > F.lit(n))

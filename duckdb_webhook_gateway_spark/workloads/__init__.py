@@ -24,6 +24,7 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    "token_heavy_hitters",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

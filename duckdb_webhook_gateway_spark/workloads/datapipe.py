@@ -18,6 +18,7 @@ from ..sources.files import read_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
+from ..operators import sketches as SK
 from ..operators import text as X
 
 
@@ -3440,3 +3441,44 @@ EVENTS_PROFILE_SQL = " UNION ALL ".join(
 )
 
 ENTRIES["events_profile"] = (events_profile, EVENTS_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with frequency > n/k (k=100) via per-partition Misra-Gries
+    summaries + exact recount of candidates only
+    (operators/sketches.py::heavy_hitters).
+
+    The corpus is never shuffled on the token key: pass 1 is a map-only
+    mapInPandas emitting <= partitions*k candidates, pass 2 recounts only
+    rows semi-joined against the broadcast candidate list.  The candidate
+    set varies with partitioning but the integer-exact ``cnt * k > n``
+    filter makes the OUTPUT deterministic — which is what the oracle's
+    plain GROUP BY .. HAVING verifies.  Contrast `corpus_top_bigrams`,
+    which shuffles the full (token, count) vocabulary.
+    """
+    K = 100
+    toks = _docs(spark, sf_dir, spread=True).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n_toks = toks.count()
+    hh = SK.heavy_hitters(toks, "token", K, total=n_toks)
+    return hh.select(
+        "token",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(n_toks), 6).alias("share"),
+    ).orderBy(F.desc("cnt"), "token")
+
+
+TOKEN_HEAVY_HITTERS_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) * 1.0 / max(n), 6) AS share
+FROM tok, tot
+GROUP BY token
+HAVING count(*) * 100 > max(n)
+ORDER BY cnt DESC, token
+"""
+
+ENTRIES["token_heavy_hitters"] = (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL)

@@ -1,0 +1,96 @@
+"""Misra-Gries heavy hitters: superset guarantee + exact, deterministic
+output under adversarial partitionings.
+
+The operator's contract (operators/sketches.py) is that the FINAL output
+equals the exact set {item : freq > n/k} for ANY physical partitioning of
+the input — the per-partition candidate sets may differ, but the
+integer-exact recount filter erases that.  These tests drive skewed data
+through hostile layouts (all-one-partition, item-clustered, round-robin)
+and diff against a plain-Python exact count.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_webhook_gateway_spark.operators import sketches as SK
+
+
+def _zipf_tokens():
+    # deterministic skew: token_i appears ~ N/(i+1) times
+    toks = []
+    for i in range(40):
+        toks.extend([f"tok{i:02d}"] * (400 // (i + 1)))
+    return toks
+
+
+def _exact_hh(tokens, k):
+    n = len(tokens)
+    return {t: c for t, c in Counter(tokens).items() if c * k > n}
+
+
+@pytest.mark.parametrize("k", [5, 20, 100])
+@pytest.mark.parametrize("layout", ["single", "clustered", "roundrobin"])
+def test_heavy_hitters_exact_any_partitioning(spark, k, layout):
+    toks = _zipf_tokens()
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    if layout == "single":
+        df = df.coalesce(1)
+    elif layout == "clustered":
+        # worst case for candidate locality: all copies of a token land
+        # in the same partition
+        df = df.repartition(8, "token")
+    else:
+        df = df.repartition(8)
+
+    got = {
+        r["token"]: r["cnt"]
+        for r in SK.heavy_hitters(df, "token", k).collect()
+    }
+    assert got == _exact_hh(toks, k)
+
+
+def test_candidates_are_superset(spark):
+    toks = _zipf_tokens()
+    df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(8)
+    k = 10
+    cand = {
+        r["token"]
+        for r in SK.misra_gries_candidates(df, "token", k).distinct().collect()
+    }
+    assert set(_exact_hh(toks, k)) <= cand
+    # bounded summary: at most partitions * k candidates survive
+    assert len(cand) <= 8 * k
+
+
+def test_no_heavy_hitters_when_uniform(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(500)], "token string"
+    ).repartition(4)
+    assert SK.heavy_hitters(df, "token", 50).count() == 0
+
+
+def test_total_shortcut_matches(spark):
+    toks = _zipf_tokens()
+    df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(4)
+    a = sorted(map(tuple, SK.heavy_hitters(df, "token", 8).collect()))
+    b = sorted(
+        map(tuple, SK.heavy_hitters(df, "token", 8, total=len(toks)).collect())
+    )
+    assert a == b
+
+
+def test_plan_is_map_side(spark):
+    """Candidate pass must be shuffle-free: mapInPandas straight over the
+    scan, no Exchange below it."""
+    df = spark.createDataFrame([("a",), ("b",)], "token string")
+    plan = (
+        SK.misra_gries_candidates(df, "token", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
