@@ -113,3 +113,53 @@ def asof_join_backward(
     for c in right_value_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def bloom_semi_filter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int = 4096,
+    h: int = 2,
+) -> DataFrame:
+    """Bloom-style pre-filter of ``probe`` against ``build``'s key set —
+    the shuffle-avoidance pattern for joins whose big side is mostly
+    non-matching rows.
+
+    Uses the *partitioned* Bloom variant (one m-slot array per hash
+    function, Kirsch-Mitzenmacher style): for each of ``h`` seeded md5
+    hash functions the build side collapses to its DISTINCT slot set
+    (<= min(m, |build|) rows — tiny), broadcast, and the probe side keeps
+    only rows whose slot is present for EVERY hash function.  Guarantees:
+    no false negatives (every matching row survives); false positives are
+    deterministic given (m, h, md5), so downstream exact joins see a
+    reproducible input in both engines.
+
+    At 100 TB this is the difference between shuffling the full fact
+    table into a join versus shuffling only the ~selectivity fraction
+    that can possibly match: the filter is h broadcast semi-joins, all
+    map-side.  (Spark's AQE injects runtime bloom filters with the same
+    shape; this explicit form is engine-portable and oracle-checkable.)
+    """
+    from ..functions.hashing import md5_int_expr
+
+    out = probe
+    for j in range(1, h + 1):
+        build_slot = F.expr(
+            md5_int_expr(
+                f"'{j}:' || CAST({build_key} AS STRING)", "spark", 12
+            )
+        ) % m
+        probe_slot = F.expr(
+            md5_int_expr(
+                f"'{j}:' || CAST({probe_key} AS STRING)", "spark", 12
+            )
+        ) % m
+        slots = build.select(build_slot.alias(f"_bloom{j}")).distinct()
+        out = out.withColumn(f"_p{j}", probe_slot).join(
+            F.broadcast(slots),
+            F.col(f"_p{j}") == F.col(f"_bloom{j}"),
+            "left_semi",
+        ).drop(f"_p{j}")
+    return out

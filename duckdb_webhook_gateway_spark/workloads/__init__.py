@@ -25,6 +25,7 @@ from . import analytics, datapipe  # noqa: E402
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
     "token_heavy_hitters",
+    "bloom_prefilter_join",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

@@ -1145,3 +1145,76 @@ ENTRIES["events_anomaly_zscore"] = (
     events_anomaly_zscore,
     EVENTS_ANOMALY_ZSCORE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# bloom_prefilter_join — Bloom pre-filter before an exact join
+# (operators/joins.py::bloom_semi_filter).  At 100 TB the fact side is
+# pre-filtered map-side (h broadcast slot-set semi-joins) so only rows
+# that can possibly match reach the join shuffle; false positives are
+# md5-deterministic, so both engines see the identical pre-filtered
+# relation and the identical final aggregate.  Revenue sums in integer
+# cents — no float-association drift.
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_semi_filter
+
+    M, H = 1024, 2
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pre = bloom_semi_filter(orders, cust, "o_custkey", "c_custkey", m=M, h=H)
+    n_probe = orders.count()
+    n_pass = pre.count()
+    return (
+        pre.join(cust, pre.o_custkey == cust.c_custkey)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matching"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            F.lit(n_probe).cast("bigint").alias("n_probe"),
+            F.lit(n_pass).cast("bigint").alias("n_prefiltered"),
+            "n_matching",
+            (F.lit(n_pass) - F.col("n_matching")).cast("bigint").alias(
+                "false_pos"
+            ),
+            "revenue_cents",
+        )
+    )
+
+
+def _bloom_slot(prefix: str, key: str) -> str:
+    from ..functions.hashing import md5_int_expr
+
+    col_sql = f"'{prefix}:' || CAST({key} AS VARCHAR)"
+    return f"(({md5_int_expr(col_sql, 'duckdb', 12)}) % 1024)"
+
+
+BLOOM_PREFILTER_SQL = f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+b1 AS (SELECT DISTINCT {_bloom_slot('1', 'c_custkey')} AS h FROM build),
+b2 AS (SELECT DISTINCT {_bloom_slot('2', 'c_custkey')} AS h FROM build),
+pre AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE {_bloom_slot('1', 'o_custkey')} IN (SELECT h FROM b1)
+    AND {_bloom_slot('2', 'o_custkey')} IN (SELECT h FROM b2)
+),
+m AS (
+  SELECT p.o_totalprice FROM pre p JOIN build b ON p.o_custkey = b.c_custkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM pre) AS n_prefiltered,
+       CAST(count(*) AS BIGINT) AS n_matching,
+       (SELECT CAST(count(*) AS BIGINT) FROM pre)
+         - CAST(count(*) AS BIGINT) AS false_pos,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM m
+"""
+
+ENTRIES["bloom_prefilter_join"] = (bloom_prefilter_join, BLOOM_PREFILTER_SQL)

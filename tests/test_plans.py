@@ -505,3 +505,37 @@ def test_substring_dedup_single_hash_shuffle_no_joins(spark):
     assert keys, "expected keyed exchanges"
     for l in keys:
         assert "h#" in l or "doc_id#" in l, l
+
+
+def test_bloom_prefilter_is_broadcast_semi_chain(spark):
+    """The bloom pre-filter must reach the probe side as h broadcast
+    LeftSemi joins (map-side slot lookups) — never a shuffled join or a
+    probe-side exchange below the filter."""
+    from duckdb_webhook_gateway_spark.operators.joins import bloom_semi_filter
+    from duckdb_webhook_gateway_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir(), "orders")
+    cust = read_table(spark, sf_dir(), "customer").select("c_custkey")
+    plan = _plan(bloom_semi_filter(orders, cust, "o_custkey", "c_custkey"))
+    assert plan.count("BroadcastHashJoin LeftSemi") == 2, plan
+    assert "SortMergeJoin" not in plan
+    # shuffles may appear only under the tiny build-side slot distinct;
+    # the probe (orders) columns must never be a shuffle partitioning key
+    for line in plan.splitlines():
+        if "hashpartitioning" in line and "o_custkey" in line:
+            raise AssertionError(f"probe-side shuffle: {line}")
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every actually-matching probe row must survive the pre-filter for
+    any (m, h) — the Bloom contract."""
+    from duckdb_webhook_gateway_spark.operators.joins import bloom_semi_filter
+
+    build = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k bigint")
+    probe = spark.createDataFrame([(i,) for i in range(50)], "p bigint")
+    for m, h in ((8, 1), (64, 2), (4096, 3)):
+        kept = {
+            r["p"]
+            for r in bloom_semi_filter(probe, build, "p", "k", m=m, h=h).collect()
+        }
+        assert set(range(0, 50, 5)) <= kept, (m, h, kept)
