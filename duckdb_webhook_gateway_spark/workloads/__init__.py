@@ -26,6 +26,7 @@ from . import analytics, datapipe  # noqa: E402
 _CHECK_FIRST = (
     "token_heavy_hitters",
     "bloom_prefilter_join",
+    "weighted_sample_topk",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

@@ -3482,3 +3482,54 @@ ORDER BY cnt DESC, token
 """
 
 ENTRIES["token_heavy_hitters"] = (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement via the
+    replication trick: a doc with integer weight w competes with w
+    independent md5 tickets and keeps its best (minimum) — exactly the
+    classic weighted-reservoir race (Efraimidis-Spirakis with u^(1/w)
+    replaced by an integer-exact min-of-w-uniforms), but reproducible
+    bit-for-bit in both engines because tickets are md5 hex strings, not
+    floats.  Take the k globally smallest priorities.
+
+    Plan shape at 100 TB: the ticket min is built IN-ROW
+    (transform(sequence(1, w)) + array_min — no explode, no shuffle), and
+    the global top-k is TakeOrderedAndProject: per-partition partial
+    top-k, driver merge of k-row heads.  The corpus never shuffles and
+    nothing weight-expanded ever materializes.
+    """
+    K = 100
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    # integer weight 1..8: n_chars // 100, capped
+    w = (1 + F.least(F.floor(F.col("n_chars") / 100), F.lit(7))).cast("bigint")
+    prio = F.expr(
+        "array_min(transform(sequence(1, weight), "
+        "i -> md5(CAST(doc_id AS STRING) || ':' || CAST(i AS STRING))))"
+    )
+    return (
+        docs.withColumn("weight", w)
+        .withColumn("prio", prio)
+        .select("doc_id", "source", "weight", "prio")
+        .orderBy("prio", "doc_id")
+        .limit(K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(1 + least(n_chars // 100, 7) AS BIGINT) AS weight
+  FROM documents
+)
+SELECT doc_id, source, weight,
+       list_min(list_transform(range(1, CAST(weight + 1 AS INT)),
+                i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))))
+         AS prio
+FROM w
+ORDER BY prio, doc_id
+LIMIT 100
+"""
+
+ENTRIES["weighted_sample_topk"] = (weighted_sample_topk, WEIGHTED_SAMPLE_SQL)

@@ -215,3 +215,22 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
     back = spark.read.parquet(out)
     c = {r.doc_id: r.shard_id for r in back.select("doc_id", "shard_id").collect()}
     assert c == a
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """Selection probability must rise with weight: the sampled docs'
+    mean weight exceeds the corpus mean (deterministic fixture, fixed
+    hashes — this is a regression pin, not a flaky statistical test)."""
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.workloads.datapipe import weighted_sample_topk
+
+    import os
+    import pyspark.sql.functions as F
+
+    sample = weighted_sample_topk(spark, sf_dir())
+    mean_w = sample.agg(F.avg("weight")).collect()[0][0]
+    docs = spark.read.parquet(os.path.join(sf_dir(), "documents.parquet"))
+    corpus_w = docs.select(
+        F.avg(1 + F.least(F.floor(F.col("n_chars") / 100), F.lit(7)))
+    ).collect()[0][0]
+    assert mean_w > corpus_w

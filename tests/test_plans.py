@@ -539,3 +539,15 @@ def test_bloom_prefilter_no_false_negatives(spark):
             for r in bloom_semi_filter(probe, build, "p", "k", m=m, h=h).collect()
         }
         assert set(range(0, 50, 5)) <= kept, (m, h, kept)
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark):
+    """The replication-trick priority is in-row; the global k-smallest must
+    compile to TakeOrderedAndProject (partial per-partition top-k, driver
+    merge) — never a full sort exchange, never an Explode of the weight."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import weighted_sample_topk
+
+    plan = _plan(weighted_sample_topk(spark, sf_dir()))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no weight explode
+    assert "Exchange" not in plan or "rangepartitioning" not in plan
