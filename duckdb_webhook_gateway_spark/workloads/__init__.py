@@ -27,6 +27,7 @@ _CHECK_FIRST = (
     "token_heavy_hitters",
     "bloom_prefilter_join",
     "weighted_sample_topk",
+    "customer_scd2_snapshot",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

@@ -1218,3 +1218,67 @@ FROM m
 """
 
 ENTRIES["bloom_prefilter_join"] = (bloom_prefilter_join, BLOOM_PREFILTER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# customer_scd2_snapshot — SCD Type 2 dimension maintenance
+# (operators/scd.py).  The Spark side builds the dimension INCREMENTALLY
+# (full rebuild of pre-1999 history, then scd2_merge of the 1999+ delta —
+# only delta keys are rebuilt, untouched keys pass through a broadcast
+# anti-join); the oracle rebuilds from the full history in one pass.  A
+# hash match therefore proves merge == rebuild, the invariant that makes
+# nightly incremental maintenance safe at 100 TB.
+def customer_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_events, scd2_merge
+
+    CUTOFF = "1999-01-01"
+    ev = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 37 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("id"),
+        )
+    )
+    cutoff = F.to_timestamp(F.lit(CUTOFF))
+    base = scd2_from_events(
+        ev.filter(F.col("ts") < cutoff), "custkey", "priority", "ts", "id"
+    )
+    merged = scd2_merge(
+        base,
+        ev.filter(F.col("ts") >= cutoff),
+        "custkey",
+        "priority",
+        "ts",
+        "id",
+    )
+    return merged.select(
+        "custkey", "priority", "valid_from", "valid_to", "is_current", "version"
+    ).orderBy("custkey", "valid_from", "version")
+
+
+CUSTOMER_SCD2_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS id
+  FROM orders WHERE o_custkey % 37 = 0
+), runs AS (
+  SELECT * FROM (
+    SELECT custkey, priority, ts, id,
+           lag(priority) OVER (PARTITION BY custkey ORDER BY ts, id) AS prev
+    FROM ev
+  ) WHERE prev IS DISTINCT FROM priority
+)
+SELECT custkey, priority, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY custkey ORDER BY ts, id) IS NULL)
+         AS is_current,
+       CAST(row_number() OVER (PARTITION BY custkey ORDER BY ts, id) AS INT)
+         AS version
+FROM runs
+ORDER BY custkey, valid_from, version
+"""
+
+ENTRIES["customer_scd2_snapshot"] = (customer_scd2_snapshot, CUSTOMER_SCD2_SQL)
