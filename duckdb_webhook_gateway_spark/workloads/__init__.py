@@ -28,6 +28,7 @@ _CHECK_FIRST = (
     "bloom_prefilter_join",
     "weighted_sample_topk",
     "customer_scd2_snapshot",
+    "value_quantile_sketch",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

@@ -1282,3 +1282,138 @@ ORDER BY custkey, valid_from, version
 """
 
 ENTRIES["customer_scd2_snapshot"] = (customer_scd2_snapshot, CUSTOMER_SCD2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# value_quantile_sketch — two-pass mergeable histogram quantiles next to
+# the exact order statistic.  The sketch path is the 100 TB shape: pass 1
+# is a per-type min/max/count (partial-agg, 5-row result, broadcast
+# back); pass 2 bins every value IN-ROW and hash-aggregates (type, bin)
+# — B=256 counters per key, mergeable across any partitioning, no sort.
+# Quantile estimates interpolate inside the target bin from integer
+# cumulative counts; every float step is row-local IEEE arithmetic, so
+# both engines compute identical bits (no aggregation-order drift).  The
+# exact kth-order-statistic column (a per-type sort window, affordable at
+# bench scale and replayable in SQL) quantifies the sketch error in the
+# same result row.
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 256
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("mx") - F.col("mn")) / B
+    binned = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("mn")) / w), F.lit(B - 1)
+                )
+            ).cast("bigint"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qdf = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "qname string, q double"
+    )
+    sel = (
+        cum.join(F.broadcast(stats), "event_type")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("target", F.ceil(F.col("q") * F.col("n")))
+        .filter(
+            (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target"))
+        )
+        .withColumn(
+            "est",
+            F.round(
+                F.col("mn")
+                + F.col("bin") * ((F.col("mx") - F.col("mn")) / B)
+                + (F.col("target") - F.col("cum_prev"))
+                / F.col("cnt")
+                * ((F.col("mx") - F.col("mn")) / B),
+                6,
+            ),
+        )
+        .select("event_type", "qname", "target", "est")
+    )
+    wrn = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(wrn))
+    exact = (
+        ranked.join(F.broadcast(stats), "event_type")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("event_type", "qname", F.round(F.col("value"), 6).alias("exact"))
+    )
+    return (
+        sel.join(exact, ["event_type", "qname"])
+        .select("event_type", "qname", "target", "est", "exact")
+        .orderBy("event_type", "qname")
+    )
+
+
+VALUE_QUANTILE_SKETCH_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         count(*) AS n
+  FROM ev GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN s.mx = s.mn THEN 0
+              ELSE least(floor((e.value - s.mn) / ((s.mx - s.mn) / 256)), 255)
+         END AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM ev e JOIN stats s ON e.event_type = s.event_type
+  GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev
+  FROM binned
+), qs AS (
+  SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) q(qname, q)
+), sel AS (
+  SELECT c.event_type, q.qname,
+         CAST(ceil(q.q * s.n) AS BIGINT) AS target,
+         round(s.mn + c.bin * ((s.mx - s.mn) / 256)
+               + (ceil(q.q * s.n) - c.cum_prev) / c.cnt
+                 * ((s.mx - s.mn) / 256), 6) AS est
+  FROM cum c JOIN stats s ON c.event_type = s.event_type
+  CROSS JOIN qs q
+  WHERE c.cum >= ceil(q.q * s.n) AND c.cum_prev < ceil(q.q * s.n)
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM ev
+), exact AS (
+  SELECT r.event_type, q.qname, round(r.value, 6) AS exact
+  FROM ranked r JOIN stats s ON r.event_type = s.event_type
+  CROSS JOIN qs q
+  WHERE r.rn = ceil(q.q * s.n)
+)
+SELECT s.event_type, s.qname, s.target, s.est, e.exact
+FROM sel s JOIN exact e ON s.event_type = e.event_type AND s.qname = e.qname
+ORDER BY s.event_type, s.qname
+"""
+
+ENTRIES["value_quantile_sketch"] = (value_quantile_sketch, VALUE_QUANTILE_SKETCH_SQL)

@@ -170,3 +170,26 @@ def test_dsir_selection_enriches_target_domain(spark):
     assert sel, "DSIR selected nothing"
     precision = len(sel & en) / len(sel)
     assert precision >= base_rate + 0.25, (precision, base_rate)
+
+
+def test_quantile_sketch_error_within_one_bin(spark):
+    """Histogram interpolation can be off by at most one bin width
+    ((mx-mn)/256) from the exact order statistic."""
+    from conftest import sf_dir
+    import pyspark.sql.functions as F
+    from duckdb_webhook_gateway_spark.sources.files import read_table
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        value_quantile_sketch,
+    )
+
+    rows = value_quantile_sketch(spark, sf_dir()).collect()
+    spans = {
+        r["event_type"]: (r["mx"] - r["mn"]) / 256
+        for r in read_table(spark, sf_dir(), "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= spans[r["event_type"]] + 1e-9, r
