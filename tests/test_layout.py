@@ -1,0 +1,106 @@
+"""Z-order layout: per-file footer stats must become 2-D-tight so box
+predicates skip most files — measured from real parquet footers."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from conftest import sf_dir
+
+from duckdb_webhook_gateway_spark.operators.layout import (
+    morton_interleave,
+    write_zordered,
+)
+
+
+def _file_ranges(path, xcol, ycol):
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        schema_names = md.schema.to_arrow_schema().names
+        xi, yi = schema_names.index(xcol), schema_names.index(ycol)
+        xmn = min(md.row_group(g).column(xi).statistics.min for g in range(md.num_row_groups))
+        xmx = max(md.row_group(g).column(xi).statistics.max for g in range(md.num_row_groups))
+        ymn = min(md.row_group(g).column(yi).statistics.min for g in range(md.num_row_groups))
+        ymx = max(md.row_group(g).column(yi).statistics.max for g in range(md.num_row_groups))
+        out.append((xmn, xmx, ymn, ymx))
+    return out
+
+
+def _hits(ranges, box):
+    qx0, qx1, qy0, qy1 = box
+    return sum(
+        1
+        for xmn, xmx, ymn, ymx in ranges
+        if xmx >= qx0 and xmn <= qx1 and ymx >= qy0 and ymn <= qy1
+    )
+
+
+def test_zorder_write_skips_files_on_2d_box(spark, tmp_path):
+    li = spark.read.parquet(sf_dir() + "/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    li.repartition(16).write.parquet(rpath)
+
+    # same row count round-trips
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    stats = li.agg(
+        {"l_partkey": "min", "l_suppkey": "min"}
+    ).collect()  # just to force schema sanity
+    assert stats
+
+    import pyspark.sql.functions as F
+
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    px = b[1] - b[0]
+    py = b[3] - b[2]
+    # a 10% x 10% box in the middle of the key space
+    box = (
+        b[0] + int(0.45 * px),
+        b[0] + int(0.55 * px),
+        b[2] + int(0.45 * py),
+        b[2] + int(0.55 * py),
+    )
+    z_hits = _hits(_file_ranges(zpath, "l_partkey", "l_suppkey"), box)
+    r_hits = _hits(_file_ranges(rpath, "l_partkey", "l_suppkey"), box)
+    # round-robin layout intersects (nearly) every file; z-order must
+    # intersect strictly fewer — the file-skipping payoff
+    assert r_hits >= 14
+    assert z_hits <= r_hits // 2, (z_hits, r_hits)
+
+
+def test_morton_interleave_known_bits(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        morton_interleave(F.lit(0b101), F.lit(0b011)).alias("z")
+    )
+    # x bits land on even positions, y bits on odd:
+    # x=101 -> 1<<0 | 0<<2 | 1<<4 ; y=011 -> 1<<1 | 1<<3 | 0<<5
+    assert df.collect()[0]["z"] == (1 | (1 << 4) | (1 << 1) | (1 << 3))
+
+
+def test_morton_locality_monotone_tiles(spark):
+    """Points in the same 2-D quadrant share high Morton bits — the
+    property that makes contiguous Z-ranges compact tiles."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x bigint, y bigint"
+    ).select(
+        "x", "y", morton_interleave(F.col("x") * 16384, F.col("y") * 16384).alias("z")
+    )
+    rows = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    # quadrant order: (0,0)-quadrant codes < (1,1)-quadrant codes
+    assert max(rows[(x, y)] for x in (0, 1) for y in (0, 1)) < min(
+        rows[(x, y)] for x in (2, 3) for y in (2, 3)
+    )
