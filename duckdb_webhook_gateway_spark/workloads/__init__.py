@@ -29,6 +29,7 @@ _CHECK_FIRST = (
     "weighted_sample_topk",
     "customer_scd2_snapshot",
     "value_quantile_sketch",
+    "source_overlap_kmv",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

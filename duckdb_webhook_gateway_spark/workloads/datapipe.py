@@ -3533,3 +3533,169 @@ LIMIT 100
 """
 
 ENTRIES["weighted_sample_topk"] = (weighted_sample_topk, WEIGHTED_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-content overlap from MERGED KMV sketches —
+    the set-algebra extension of `distinct_kmv_sketch`: union cardinality
+    from the merged k-minimum-values sketch, intersection from the
+    both-sketches fraction of the union sketch's k smallest (theta-sketch
+    estimator), with the exact values computed beside them so the driver
+    hash-checks estimator math, not floats-by-luck.
+
+    Scale shape: the corpus is touched once to build per-source
+    (source, h) distinct hashes; per-source sketches come from 32-shard
+    partial k-mins (map-side combinable — no per-source global sort of
+    the hash universe); everything pairwise happens on the
+    sources x k sketch relation (6*128 rows here), which is the entire
+    point of sketch algebra at 100 TB: pairwise overlap of N sources
+    costs O(N^2 * k), not N^2 corpus joins.  The exact columns' self-join
+    keys on the 16-byte content hash, never the text.
+    """
+    K = 64
+    SRCS = [f"src{i}" for i in range(6)]
+    docs = _docs(spark, sf_dir, spread=True).filter(F.col("source").isin(SRCS))
+    from ..functions.hashing import hex_to_int_expr
+
+    chunks = docs.select(
+        "source", F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash")
+    )
+    hashes = chunks.select(
+        "source", F.expr(hex_to_int_expr("chunk_hash", 12, "spark")).alias("h")
+    ).distinct()
+
+    partial = hashes.groupBy("source", (F.col("h") % 32).alias("shard")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, K).alias("mins")
+    )
+    wsrc = Window.partitionBy("source").orderBy("h")
+    sk = (
+        partial.select("source", F.explode("mins").alias("h"))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in SRCS for b in SRCS if a < b], "sa string, sb string"
+    )
+    ea = pairs.join(
+        sk.withColumnRenamed("source", "sa"), "sa"
+    ).select("sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    eb = pairs.join(
+        sk.withColumnRenamed("source", "sb"), "sb"
+    ).select("sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        ea.unionByName(eb)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    wc = Window.partitionBy("sa", "sb")
+    ranked = (
+        u.withColumn("rn", F.row_number().over(wp))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= K)
+    )
+    agg = ranked.groupBy("sa", "sb").agg(
+        F.max("cnt").alias("cnt"),
+        F.max(F.when(F.col("rn") == F.least(F.lit(K), F.col("cnt")), F.col("h"))).alias(
+            "theta"
+        ),
+        F.sum(F.col("ia") * F.col("ib")).alias("both"),
+        F.count(F.lit(1)).alias("ku"),
+    )
+    raw_u = F.when(F.col("cnt") < K, F.col("cnt").cast("double")).otherwise(
+        (K - 1) * F.lit(float(16**12)) / F.col("theta")
+    )
+
+    counts = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashes.select(F.col("source").alias("sa"), "h")
+    hb = hashes.select(F.col("source").alias("sb"), "h")
+    inter = (
+        ha.join(hb, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        agg.join(F.broadcast(counts.withColumnRenamed("source", "sa").withColumnRenamed("n", "n_a")), "sa")
+        .join(F.broadcast(counts.withColumnRenamed("source", "sb").withColumnRenamed("n", "n_b")), "sb")
+        .join(inter, ["sa", "sb"], "left")
+        .na.fill({"exact_inter": 0})
+        .select(
+            "sa",
+            "sb",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+            F.round(raw_u, 4).alias("est_union"),
+            F.round(F.col("both") / F.col("ku") * raw_u, 4).alias("est_inter"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+from ..functions.hashing import hex_to_int_expr as _h2i
+_KMV_OVERLAP_H = _h2i("chunk_hash", 12, "duckdb")
+SOURCE_OVERLAP_KMV_SQL = f"""
+WITH srcs AS (
+  SELECT * FROM (VALUES ('src0'),('src1'),('src2'),('src3'),('src4'),('src5')) s(source)
+), nums AS (SELECT i FROM range(0, 500) r(i)),
+toks AS (
+  SELECT d.source, string_split(d.text, ' ') AS t
+  FROM documents d JOIN srcs s ON d.source = s.source
+), chunk8 AS (
+  SELECT source, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_hash
+  FROM toks JOIN nums ON i*8+8 <= len(t)
+), hashes AS (
+  SELECT DISTINCT source, {_KMV_OVERLAP_H} AS h FROM chunk8
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= 64
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.sa, p.sb, k.h, 1 AS ia, 0 AS ib FROM pairs p JOIN sk k ON k.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, k.h, 0 AS ia, 1 AS ib FROM pairs p JOIN sk k ON k.source = p.sb
+  ) GROUP BY sa, sb, h
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY sa, sb) AS cnt
+  FROM u
+), kept AS (SELECT * FROM ranked WHERE rn <= 64),
+agg AS (
+  SELECT sa, sb, max(cnt) AS cnt,
+         max(CASE WHEN rn = least(64, cnt) THEN h END) AS theta,
+         CAST(sum(ia * ib) AS BIGINT) AS both, count(*) AS ku
+  FROM kept GROUP BY sa, sb
+), counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM hashes GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM hashes a JOIN hashes b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT g.sa, g.sb, ca.n AS n_a, cb.n AS n_b,
+       ca.n + cb.n - coalesce(i.exact_inter, 0) AS exact_union,
+       coalesce(i.exact_inter, 0) AS exact_inter,
+       round(CASE WHEN g.cnt < 64 THEN CAST(g.cnt AS DOUBLE)
+                  ELSE 63 * 281474976710656.0 / g.theta END, 4) AS est_union,
+       round(g.both * 1.0 / g.ku *
+             CASE WHEN g.cnt < 64 THEN CAST(g.cnt AS DOUBLE)
+                  ELSE 63 * 281474976710656.0 / g.theta END, 4) AS est_inter
+FROM agg g
+JOIN counts ca ON ca.source = g.sa
+JOIN counts cb ON cb.source = g.sb
+LEFT JOIN inter i ON i.sa = g.sa AND i.sb = g.sb
+ORDER BY g.sa, g.sb
+"""
+
+ENTRIES["source_overlap_kmv"] = (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL)

@@ -193,3 +193,20 @@ def test_quantile_sketch_error_within_one_bin(spark):
     assert rows
     for r in rows:
         assert abs(r["est"] - r["exact"]) <= spans[r["event_type"]] + 1e-9, r
+
+
+def test_kmv_overlap_union_estimate_bounded_error(spark):
+    """Merged-sketch union estimates stay within KMV error bounds
+    (~1/sqrt(k) ≈ 12.5% stderr at k=64; assert a generous 4-sigma)."""
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.workloads.datapipe import source_overlap_kmv
+
+    rows = source_overlap_kmv(spark, sf_dir()).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] > 0
+        rel = abs(r["est_union"] - r["exact_union"]) / max(r["exact_union"], 1)
+        assert rel < 0.5, r
+        # intersection estimate can be zero only when the exact is small
+        if r["exact_inter"] == 0:
+            assert r["est_inter"] <= r["est_union"]
