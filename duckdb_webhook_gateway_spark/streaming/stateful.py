@@ -228,3 +228,101 @@ def run_sessions_once(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries counters in the state store.
+# The batch operator's guarantee (operators/sketches.py) carries over
+# unchanged because MG is a one-pass streaming algorithm: per group, any
+# item with total stream frequency > n_group/k is present in the final
+# summary, across micro-batch boundaries and restarts (counters persist
+# in the checkpointed state).  State is 2k scalars per group — bounded
+# regardless of stream length or item cardinality, which is the entire
+# reason to sketch instead of groupBy-count on an unbounded stream.
+
+HH_OUTPUT_SCHEMA = "grp string, item string, est long, seq long"
+HH_STATE_SCHEMA = "toks array<string>, cnts array<long>, seq long"
+
+
+def _hh_group(key, pdfs, state, k: int):
+    import pandas as pd
+
+    if state.exists:
+        toks, cnts, seq = state.get
+        counters = dict(zip(toks, cnts))
+    else:
+        counters, seq = {}, 0
+    for pdf in pdfs:
+        for item in pdf["item"].values:
+            c = counters.get(item)
+            if c is not None:
+                counters[item] = c + 1
+            elif len(counters) < k:
+                counters[item] = 1
+            else:
+                counters = {t: c - 1 for t, c in counters.items() if c > 1}
+    seq += 1
+    state.update((list(counters.keys()), list(counters.values()), seq))
+    (grp,) = key
+    yield pd.DataFrame(
+        {
+            "grp": grp,
+            "item": list(counters.keys()),
+            "est": list(counters.values()),
+            "seq": seq,
+        }
+    )
+
+
+def heavy_hitter_stream(stream: DataFrame, k: int = 50) -> DataFrame:
+    """MG summaries over a streaming (grp, item) relation; emits the
+    current per-group summary after every micro-batch (seq increments),
+    so a reader takes max(seq) per group for the latest view."""
+
+    def fn(key, pdfs, state):
+        return _hh_group(key, pdfs, state, k)
+
+    return stream.groupBy("grp").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_heavy_hitters_once(
+    spark: SparkSession, items: DataFrame, k: int = 50, n_files: int = 6
+):
+    """Replay a batch (grp, item) relation as a file stream in several
+    micro-batch-sized chunks and drain it; returns the final per-group MG
+    summaries.  ``maxFilesPerTrigger=1`` forces multiple batches so state
+    genuinely round-trips the store."""
+    import tempfile
+    import uuid
+
+    landing = tempfile.mkdtemp(prefix="hh_stream_")
+    items.repartition(n_files).write.mode("overwrite").json(landing)
+    stream = spark.readStream.schema("grp string, item string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(landing)
+    name = "hh_" + uuid.uuid4().hex[:8]
+    q = (
+        heavy_hitter_stream(stream, k=k)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    w = Window.partitionBy("grp")
+    return (
+        out.withColumn("mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mx"))
+        .select("grp", "item", "est")
+    )

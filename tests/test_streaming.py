@@ -443,3 +443,35 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
         (1, 1, 4.0),   # user 1 session 2, closed by event 5
         (2, 1, 8.0),   # user 2 session 1, closed by event 6
     }
+
+
+def test_streaming_heavy_hitters_superset_across_batches(spark):
+    """MG counters must survive micro-batch boundaries via the state
+    store: after draining a multi-batch replay, every item whose TOTAL
+    frequency exceeds n_group/k appears in the final summary."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from duckdb_webhook_gateway_spark.streaming.stateful import (
+        run_heavy_hitters_once,
+    )
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(30):
+            rows.extend([(g, f"{g}{i:02d}")] * (300 // (i + 1)))
+    items = spark.createDataFrame(rows, "grp string, item string")
+    k = 8
+    got = {
+        (r["grp"], r["item"])
+        for r in run_heavy_hitters_once(spark, items, k=k, n_files=5).collect()
+    }
+    for g in ("a", "b"):
+        grp_items = [i for gg, i in rows if gg == g]
+        n = len(grp_items)
+        exact = {i for i, c in Counter(grp_items).items() if c * k > n}
+        assert {(g, i) for i in exact} <= got, (g, exact, got)
+    # bounded summary: at most k items per group survive
+    for g in ("a", "b"):
+        assert sum(1 for gg, _ in got if gg == g) <= k
