@@ -30,6 +30,7 @@ _CHECK_FIRST = (
     "customer_scd2_snapshot",
     "value_quantile_sketch",
     "source_overlap_kmv",
+    "events_multitouch_attribution",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

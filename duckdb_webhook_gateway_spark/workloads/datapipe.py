@@ -3699,3 +3699,134 @@ ORDER BY g.sa, g.sb
 """
 
 ENTRIES["source_overlap_kmv"] = (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL)
+
+
+# ---------------------------------------------------------------------------
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: every click is
+    assigned to the NEXT same-user purchase within 7 days, and each
+    purchase's value is split across its clicks — first and last touch
+    get 40% each, middles share the remaining 20% (n=1 takes 100%,
+    n=2 split 50/50).
+
+    Scale shape: click->next-purchase assignment is ONE user-keyed
+    window (a running last-purchase over the time-descending scan — the
+    same single-shuffle trick as the as-of join, no range self-join); the
+    per-purchase position weights are one window over the assigned-click
+    relation (clicks-with-a-purchase cardinality, not corpus); the final
+    rollup is a 10-row channel aggregate.  Credits are integer
+    micro-units (round(value * w * 1e6) per row — row-local IEEE math)
+    so the cross-engine sums are exact.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    wscan = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        base.withColumn(
+            "np_us",
+            F.last(F.when(F.col("kind") == 1, F.col("us")), ignorenulls=True).over(
+                wscan
+            ),
+        )
+        .withColumn(
+            "np_id",
+            F.last(
+                F.when(F.col("kind") == 1, F.col("event_id")), ignorenulls=True
+            ).over(wscan),
+        )
+        .filter(
+            (F.col("kind") == 0)
+            & F.col("np_us").isNotNull()
+            & (F.col("np_us") - F.col("us") <= F.lit(7 * 86400 * 1_000_000))
+        )
+        .select("event_id", "channel", "us", "np_id")
+    )
+    wp = Window.partitionBy("np_id").orderBy("us", "event_id")
+    wn = Window.partitionBy("np_id")
+    pos = (
+        assigned.withColumn("pos", F.row_number().over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    wfrac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    purchases = base.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("np_id"), F.col("value").alias("p_value")
+    )
+    credited = pos.join(purchases, "np_id").withColumn(
+        "credit_micro",
+        F.round(F.col("p_value") * wfrac * 1_000_000).cast("bigint"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.sum("credit_micro").alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVENTS_MULTITOUCH_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(ts) AS us,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS channel,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events WHERE event_type IN ('click', 'purchase')
+), scanned AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 1 THEN us END IGNORE NULLS)
+           OVER w AS np_us,
+         last_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+           OVER w AS np_id
+  FROM base
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY us DESC, kind ASC, event_id DESC
+               ROWS UNBOUNDED PRECEDING)
+), assigned AS (
+  SELECT event_id, channel, us, np_id
+  FROM scanned
+  WHERE kind = 0 AND np_us IS NOT NULL
+    AND np_us - us <= CAST(7 AS BIGINT) * 86400 * 1000000
+), pos AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY np_id ORDER BY us, event_id) AS pos,
+         count(*) OVER (PARTITION BY np_id) AS n
+  FROM assigned
+), credited AS (
+  SELECT p.channel,
+         CAST(round(pu.value *
+           CASE WHEN p.n = 1 THEN 1.0
+                WHEN p.n = 2 THEN 0.5
+                WHEN p.pos = 1 OR p.pos = p.n THEN 0.4
+                ELSE 0.2 / (p.n - 2) END * 1000000) AS BIGINT) AS credit_micro
+  FROM pos p
+  JOIN (SELECT event_id AS np_id, value FROM events
+        WHERE event_type = 'purchase') pu ON p.np_id = pu.np_id
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+ENTRIES["events_multitouch_attribution"] = (
+    events_multitouch_attribution,
+    EVENTS_MULTITOUCH_SQL,
+)

@@ -234,3 +234,69 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
         F.avg(1 + F.least(F.floor(F.col("n_chars") / 100), F.lit(7)))
     ).collect()[0][0]
     assert mean_w > corpus_w
+
+
+def test_multitouch_credit_conserves_purchase_value(spark):
+    """Per purchase, position weights must sum to ~1.0: total credited
+    micro-units equal round(value * 1e6) up to n half-ulps of per-click
+    rounding."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.functions import epoch_us
+
+    from duckdb_webhook_gateway_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir(), "events")
+    base = ev.select(
+        "event_id", "user_id", "value", epoch_us("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        base.withColumn(
+            "np_id",
+            F.last(F.when(F.col("kind") == 1, F.col("event_id")), True).over(w),
+        )
+        .withColumn(
+            "np_us", F.last(F.when(F.col("kind") == 1, F.col("us")), True).over(w)
+        )
+        .filter(
+            (F.col("kind") == 0)
+            & F.col("np_us").isNotNull()
+            & (F.col("np_us") - F.col("us") <= 7 * 86400 * 1_000_000)
+        )
+    )
+    wp = Window.partitionBy("np_id").orderBy("us", "event_id")
+    wn = Window.partitionBy("np_id")
+    pos = assigned.withColumn("pos", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    wfrac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    purchases = base.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("np_id"), F.col("value").alias("p_value")
+    )
+    per_purchase = (
+        pos.join(purchases, "np_id")
+        .withColumn(
+            "credit_micro",
+            F.round(F.col("p_value") * wfrac * 1_000_000).cast("bigint"),
+        )
+        .groupBy("np_id", "p_value")
+        .agg(F.sum("credit_micro").alias("total"), F.max("n").alias("n"))
+        .collect()
+    )
+    assert per_purchase
+    for r in per_purchase:
+        assert abs(r["total"] - round(r["p_value"] * 1_000_000)) <= r["n"], r
