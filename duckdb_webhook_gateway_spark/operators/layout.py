@@ -80,3 +80,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a directory of (typically many small) parquet files into
+    balanced files of roughly ``target_file_bytes`` each; returns the
+    output file count.
+
+    Small files are the silent scan killer at scale: every file costs a
+    driver listing entry, a footer read, and a task floor, so a
+    landing-zone table with 10^6 kilobyte files can spend more time on
+    metadata than data.  Sizing uses the REAL on-disk bytes (footer
+    metadata sum, driver-side, no Spark job), not row-count heuristics,
+    so compression ratios carry over.  ``sort_col`` optionally
+    re-clusters during the rewrite (compaction is the natural moment to
+    fix ordering — the data is already being rewritten).
+    """
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(src_path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_out

@@ -84,3 +84,57 @@ def heavy_hitters(
     )
     # integer-exact threshold: freq > n/k  <=>  freq * k > n
     return counts.filter(F.col("cnt") * k > F.lit(n))
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list,
+    order_col: str,
+    k: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group (by ``order_col`` descending, ties
+    broken ascending on ``tiebreak``) without sorting the corpus.
+
+    The naive plan — row_number() over (partition by g order by v) +
+    filter rank <= k — shuffles and SORTS every row of every group; one
+    hot group becomes one giant sorted task.  This operator cuts the
+    pre-shuffle volume with a map-side candidate pass: each input
+    partition keeps only its own top-k per group (bounded pandas
+    head(k) state), so at most partitions * k rows per group reach the
+    final exact rank window.  A row in the global top-k by the composite
+    key is necessarily in its partition's top-k, so the result is
+    identical to the naive plan for any partitioning.
+
+    At 100 TB: shuffle volume drops from |corpus| to
+    |groups| * partitions * k, and the skew ceiling per reduce task
+    drops from |hottest group| to partitions * k.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    schema = df.schema
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        cand = None
+        for pdf in batches:
+            pool = pdf if cand is None else pd.concat([cand, pdf])
+            srt = pool.sort_values(
+                [order_col] + ([tiebreak] if tiebreak else []),
+                ascending=[False] + ([True] if tiebreak else []),
+                kind="mergesort",
+            )
+            cand = srt.groupby(group_cols, sort=False).head(k)
+        if cand is not None:
+            yield cand
+
+    candidates = df.mapInPandas(partial_topk, schema=schema)
+    order = [F.desc(order_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

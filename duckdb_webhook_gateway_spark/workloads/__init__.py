@@ -31,6 +31,7 @@ _CHECK_FIRST = (
     "value_quantile_sketch",
     "source_overlap_kmv",
     "events_multitouch_attribution",
+    "brand_top_parts",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

@@ -1417,3 +1417,33 @@ ORDER BY s.event_type, s.qname
 """
 
 ENTRIES["value_quantile_sketch"] = (value_quantile_sketch, VALUE_QUANTILE_SKETCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# brand_top_parts — exact per-group top-k via the map-side candidate pass
+# (operators/sketches.py::grouped_topk): the corpus never fully sorts;
+# only <= partitions*k candidates per brand reach the rank window.  The
+# oracle is the naive window plan — a hash match proves the pruned plan
+# computes the identical relation.
+def brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grouped_topk
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
+    return grouped_topk(
+        part, ["p_brand"], "p_retailprice", 5, tiebreak="p_partkey"
+    ).orderBy("p_brand", "rank")
+
+
+BRAND_TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS INT) AS rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 5
+ORDER BY p_brand, rank
+"""
+
+ENTRIES["brand_top_parts"] = (brand_top_parts, BRAND_TOP_PARTS_SQL)

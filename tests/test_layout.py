@@ -104,3 +104,46 @@ def test_morton_locality_monotone_tiles(spark):
     assert max(rows[(x, y)] for x in (0, 1) for y in (0, 1)) < min(
         rows[(x, y)] for x in (2, 3) for y in (2, 3)
     )
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from duckdb_webhook_gateway_spark.operators.layout import compact_parquet
+
+    li = spark.read.parquet(sf_dir() + "/lineitem.parquet")
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)  # 64 tiny files
+    assert len(glob.glob(frag + "/*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    total = sum(os.path.getsize(f) for f in glob.glob(frag + "/*.parquet"))
+    n = compact_parquet(spark, frag, dst, target_file_bytes=total // 3)
+    got = glob.glob(dst + "/*.parquet")
+    assert len(got) == n <= 5
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_with_sort_recovers_clustering(spark, tmp_path):
+    from duckdb_webhook_gateway_spark.operators.layout import compact_parquet
+
+    li = spark.read.parquet(sf_dir() + "/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(32).write.parquet(frag)
+    dst = str(tmp_path / "sorted")
+    total = sum(os.path.getsize(f) for f in glob.glob(frag + "/*.parquet"))
+    compact_parquet(
+        spark, frag, dst, target_file_bytes=max(total // 4, 1), sort_col="l_orderkey"
+    )
+    # range-partitioned rewrite -> per-file key ranges must be disjoint
+    spans = []
+    for f in glob.glob(dst + "/*.parquet"):
+        md = pq.read_metadata(f)
+        names = md.schema.to_arrow_schema().names
+        i = names.index("l_orderkey")
+        mn = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+        spans.append((mn, mx))
+    spans.sort()
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, spans

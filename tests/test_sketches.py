@@ -94,3 +94,52 @@ def test_plan_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_grouped_topk_equals_window_plan(spark):
+    """Candidate-pruned top-k must equal the naive window plan exactly,
+    including under ties and hostile partitionings."""
+    import random
+
+    from pyspark.sql import Window
+
+    from duckdb_webhook_gateway_spark.operators.sketches import grouped_topk
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(6)}", float(rng.randrange(20)), i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id bigint")
+    for layout in (df.coalesce(1), df.repartition(8), df.repartition(8, "g")):
+        got = sorted(
+            map(
+                tuple,
+                grouped_topk(layout, ["g"], "v", 3, tiebreak="id").collect(),
+            )
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+        want = sorted(
+            map(
+                tuple,
+                layout.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .collect(),
+            )
+        )
+        assert got == want
+
+
+def test_grouped_topk_has_mapside_candidate_pass(spark):
+    from duckdb_webhook_gateway_spark.operators.sketches import grouped_topk
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, id bigint")
+    plan = (
+        grouped_topk(df, ["g"], "v", 2, tiebreak="id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    # the rank window sorts candidates, not the scan: MapInPandas must sit
+    # below the window's exchange
+    assert plan.index("Window") < plan.index("MapInPandas")
