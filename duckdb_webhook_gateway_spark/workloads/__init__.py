@@ -32,6 +32,7 @@ _CHECK_FIRST = (
     "source_overlap_kmv",
     "events_multitouch_attribution",
     "brand_top_parts",
+    "token_freq_cm_sketch",
     "semantic_dedup",
     "lm_perplexity_filter",
     "dsir_selection",

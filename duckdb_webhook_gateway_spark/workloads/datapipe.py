@@ -3830,3 +3830,87 @@ ENTRIES["events_multitouch_attribution"] = (
     events_multitouch_attribution,
     EVENTS_MULTITOUCH_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def token_freq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the 20 most frequent tokens,
+    next to their exact counts — the point-query complement of the
+    Misra-Gries heavy-hitter set: CM answers "how often does THIS token
+    occur" from depth x width = 3 x 1024 integer counters, mergeable
+    across any partitioning by plain addition.
+
+    The sketch build is ONE explode pass: each token occurrence hashes
+    into 3 seeded buckets (in-row), then a (seed, bucket) hash aggregate
+    — the corpus shuffles only 3072-cardinality keyed partial counts.
+    Estimates read min over the 3 rows a token hashes to; CM guarantees
+    est >= exact always (collisions only ADD), pinned in tests.  All
+    hashing is md5, so estimates are bit-identical cross-engine.
+    """
+    D, W = 3, 1024
+    toks = _docs(spark, sf_dir, spread=True).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    seeds = F.sequence(F.lit(1), F.lit(D))
+    hashed = toks.select(
+        "token", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        F.expr(md5_int_expr("CAST(seed AS STRING) || '|' || token", "spark", 12))
+        % W,
+    )
+    cm = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    probes = exact.select(
+        "token", "exact_cnt", F.explode(F.sequence(F.lit(1), F.lit(D))).alias("seed")
+    ).withColumn(
+        "bucket",
+        F.expr(md5_int_expr("CAST(seed AS STRING) || '|' || token", "spark", 12))
+        % W,
+    )
+    return (
+        probes.join(cm, ["seed", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+_CM_BUCKET_DUCK = md5_int_expr("CAST(seed AS VARCHAR) || '|' || token", "duckdb", 12)
+TOKEN_FREQ_CM_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+seeds AS (SELECT i AS seed FROM range(1, 4) r(i)),
+hashed AS (
+  SELECT token, seed, ({_CM_BUCKET_DUCK}) % 1024 AS bucket
+  FROM tok CROSS JOIN seeds
+), cm AS (
+  SELECT seed, bucket, count(*) AS cnt FROM hashed GROUP BY seed, bucket
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 20
+), probes AS (
+  SELECT e.token, e.exact_cnt, s.seed,
+         ({_CM_BUCKET_DUCK.replace('token', 'e.token').replace('CAST(seed', 'CAST(s.seed')}) % 1024 AS bucket
+  FROM exact e CROSS JOIN seeds s
+)
+SELECT p.token, p.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cm_est,
+       CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN cm c ON c.seed = p.seed AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.token
+"""
+
+ENTRIES["token_freq_cm_sketch"] = (token_freq_cm_sketch, TOKEN_FREQ_CM_SQL)

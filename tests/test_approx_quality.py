@@ -210,3 +210,18 @@ def test_kmv_overlap_union_estimate_bounded_error(spark):
         # intersection estimate can be zero only when the exact is small
         if r["exact_inter"] == 0:
             assert r["est_inter"] <= r["est_union"]
+
+
+def test_cm_sketch_never_underestimates(spark):
+    """Count-Min's one-sided error guarantee: est >= exact for every
+    probed token (collisions only add)."""
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        token_freq_cm_sketch,
+    )
+
+    rows = token_freq_cm_sketch(spark, sf_dir()).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cm_est"] - r["exact_cnt"]
