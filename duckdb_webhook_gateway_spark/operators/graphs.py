@@ -1,0 +1,134 @@
+"""Graph operators over co-occurrence relations: market-basket pair
+mining and fixed-iteration integer PageRank.
+
+Both operators are built for the billion-edge case:
+
+- **Pair mining** groups items by basket and expands pairs IN-ROW from the
+  sorted per-basket item array.  A basket of k items yields k(k-1)/2 pairs
+  inside one task with no join — correct because real baskets are small
+  and bounded (TPC-H orders hold <= 7 lineitems; retail baskets tens).
+  The alternative self-join on the basket key shuffles the item relation
+  twice and re-materializes every pair as a join row; the in-row form
+  shuffles the item relation once (groupBy basket) and lets the pair
+  count's partial aggregation run map-side.  A ``max_basket_items`` guard
+  truncates degenerate baskets (one hot basket with 10^5 items would
+  otherwise emit 5*10^9 pairs from a single task).
+- **PageRank** runs a FIXED number of synchronous iterations (the
+  Pregel/MapReduce formulation: join ranks to edges on src, sum
+  contributions by dst).  Ranks are integer micro-units and per-edge
+  contributions use integer division, so the iteration is bit-exact and
+  engine-portable — float PageRank is not reproducible across engines
+  because the contribution summation order differs.  Each iteration is
+  one shuffle-join on ``src`` plus one aggregation on ``dst``; the edge
+  and degree relations are computed once and cached.  Nothing
+  node-cardinality is ever broadcast or collected.
+
+Reference parity: the reference gateway has no graph surface at all
+(verified repo-wide; its SQL endpoint is DuckDB passthrough,
+/root/reference/src/app.py:175-239) — these are beyond-reference scale
+operators for the training-data pipeline (co-occurrence statistics and
+influence ranking over item graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# One hot basket must not explode a task: k items -> k(k-1)/2 in-row pairs,
+# so 1024 items caps a single basket's contribution at ~524k pairs (a few
+# MB) regardless of how degenerate the input is.  Sorted ascending before
+# the slice, so truncation keeps the SMALLEST item ids deterministically.
+MAX_BASKET_ITEMS = 1024
+
+# Pair expansion over the sorted distinct item array: for each position i,
+# pair items[i] with every later item.  items is ascending, so a < b holds
+# by construction and each unordered pair appears exactly once.
+_PAIRS_EXPR = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"
+)
+
+
+def basket_pairs(
+    items: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    max_basket_items: int = MAX_BASKET_ITEMS,
+) -> DataFrame:
+    """Count, for every unordered item pair, the baskets containing both.
+
+    Returns ``(a, b, n_baskets)`` with ``a < b``.  One shuffle to group by
+    basket, in-row pair expansion, then a map-side-combined count by pair.
+    """
+    per_basket = (
+        items.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("item")), 1, max_basket_items
+            ).alias("items")
+        )
+    )
+    return (
+        per_basket.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+def undirect(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Materialize an undirected edge list as both directed arcs."""
+    fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank_micro(
+    arcs: DataFrame,
+    iterations: int = 3,
+    init_micro: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer micro-units.
+
+    ``arcs`` is a directed arc list ``(src, dst)``.  Every node must have
+    at least one outgoing arc (an undirected graph via :func:`undirect`
+    satisfies this; for general digraphs add self-loops for sinks first).
+
+    r_{k+1}(v) = base + (damping_pct * sum_{u->v} (r_k(u) DIV deg(u))) DIV 100
+
+    with ``base = (100 - damping_pct)% of init_micro``.  All arithmetic is
+    BIGINT: truncating division loses < 1 micro-unit per edge per
+    iteration, and in exchange the result is bit-identical on any engine
+    and any partitioning/summation order — the property the differential
+    oracle needs, and the property that makes the operator's output stable
+    under AQE re-planning at scale.
+
+    Plan shape per iteration: shuffle-join ranks to arcs on ``src``
+    (ranks and arcs are both hash-partitioned by src after the first
+    iteration — Catalyst reuses the partitioning), then hash-aggregate by
+    ``dst``.  ``O(iterations)`` shuffles total, the textbook synchronous
+    Pregel schedule; arcs+degrees are cached once.
+    """
+    base = ((100 - damping_pct) * init_micro) // 100
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is node-cardinality: joined (co-partitioned on src), NOT broadcast.
+    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
+    arcs_d = arcs_d.persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(init_micro).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        ranks = (
+            arcs_d.join(ranks, arcs_d["src"] == ranks["node"])
+            .groupBy(F.col("dst"))
+            .agg(
+                F.expr(f"{base} + ({damping_pct} * sum(r DIV deg)) DIV 100").alias("r")
+            )
+            .select(F.col("dst").alias("node"), F.col("r"))
+        )
+    return ranks

@@ -138,3 +138,93 @@ def grouped_topk(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with integer-exact registers (m = 256, p = 8)
+# ---------------------------------------------------------------------------
+
+# Hash: first 13 hex chars of md5 -> 52-bit integer (md5 is the one hash
+# both engines compute identically; see functions/hashing.py).  Low 8 bits
+# pick the register; the remaining 44 bits feed the leading-zero count.
+HLL_M = 256
+HLL_REST_BITS = 44
+# alpha_m * m^2 * 2^44 precomputed in Python and embedded as ONE decimal
+# literal so Spark and DuckDB parse the identical double; the estimate is
+# then a single float division by an exact BIGINT — deterministic.
+HLL_NUMERATOR = 8.281119189271282e+17
+
+
+def grouped_hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate, engine-portable.
+
+    Returns ``(group_col, register_sum, hll_estimate)`` where
+    ``register_sum = sum_j 2^(44 - M_j)`` over all 256 registers (BIGINT,
+    bit-exact — the differential-correctness anchor) and ``hll_estimate =
+    alpha_m * m^2 * 2^44 / register_sum`` (the raw Flajolet et al. 2007
+    estimator; no small/large-range correction, so the bias floor at
+    cardinality << m is accepted and documented rather than patched with a
+    float log()).  rho is capped at 44 (the rest==0 case merges into it),
+    keeping every addend an exact power of two inside BIGINT:
+    256 * 2^44 = 2^52, far from overflow, and the sum is
+    order-independent — no float-summation nondeterminism under AQE
+    re-partitioning.
+
+    Plan: one hash aggregate to (group, register) max-rho — 256 rows per
+    group regardless of input size, the whole point of the sketch — then a
+    dense 256-register grid per group (groups x 256 rows) restores empty
+    registers before the final per-group sum.  Nothing broadcast, nothing
+    collected; registers merge with MAX so the sketch is mergeable across
+    partitions, files, or days (partial aggregation does the merge
+    map-side for free).
+
+    The reference's DuckDB would run exact COUNT(DISTINCT) single-node;
+    at 100 TB that is a full shuffle of every distinct key, while this is
+    a constant 2 KB of state per group.
+    """
+    h = (
+        f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 13), 16, 10)"
+        " AS BIGINT)"
+    )
+    rho = (
+        f"CASE WHEN {h} DIV {HLL_M} > 0"
+        f" THEN LEAST({HLL_REST_BITS + 1} - length(bin({h} DIV {HLL_M})),"
+        f" {HLL_REST_BITS}) ELSE {HLL_REST_BITS} END"
+    )
+    regmax = (
+        df.select(
+            F.col(group_col),
+            F.expr(f"{h} % {HLL_M}").alias("reg"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    grid = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            F.col(group_col),
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg"),
+        )
+    )
+    filled = grid.join(regmax, [group_col, "reg"], "left").select(
+        F.col(group_col),
+        F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+    )
+    return filled.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS} - m) AS BIGINT)")
+        ).alias("register_sum"),
+        F.round(
+            F.lit(HLL_NUMERATOR)
+            / F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS} - m) AS BIGINT)"
+                )
+            ),
+            4,
+        ).alias("hll_estimate"),
+    )

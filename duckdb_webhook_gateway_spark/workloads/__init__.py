@@ -24,6 +24,14 @@ from . import analytics, datapipe  # noqa: E402
 # driver-checked (two rounds in the blind spot, or newly added) register
 # FIRST; long-green trivial queries rotate to the end.
 _CHECK_FIRST = (
+    # round-4 additions (never driver-checked) + the three queries that
+    # errored in CORRECTNESS_r03 on the TIMESTAMP_NTZ testdata regeneration
+    # (fixed via functions.epoch_us; re-verify driver-side):
+    "part_basket_pairs",
+    "part_pagerank",
+    "part_name_fuzzy_pairs",
+    "orderkey_hll_distinct",
+    "events_sessionize",
     "token_heavy_hitters",
     "bloom_prefilter_join",
     "weighted_sample_topk",

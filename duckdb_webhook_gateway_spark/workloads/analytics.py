@@ -1447,3 +1447,198 @@ ORDER BY p_brand, rank
 """
 
 ENTRIES["brand_top_parts"] = (brand_top_parts, BRAND_TOP_PARTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# part_basket_pairs — market-basket co-occurrence mining.  Items are
+# grouped per order and pairs expand IN-ROW from the sorted item array
+# (operators/graphs.py::basket_pairs): one shuffle by order key, bounded
+# per-basket fan-out, map-side partial counts — no self-join that would
+# shuffle the item relation twice.  The oracle self-joins, which is the
+# same relation algebraically (both sides deduplicate (order, part)).
+# Reference surface: beyond-reference scale operator; the gateway's SQL
+# endpoint (/root/reference/src/app.py:175-239) has no graph/basket tools.
+def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import basket_pairs
+
+    op = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return (
+        basket_pairs(op)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("n_baskets").alias("n_orders"),
+        )
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+PART_BASKET_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+ENTRIES["part_basket_pairs"] = (part_basket_pairs, PART_BASKET_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# part_pagerank — fixed-iteration integer PageRank over the co-purchase
+# graph (edges = part pairs sharing >= 2 orders, undirected).  Micro-unit
+# BIGINT ranks + integer division make the synchronous Pregel iteration
+# bit-exact on any engine and any partitioning (float PageRank is not
+# cross-engine reproducible).  3 iterations = 3 shuffle-join + aggregate
+# rounds — the textbook distributed schedule; the oracle unrolls the same
+# three iterations as CTEs.
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import basket_pairs, pagerank_micro, undirect
+
+    op = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    edges = basket_pairs(op).filter(F.col("n_baskets") >= 2)
+    ranks = pagerank_micro(undirect(edges), iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"), F.col("r").alias("rank_micro")
+        )
+        .orderBy(F.desc("rank_micro"), "part_key")
+        .limit(20)
+    )
+
+
+PART_PAGERANK_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2),
+ed AS (SELECT a, b FROM pairs WHERE n >= 2),
+edges AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+i1 AS (SELECT e.dst AS pk,
+              CAST(150000 + (85 * SUM(1000000 // d.d)) // 100 AS BIGINT) AS r
+       FROM edges e JOIN deg d ON e.src = d.src GROUP BY 1),
+i2 AS (SELECT e.dst AS pk,
+              CAST(150000 + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+       FROM edges e JOIN i1 r ON e.src = r.pk JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+i3 AS (SELECT e.dst AS pk,
+              CAST(150000 + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+       FROM edges e JOIN i2 r ON e.src = r.pk JOIN deg d ON e.src = d.src
+       GROUP BY 1)
+SELECT pk AS part_key, r AS rank_micro FROM i3
+ORDER BY rank_micro DESC, part_key
+LIMIT 20
+"""
+
+ENTRIES["part_pagerank"] = (part_pagerank, PART_PAGERANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# part_name_fuzzy_pairs — blocked fuzzy entity resolution.  Collapse the
+# corpus to DISTINCT names first (corpus-cardinality -> vocab-cardinality
+# before anything quadratic), block on the first token, and run
+# levenshtein only within blocks — the standard record-linkage shape that
+# turns O(n^2) edit-distance into sum-of-block-squares.  levenshtein is
+# the same classic DP metric in both engines.
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = names.select(
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        "n_parts",
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("blk"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("blk"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist").between(1, 3))
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+PART_NAME_FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name AS name, string_split(p_name, ' ')[1] AS blk,
+         COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+ORDER BY edit_dist, name_a, name_b
+"""
+
+ENTRIES["part_name_fuzzy_pairs"] = (part_name_fuzzy_pairs, PART_NAME_FUZZY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# orderkey_hll_distinct — grouped HyperLogLog (m=256) over order keys per
+# return flag, with the exact COUNT(DISTINCT) alongside for calibration.
+# register_sum is an order-independent BIGINT (every addend an exact power
+# of two), so the sketch itself is hash-compared across engines, not just
+# the rounded estimate.  See operators/sketches.py::grouped_hll_distinct.
+def orderkey_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import grouped_hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    sk = grouped_hll_distinct(li, "l_returnflag", "l_orderkey")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return sk.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+def _hll_oracle_sql() -> str:
+    from ..functions.hashing import hex_to_int_expr
+
+    h = hex_to_int_expr("md5(CAST(l_orderkey AS VARCHAR))", n=13, dialect="duckdb")
+    return f"""
+WITH h AS (
+  SELECT l_returnflag, {h} AS h FROM lineitem),
+regs AS (
+  SELECT l_returnflag, h % 256 AS reg,
+         MAX(CASE WHEN h // 256 > 0
+                  THEN LEAST(45 - length(bin(h // 256)), 44)
+                  ELSE 44 END) AS m
+  FROM h GROUP BY 1, 2),
+grid AS (SELECT DISTINCT l_returnflag, i AS reg
+         FROM lineitem CROSS JOIN range(0, 256) r(i)),
+filled AS (
+  SELECT g.l_returnflag, g.reg, COALESCE(regs.m, 0) AS m
+  FROM grid g LEFT JOIN regs
+    ON g.l_returnflag = regs.l_returnflag AND g.reg = regs.reg),
+s AS (SELECT l_returnflag,
+             SUM(CAST(1 AS BIGINT) << (44 - m)) AS register_sum
+      FROM filled GROUP BY 1),
+ex AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+       FROM lineitem GROUP BY 1)
+SELECT s.l_returnflag, CAST(register_sum AS BIGINT) AS register_sum,
+       ROUND(8.281119189271282e+17 / register_sum, 4) AS hll_estimate,
+       ex.exact_distinct
+FROM s JOIN ex ON s.l_returnflag = ex.l_returnflag
+ORDER BY s.l_returnflag
+"""
+
+
+ENTRIES["orderkey_hll_distinct"] = (orderkey_hll_distinct, _hll_oracle_sql())

@@ -1,0 +1,124 @@
+"""Graph operators: basket-pair mining and integer PageRank.
+
+Contracts under test (operators/graphs.py):
+
+- ``basket_pairs`` equals the naive Python pair count for any
+  partitioning, emits each unordered pair once with a < b, and the
+  ``max_basket_items`` guard bounds a degenerate basket's fan-out while
+  keeping the smallest item ids deterministically.
+- ``pagerank_micro`` is bit-identical across partitionings (integer
+  micro-units: no float summation-order drift), conserves rank mass the
+  way the truncating formula predicts, and matches a plain-Python
+  reference implementation of the same integer recurrence.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_webhook_gateway_spark.operators import graphs as G
+
+
+BASKETS = {
+    1: [10, 20, 30],
+    2: [10, 20],
+    3: [20, 30, 40],
+    4: [10, 20, 30, 40],
+    5: [50],
+    6: [10, 20],
+}
+
+
+def _items_df(spark, baskets, partitions=None):
+    rows = [(bk, it) for bk, items in baskets.items() for it in items]
+    df = spark.createDataFrame(rows, "basket bigint, item bigint")
+    return df.repartition(partitions) if partitions else df
+
+
+def _exact_pairs(baskets):
+    c = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(set(items)), 2):
+            c[(a, b)] += 1
+    return dict(c)
+
+
+@pytest.mark.parametrize("partitions", [None, 1, 7])
+def test_basket_pairs_exact(spark, partitions):
+    df = _items_df(spark, BASKETS, partitions)
+    got = {
+        (r["a"], r["b"]): r["n_baskets"]
+        for r in G.basket_pairs(df).collect()
+    }
+    assert got == _exact_pairs(BASKETS)
+    assert all(a < b for (a, b) in got)
+
+
+def test_basket_pairs_dedups_repeated_items(spark):
+    # the same item twice in one basket must not self-pair or double-count
+    df = _items_df(spark, {1: [10, 10, 20]})
+    got = {(r["a"], r["b"]): r["n_baskets"] for r in G.basket_pairs(df).collect()}
+    assert got == {(10, 20): 1}
+
+
+def test_basket_pairs_cap_keeps_smallest_items(spark):
+    # degenerate basket of 10 items capped to 4 -> only pairs among the
+    # 4 smallest ids survive; fan-out is C(4,2)=6, not C(10,2)=45
+    df = _items_df(spark, {1: list(range(100, 110))})
+    got = {
+        (r["a"], r["b"]) for r in G.basket_pairs(df, max_basket_items=4).collect()
+    }
+    assert got == set(combinations([100, 101, 102, 103], 2))
+
+
+def _py_pagerank(edges, iterations=3, init=1_000_000, damping=85):
+    arcs = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    deg = Counter(src for src, _ in arcs)
+    base = ((100 - damping) * init) // 100
+    r = {n: init for n in deg}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for src, dst in arcs:
+            contrib[dst] += r[src] // deg[src]
+        r = {n: base + (damping * c) // 100 for n, c in contrib.items()}
+    return r
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+
+
+@pytest.mark.parametrize("partitions", [1, 5])
+def test_pagerank_matches_python_reference(spark, partitions):
+    edf = spark.createDataFrame(EDGES, "a bigint, b bigint").repartition(
+        partitions
+    )
+    got = {
+        r["node"]: r["r"]
+        for r in G.pagerank_micro(G.undirect(edf), iterations=3).collect()
+    }
+    assert got == _py_pagerank(EDGES, iterations=3)
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    edf = spark.createDataFrame(EDGES, "a bigint, b bigint")
+    a = sorted(
+        (r["node"], r["r"])
+        for r in G.pagerank_micro(G.undirect(edf.repartition(1))).collect()
+    )
+    b = sorted(
+        (r["node"], r["r"])
+        for r in G.pagerank_micro(G.undirect(edf.repartition(8))).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    # a clean cycle is vertex-transitive: every node must get the same rank
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    edf = spark.createDataFrame(cyc, "a bigint, b bigint")
+    ranks = {r["r"] for r in G.pagerank_micro(G.undirect(edf)).collect()}
+    assert len(ranks) == 1

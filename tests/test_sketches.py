@@ -143,3 +143,43 @@ def test_grouped_topk_has_mapside_candidate_pass(spark):
     # the rank window sorts candidates, not the scan: MapInPandas must sit
     # below the window's exchange
     assert plan.index("Window") < plan.index("MapInPandas")
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL distinct
+# ---------------------------------------------------------------------------
+
+
+def test_hll_register_sum_partition_independent(spark):
+    rows = [("g", f"v{i}") for i in range(3000)] + [
+        ("h", f"v{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    one = {
+        r["grp"]: (r["register_sum"], r["hll_estimate"])
+        for r in SK.grouped_hll_distinct(df.repartition(1), "grp", "v").collect()
+    }
+    many = {
+        r["grp"]: (r["register_sum"], r["hll_estimate"])
+        for r in SK.grouped_hll_distinct(df.repartition(16), "grp", "v").collect()
+    }
+    assert one == many  # bit-exact: integer registers, order-free MAX/SUM
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=256 -> stderr ~= 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"key-{i}") for i in range(n)], "grp string, v string"
+    )
+    est = SK.grouped_hll_distinct(df, "grp", "v").collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    base = [("g", f"v{i}") for i in range(500)]
+    df1 = spark.createDataFrame(base, "grp string, v string")
+    df2 = spark.createDataFrame(base * 3, "grp string, v string")
+    s1 = SK.grouped_hll_distinct(df1, "grp", "v").collect()[0]["register_sum"]
+    s2 = SK.grouped_hll_distinct(df2, "grp", "v").collect()[0]["register_sum"]
+    assert s1 == s2
