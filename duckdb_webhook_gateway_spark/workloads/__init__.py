@@ -31,6 +31,11 @@ _CHECK_FIRST = (
     "part_pagerank",
     "part_name_fuzzy_pairs",
     "orderkey_hll_distinct",
+    "q10_returned_revenue",
+    "region_status_grouping_sets",
+    "monthly_revenue_incremental",
+    "events_markov_transitions",
+    "embedding_dim_stats",
     "events_sessionize",
     "token_heavy_hitters",
     "bloom_prefilter_join",
@@ -69,19 +74,19 @@ _CHECK_FIRST = (
     "events_cohort_retention",
     "join_key_skew",
     "bpe_merge_candidates",
-    "doc_chunk_manifest",
-    "quality_funnel",
     "source_mixture",
     "sequence_packing",
     "events_asof_attribution",
+)
+_CHECK_LAST = (
     "ann_q8_topk",
     "dedup_clusters",
     "split_divergence",
     "multimodal_audio_features",
     "multimodal_image_features",
     "dedup_keeplist",
-)
-_CHECK_LAST = (
+    "doc_chunk_manifest",
+    "quality_funnel",
     "split_ngram_decontamination",
     "mixture_resample",
     "boilerplate_ratio",

@@ -1642,3 +1642,210 @@ ORDER BY s.l_returnflag
 
 
 ENTRIES["orderkey_hll_distinct"] = (orderkey_hll_distinct, _hll_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# q10_returned_revenue — TPC-H Q10 shape: revenue lost to returned items
+# per customer.  Fact-fact shuffle join (lineitem x orders) with the
+# filter pushed into the lineitem scan, customer joined on the shuffled
+# key, nation broadcast, partial aggs map-side, TakeOrderedAndProject for
+# the top-k.  Reference surface: multi-way JOIN + GROUP BY + ORDER BY
+# (/root/reference/src/app.py:1266-1273 passthrough SQL).
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ENTRIES["q10_returned_revenue"] = (q10_returned_revenue, Q10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# region_status_grouping_sets — explicit GROUPING SETS with GROUPING()
+# flags (finer than the rollup/cube rows already covered): detail,
+# per-region, and grand-total aggregates in ONE pass over the join —
+# Catalyst expands the sets into a single Expand + hash aggregate, so the
+# fact relation is scanned and shuffled once, not three times.  NULL
+# group keys are COALESCEd to 'ALL' so cross-engine NULL-ordering
+# differences can't touch the rowset.
+def region_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.groupingSets(
+            [["r_name", "o_orderstatus"], ["r_name"], []],
+            "r_name",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("r_name").cast("int").alias("grp_region"),
+            F.grouping("o_orderstatus").cast("int").alias("grp_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "grp_region",
+            "grp_status",
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grp_region", "grp_status", "region", "status")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(GROUPING(r_name) AS INT) AS grp_region,
+       CAST(GROUPING(o_orderstatus) AS INT) AS grp_status,
+       COALESCE(r_name, 'ALL') AS region,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n ON c_nationkey = n_nationkey
+JOIN region r ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+ORDER BY grp_region, grp_status, region, status
+"""
+
+ENTRIES["region_status_grouping_sets"] = (
+    region_status_grouping_sets,
+    GROUPING_SETS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_incremental — materialized-view delta maintenance.
+# The monthly revenue aggregate is maintained as mergeable partial state:
+# the "stored" aggregate covers orders before the cutoff, the delta batch
+# aggregates only orders at/after it, and the merge is a re-aggregation
+# of the two partial relations (month-cardinality, trivial shuffle).  The
+# oracle recomputes the full aggregate from scratch — equality IS the
+# correctness statement for incremental view maintenance.  At 100 TB the
+# historic partial is read from storage and only the delta day is
+# scanned; sum/count partials merge associatively by construction.
+def monthly_revenue_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "2000-06-15"
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    hist = _partial(orders.filter(F.col("o_orderdate") < F.to_timestamp(F.lit(cutoff))))
+    delta = _partial(orders.filter(F.col("o_orderdate") >= F.to_timestamp(F.lit(cutoff))))
+    return (
+        hist.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("s"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_REVENUE_INCREMENTAL_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+ENTRIES["monthly_revenue_incremental"] = (
+    monthly_revenue_incremental,
+    MONTHLY_REVENUE_INCREMENTAL_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order Markov transition matrix over
+# each user's time-ordered event stream.  One window pass (lag over the
+# per-user partition — single hash shuffle on user_id), then a
+# vocabulary-cardinality aggregate; transition probability is ONE exact
+# integer division per row, so the float is deterministic before the
+# rounding even applies.
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wp),
+                6,
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+         AS p_transition
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+ENTRIES["events_markov_transitions"] = (
+    events_markov_transitions,
+    EVENTS_MARKOV_SQL,
+)

@@ -3914,3 +3914,58 @@ ORDER BY p.exact_cnt DESC, p.token
 """
 
 ENTRIES["token_freq_cm_sketch"] = (token_freq_cm_sketch, TOKEN_FREQ_CM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension feature statistics of the embedding
+# column (the normalization pass before training / whitening / PQ
+# codebook fitting).  posexplode fans each vector into (dim, value) rows
+# — embarrassingly parallel, 64x row growth but constant width — then one
+# 64-key hash aggregate.  Mean/std use the explicit sum/sumsq
+# formulation so BOTH engines execute the identical arithmetic (the
+# engines' stddev_pop intrinsics use different numerics); round(6)
+# absorbs partition-order float drift in the sums themselves.
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                    / F.col("n")
+                ),
+                6,
+            ).alias("std"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH nums AS (SELECT i FROM range(1, 65) r(i)),
+ex AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN nums),
+agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+  FROM ex GROUP BY 1)
+SELECT dim, n,
+       ROUND(s / n, 6) AS mean,
+       ROUND(sqrt((ss - s * s / n) / n), 6) AS std
+FROM agg
+ORDER BY dim
+"""
+
+ENTRIES["embedding_dim_stats"] = (embedding_dim_stats, EMBEDDING_DIM_STATS_SQL)

@@ -551,3 +551,66 @@ def test_weighted_sample_is_takeordered_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # no weight explode
     assert "Exchange" not in plan or "rangepartitioning" not in plan
+
+
+def test_q10_nation_broadcast_filter_pushed(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        q10_returned_revenue,
+    )
+
+    plan = _plan(q10_returned_revenue(spark, sf_dir()))
+    # the returnflag filter must reach the lineitem scan, the nation dim
+    # must broadcast, and the top-k must not globally sort
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        region_status_grouping_sets,
+    )
+
+    plan = _plan(region_status_grouping_sets(spark, sf_dir()))
+    # one Expand node feeds one aggregation — the three grouping sets must
+    # NOT each rescan/re-join the fact table.  (Formatted plans print each
+    # node in the tree AND the detail section; count scan *locations*.)
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 4  # orders + 3 dims
+
+
+def test_markov_single_user_shuffle(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        events_markov_transitions,
+    )
+
+    plan = _plan(events_markov_transitions(spark, sf_dir()))
+    # the lag window and the per-prev_type normalization are both
+    # partition-local after ONE hash shuffle each; no joins at all
+    assert "Join" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "props" not in read[0]  # column pruning on events
+
+
+def test_basket_pairs_no_self_join(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        part_basket_pairs,
+    )
+
+    plan = _plan(part_basket_pairs(spark, sf_dir()))
+    # pair expansion is in-row (Generate/explode), not a self-join of the
+    # item relation on the basket key
+    assert "Generate" in plan and "explode" in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_sketch_no_broadcast_no_collect(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        orderkey_hll_distinct,
+    )
+
+    plan = _plan(orderkey_hll_distinct(spark, sf_dir()))
+    # registers aggregate map-side; the only join is the group-cardinality
+    # grid/exact join — nothing item-cardinality is broadcast
+    assert "partial_max" in plan or "partial" in plan.lower()
