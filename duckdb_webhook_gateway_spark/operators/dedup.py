@@ -801,3 +801,106 @@ def substring_dedup(
             F.sum(F.col("e") - F.col("s") + 1) / F.col("n_tokens").cast("double"), 6
         ).alias("dup_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-family; Bayardo et al. 2007,
+# Xiao et al. 2008 — public algorithms)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with token-set Jaccard >= num/den, by prefix
+    filtering — the OTHER canonical set-similarity join, complementary to
+    MinHash: exact (no probabilistic misses) with a candidate set pruned
+    by global token rarity instead of random signatures.
+
+    Every doc's token set is ordered by ascending document frequency
+    (rarest first; ties broken by token text — a deterministic TOTAL
+    order, which is all the pigeonhole argument needs, so no global
+    rank/row_number is ever materialized).  If J(a,b) >= t then
+    |a ∩ b| >= ceil(t*|a|), so any matching pair must share a token in
+    the first |a| - ceil(t*|a|) + 1 rarest tokens — candidates are pairs
+    sharing a PREFIX token, a tiny subset of pairs sharing ANY token.
+
+    All thresholds are exact integer arithmetic on the rational t =
+    num/den: required overlap is ceil(num*n/den) = (num*n + den - 1) DIV
+    den, and the final test is den*|∩| >= num*|∪| — no float ever
+    decides membership, so the result is bit-identical on any engine
+    (a float ceil(0.8*5) can round to 5 and silently DROP a valid pair).
+
+    Plan: one vocab-cardinality aggregate (token df), one shuffle join to
+    attach df, one groupBy doc (sorted token structs in-row), prefix
+    explode (bounded: (1-t) fraction of each doc's tokens), candidate
+    pair distinct, then an id-width verify join computing the exact
+    intersection in-row.  Nothing corpus-cardinality is broadcast or
+    collected.
+
+    Returns (doc_a, doc_b, n_inter, n_union, jaccard) with doc_a < doc_b.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    ).filter(F.col("token") != "")
+    df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        tok.join(df_tok, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, token))), x -> x.token)"
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            # prefix_len = n - ceil(t*n) + 1, integer-exact
+            F.expr(
+                f"size(toks) - (({threshold_num} * size(toks) + {threshold_den} - 1)"
+                f" DIV {threshold_den}) + 1"
+            ).alias("plen"),
+        )
+    )
+    prefix = per_doc.select(
+        "doc_id", F.explode(F.expr("slice(toks, 1, plen)")).alias("token")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "token")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(
+            F.col("n_inter") * threshold_den >= F.col("n_union") * threshold_num
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )

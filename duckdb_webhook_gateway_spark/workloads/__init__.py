@@ -28,6 +28,8 @@ _CHECK_FIRST = (
     # errored in CORRECTNESS_r03 on the TIMESTAMP_NTZ testdata regeneration
     # (fixed via functions.epoch_us; re-verify driver-side):
     "part_basket_pairs",
+    "doc_prefix_jaccard_join",
+    "nation_trade_matrix",
     "part_pagerank",
     "part_name_fuzzy_pairs",
     "orderkey_hll_distinct",
@@ -74,11 +76,11 @@ _CHECK_FIRST = (
     "events_cohort_retention",
     "join_key_skew",
     "bpe_merge_candidates",
-    "source_mixture",
-    "sequence_packing",
     "events_asof_attribution",
 )
 _CHECK_LAST = (
+    "sequence_packing",
+    "source_mixture",
     "ann_q8_topk",
     "dedup_clusters",
     "split_divergence",

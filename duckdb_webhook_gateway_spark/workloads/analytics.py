@@ -1849,3 +1849,66 @@ ENTRIES["events_markov_transitions"] = (
     events_markov_transitions,
     EVENTS_MARKOV_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_matrix — TPC-H Q7 shape: bilateral revenue between the
+# supplier's nation and the customer's nation.  The fact spine
+# (lineitem x orders) shuffles once on the order key; BOTH nation
+# lookups ride broadcast joins on different keys (supplier-side and
+# customer-side), so the matrix costs one fact shuffle + one
+# 625-key aggregate regardless of scale.
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # supplier/customer scale with the fact tables (10k/150k x SF) — no
+    # forced broadcast; under the session threshold Catalyst broadcasts
+    # them locally, at cluster scale they shuffle on their keys.  Only the
+    # 25-row nation dim is pinned broadcast (twice, different keys).
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(nation).alias("ns"),
+            F.col("s_nationkey") == F.col("ns.n_nationkey"),
+        )
+        .join(
+            F.broadcast(nation).alias("nc"),
+            F.col("c_nationkey") == F.col("nc.n_nationkey"),
+        )
+        .groupBy(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
+        .limit(25)
+    )
+
+
+NATION_TRADE_MATRIX_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       COUNT(*) AS n_lineitems,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 25
+"""
+
+ENTRIES["nation_trade_matrix"] = (nation_trade_matrix, NATION_TRADE_MATRIX_SQL)

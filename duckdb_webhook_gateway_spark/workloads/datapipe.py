@@ -3969,3 +3969,45 @@ ORDER BY dim
 """
 
 ENTRIES["embedding_dim_stats"] = (embedding_dim_stats, EMBEDDING_DIM_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# doc_prefix_jaccard_join — exact set-similarity self-join via prefix
+# filtering (operators/dedup.py::prefix_jaccard_join; PPJoin family).
+# The oracle generates candidates naively (pairs sharing ANY token) and
+# applies the same integer-exact threshold — the two results being equal
+# IS the prefix filter's no-false-negative guarantee, checked
+# differentially.  All threshold math is integer (t = 19/20); no float
+# ever decides membership.
+def doc_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    return (
+        D.prefix_jaccard_join(docs, threshold_num=19, threshold_den=20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DOC_PREFIX_JACCARD_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, t[i] AS token
+        FROM toks JOIN nums ON i <= len(t) WHERE t[i] <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS INT) AS n_inter,
+       CAST(sa.n + sb.n - i.i AS INT) AS n_union,
+       ROUND(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE 20 * i.i >= 19 * (sa.n + sb.n - i.i)
+ORDER BY doc_a, doc_b
+"""
+
+ENTRIES["doc_prefix_jaccard_join"] = (
+    doc_prefix_jaccard_join,
+    DOC_PREFIX_JACCARD_SQL,
+)

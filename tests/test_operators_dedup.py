@@ -245,3 +245,71 @@ def test_substring_dedup_catches_unaligned_copy_and_merges_spans(spark):
     # Doc 4: "r1..r8 r1..r8" — every window repeats (the sequence itself
     # appears twice), so the merged span covers the whole doc.
     assert out[4].dup_token_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(docs, num, den):
+    import itertools
+
+    toks = {i: set(t.split()) for i, t in docs}
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(
+        sorted(toks.items()), 2
+    ):
+        inter = len(ta & tb)
+        union = len(ta | tb)
+        if den * inter >= num * union:
+            out.add((ia, ib))
+    return out
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from duckdb_webhook_gateway_spark.operators.dedup import prefix_jaccard_join
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d"),       # J(1,2)=4/5 exactly — the float-ceil trap pair
+        (3, "a b c d e"),     # J(1,3)=1
+        (4, "x y z"),
+        (5, "x y z w"),       # J(4,5)=3/4
+        (6, "q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_join(df, 4, 5).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs, 4, 5)
+    # the exact-0.8 pair MUST be present: integer threshold math admits it
+    assert (1, 2) in got
+
+
+def test_prefix_jaccard_partition_independent(spark):
+    from duckdb_webhook_gateway_spark.operators.dedup import prefix_jaccard_join
+
+    docs = [(i, f"tok{i % 7} tok{i % 5} tok{i % 3} shared") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    a = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"])
+        for r in prefix_jaccard_join(df.repartition(1), 1, 2).collect()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"])
+        for r in prefix_jaccard_join(df.repartition(16), 1, 2).collect()
+    )
+    assert a == b and a
+
+
+def test_prefix_jaccard_duplicate_tokens_collapse(spark):
+    from duckdb_webhook_gateway_spark.operators.dedup import prefix_jaccard_join
+
+    # repeated tokens are SET semantics: "a a a b" == {a, b}
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b")], "doc_id bigint, text string"
+    )
+    rows = prefix_jaccard_join(df, 9, 10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]

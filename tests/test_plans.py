@@ -614,3 +614,34 @@ def test_hll_sketch_no_broadcast_no_collect(spark):
     # registers aggregate map-side; the only join is the group-cardinality
     # grid/exact join — nothing item-cardinality is broadcast
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_trade_matrix_nation_broadcast_no_cartesian(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        nation_trade_matrix,
+    )
+
+    plan = _plan(nation_trade_matrix(spark, sf_dir()))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_jaccard_no_cartesian_no_corpus_broadcast(spark):
+    from duckdb_webhook_gateway_spark.operators.dedup import prefix_jaccard_join
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    plan = _plan(prefix_jaccard_join(docs))
+    # candidate generation is an equi-join on the prefix token; the verify
+    # joins are id-keyed equi-joins — never a nested-loop/cartesian pairing
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no broadcast may carry the token arrays (document-sized)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            for nxt in lines[i + 1 : i + 4]:
+                if "Input" in nxt:
+                    assert "toks" not in nxt, nxt
+                    break
