@@ -9,6 +9,7 @@ from .reference_tables import ReferenceTableManager, sanitize_table_name
 from .udfs import UdfManager, map_return_type
 from .pipeline import Gateway, ProcessOutcome
 from .query_gateway import run_adhoc_query, ReadOnlyViolation
+from .replay import replay_events
 
 __all__ = [
     "shape_result",
@@ -28,5 +29,6 @@ __all__ = [
     "Gateway",
     "ProcessOutcome",
     "run_adhoc_query",
+    "replay_events",
     "ReadOnlyViolation",
 ]

@@ -226,5 +226,12 @@ class Gateway:
         tr = self.spark.table("transformed_events")
         return len(tr.where(tr["webhook_id"] == webhook_id).take(1)) > 0
 
+    def replay(self, path: str, **kwargs):
+        """Batch-reprocess stored raw events through the (or a new)
+        transform — see engine/replay.py.  Returns a lazy DataFrame."""
+        from .replay import replay_events
+
+        return replay_events(self, path, **kwargs)
+
     def delete_webhook(self, webhook_id: str) -> Optional[str]:
         return self.catalog.delete(webhook_id, self.has_history(webhook_id))
