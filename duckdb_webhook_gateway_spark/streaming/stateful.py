@@ -326,3 +326,32 @@ def run_heavy_hitters_once(
         .filter(F.col("seq") == F.col("mx"))
         .select("grp", "item", "est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in bounded-state dedup: dropDuplicatesWithinWatermark
+# ---------------------------------------------------------------------------
+
+
+def dedup_within_watermark_stream(
+    stream: DataFrame, key_cols: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """DROP-style streaming dedup with WATERMARK-BOUNDED state.
+
+    The applyInPandasWithState operator above annotates and keeps every
+    hash forever (exactness across all history, state grows with distinct
+    keys).  This is the complementary production default for unbounded
+    streams: Spark's ``dropDuplicatesWithinWatermark`` evicts a key's
+    state once the watermark passes ``delay`` beyond its event time, so
+    state is O(keys per delay window) — bounded — at the cost of a
+    duplicate arriving later than ``delay`` being treated as new.  Same
+    trade the reference cannot make at all (it has no streaming dedup;
+    its uniqueness is per-event UUID assignment, src/app.py:1089-1100).
+
+    Use the stateful annotator when the audit-everything contract needs
+    repeats FLAGGED; use this when late-bounded DROP semantics suffice
+    and the stream is unbounded.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

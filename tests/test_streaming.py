@@ -475,3 +475,59 @@ def test_streaming_heavy_hitters_superset_across_batches(spark):
     # bounded summary: at most k items per group survive
     for g in ("a", "b"):
         assert sum(1 for gg, _ in got if gg == g) <= k
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the delay window
+    drop; after the watermark passes a key's event time + delay, its
+    state evicts and a later re-send is treated as NEW — the bounded-state
+    trade documented in streaming/stateful.py."""
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.stateful import (
+        dedup_within_watermark_stream,
+    )
+
+    landing = tmp_path / "wm_in"
+    landing.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+
+    def drain(rows, n):
+        p = landing / f"f{n}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"k": k, "ts": ts}) for k, ts in rows
+            )
+        )
+        stream = spark.readStream.schema("k string, ts timestamp").json(
+            str(landing)
+        )
+        q = (
+            dedup_within_watermark_stream(stream, ["k"], "ts", "1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # drain 1: A twice within the window (1 emitted) + a sentinel 3h later
+    # that pushes the watermark past A's eviction horizon
+    drain(
+        [
+            ("A", "2026-01-01 10:00:00"),
+            ("A", "2026-01-01 10:05:00"),
+            ("B", "2026-01-01 13:00:00"),
+        ],
+        1,
+    )
+    # drain 2: A re-sent with a fresh event time — state evicted, so NEW
+    drain([("A", "2026-01-01 13:30:00")], 2)
+
+    rows = spark.read.parquet(out).collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == ["A", "A", "B"], ks
