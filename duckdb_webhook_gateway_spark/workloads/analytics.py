@@ -1912,3 +1912,45 @@ LIMIT 25
 """
 
 ENTRIES["nation_trade_matrix"] = (nation_trade_matrix, NATION_TRADE_MATRIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# events_hopping_windows — OVERLAPPING (sliding/hopping) event-time
+# windows: 1-hour windows every 30 minutes, so each event lands in
+# exactly 2 windows.  Spark side is the idiomatic ``F.window(ts, '1
+# hour', '30 minutes')`` (the batch twin of the streaming slide window);
+# the oracle reproduces Spark's epoch-aligned window assignment with
+# integer microsecond arithmetic and a 2-row fan-out per event — the
+# window() contract stated as arithmetic.
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_HOPPING_SQL = """
+WITH hops AS (SELECT i FROM range(0, 2) r(i)),
+ex AS (
+  SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+           AS window_start,
+         value
+  FROM events CROSS JOIN hops)
+SELECT window_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM ex
+GROUP BY 1
+ORDER BY window_start
+"""
+
+ENTRIES["events_hopping_windows"] = (events_hopping_windows, EVENTS_HOPPING_SQL)
