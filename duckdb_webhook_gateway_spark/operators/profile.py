@@ -73,3 +73,54 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def functional_dependencies(df, cols):
+    """Discover which functional dependencies X -> Y hold among ``cols``.
+
+    X -> Y holds iff COUNT(DISTINCT X) == COUNT(DISTINCT (X, Y)) — adding
+    Y to the key creates no new groups.  All k + k(k-1) distinct counts
+    are computed in ONE aggregate over ONE scan (Spark plans multi-
+    distinct aggregates through a single Expand), and the 1-row result is
+    unpivoted to (lhs, rhs, ...) rows with ``stack`` — no driver-side
+    action, no per-pair rescan.  At 100 TB this is k² profile metrics for
+    the price of one pass; the naive per-pair loop is k² scans.
+
+    Returns (lhs, rhs, n_lhs_distinct, n_pair_distinct, holds) for every
+    ordered pair of distinct columns.  NULL handling note: countDistinct
+    ignores rows where any counted column is NULL in BOTH engines, so the
+    FD verdict is over non-NULL rows (the standard relational reading).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+    for x in cols:
+        for y in cols:
+            if x != y:
+                aggs.append(
+                    F.countDistinct(F.col(x), F.col(y)).alias(f"p_{x}__{y}")
+                )
+    one = df.agg(*aggs)
+    stack_args = []
+    for x in cols:
+        for y in cols:
+            if x != y:
+                stack_args.append(
+                    f"'{x}', '{y}', `d_{x}`, `p_{x}__{y}`"
+                )
+    n = sum(1 for x in cols for y in cols if x != y)
+    stacked = one.select(
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)}) "
+            "AS (lhs, rhs, n_lhs_distinct, n_pair_distinct)"
+        )
+    )
+    return stacked.select(
+        "lhs",
+        "rhs",
+        "n_lhs_distinct",
+        "n_pair_distinct",
+        (F.col("n_lhs_distinct") == F.col("n_pair_distinct")).alias("holds"),
+    )

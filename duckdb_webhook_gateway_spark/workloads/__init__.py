@@ -28,6 +28,7 @@ _CHECK_FIRST = (
     # errored in CORRECTNESS_r03 on the TIMESTAMP_NTZ testdata regeneration
     # (fixed via functions.epoch_us; re-verify driver-side):
     "part_basket_pairs",
+    "customer_functional_deps",
     "events_hopping_windows",
     "doc_prefix_jaccard_join",
     "nation_trade_matrix",
@@ -75,10 +76,10 @@ _CHECK_FIRST = (
     "cross_source_overlap",
     "leakage_safe_split",
     "events_cohort_retention",
-    "join_key_skew",
     "events_asof_attribution",
 )
 _CHECK_LAST = (
+    "join_key_skew",
     "bpe_merge_candidates",
     "sequence_packing",
     "source_mixture",

@@ -1954,3 +1954,56 @@ ORDER BY window_start
 """
 
 ENTRIES["events_hopping_windows"] = (events_hopping_windows, EVENTS_HOPPING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# customer_functional_deps — one-pass FD discovery over the customer ⋈
+# nation relation (operators/profile.py::functional_dependencies): all 12
+# ordered-pair dependency verdicts from ONE scan + ONE multi-distinct
+# aggregate, unpivoted in-plan.  Expected discoveries: nationkey -> 
+# region/name hold (hierarchy + bijection), the reverses fail, mktsegment
+# determines nothing.  The inputs are null-free, so Spark's
+# countDistinct(x, y) and the oracle's COUNT(DISTINCT (x, y)) agree (the
+# two differ on rows where exactly one side is NULL).
+_FD_COLS = ("c_nationkey", "n_regionkey", "c_mktsegment", "n_name")
+
+
+def customer_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import functional_dependencies
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    nation = _t(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select(*_FD_COLS)
+    return functional_dependencies(j, list(_FD_COLS)).orderBy("lhs", "rhs")
+
+
+def _fd_oracle_sql() -> str:
+    cols = _FD_COLS
+    aggs = [f"COUNT(DISTINCT {c}) AS d_{c}" for c in cols]
+    rows = []
+    for x in cols:
+        for y in cols:
+            if x != y:
+                aggs.append(f"COUNT(DISTINCT ({x}, {y})) AS p_{x}__{y}")
+                rows.append(
+                    f"SELECT '{x}' AS lhs, '{y}' AS rhs, d_{x} AS n_lhs_distinct,"
+                    f" p_{x}__{y} AS n_pair_distinct,"
+                    f" d_{x} = p_{x}__{y} AS holds FROM a"
+                )
+    unioned = "\nUNION ALL ".join(rows)
+    return f"""
+WITH j AS (
+  SELECT c_nationkey, n_regionkey, c_mktsegment, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+a AS (SELECT {', '.join(aggs)} FROM j)
+SELECT * FROM ({unioned})
+ORDER BY lhs, rhs
+"""
+
+
+ENTRIES["customer_functional_deps"] = (
+    customer_functional_deps,
+    _fd_oracle_sql(),
+)

@@ -645,3 +645,15 @@ def test_prefix_jaccard_no_cartesian_no_corpus_broadcast(spark):
                 if "Input" in nxt:
                     assert "toks" not in nxt, nxt
                     break
+
+
+def test_functional_deps_single_scan(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        customer_functional_deps,
+    )
+
+    plan = _plan(customer_functional_deps(spark, sf_dir()))
+    # all k + k(k-1) distinct counts from ONE customer scan (+ nation dim)
+    # via Expand-based multi-distinct — never a per-pair rescan
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    assert "Expand" in plan

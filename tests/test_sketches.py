@@ -183,3 +183,26 @@ def test_hll_duplicates_do_not_move_registers(spark):
     s1 = SK.grouped_hll_distinct(df1, "grp", "v").collect()[0]["register_sum"]
     s2 = SK.grouped_hll_distinct(df2, "grp", "v").collect()[0]["register_sum"]
     assert s1 == s2
+
+
+def test_functional_dependencies_verdicts(spark):
+    from duckdb_webhook_gateway_spark.operators.profile import (
+        functional_dependencies,
+    )
+
+    rows = [
+        ("a", 1, 10),  # x -> y holds (each x maps to one y)
+        ("a", 1, 20),  # ...but x -> z fails (a maps to 10 and 20)
+        ("b", 2, 30),
+        ("b", 2, 30),
+    ]
+    df = spark.createDataFrame(rows, "x string, y int, z int")
+    got = {
+        (r["lhs"], r["rhs"]): r["holds"]
+        for r in functional_dependencies(df, ["x", "y", "z"]).collect()
+    }
+    assert got[("x", "y")] is True
+    assert got[("x", "z")] is False
+    assert got[("y", "x")] is True   # 1<->a, 2<->b bijection
+    # z values map 10->a, 20->a, 30->b: every z determines one x
+    assert got[("z", "x")] is True
