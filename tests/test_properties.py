@@ -229,3 +229,78 @@ def test_substring_dedup_matches_python_mirror(spark, texts):
         for r in substring_dedup(_docs_df(spark, texts)).collect()
     }
     assert out == _py_dup_spans(texts)
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: prefix-Jaccard join and integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_prefix_jaccard(texts, num, den):
+    import itertools
+
+    sets = {i: set(t.split(" ")) - {""} for i, t in enumerate(texts)}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if den * inter >= num * union:
+            out.add((a, b))
+    return out
+
+
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=8),
+    thr=st.sampled_from([(1, 2), (4, 5), (19, 20)]),
+)
+@settings(**SETTINGS)
+def test_prefix_jaccard_equals_bruteforce(spark, texts, thr):
+    from duckdb_webhook_gateway_spark.operators.dedup import prefix_jaccard_join
+
+    num, den = thr
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_join(_docs_df(spark, texts), num, den).collect()
+    }
+    assert got == _py_prefix_jaccard(texts, num, den)
+
+
+def _py_pagerank_mirror(edges, iterations=2):
+    from collections import Counter, defaultdict
+
+    arcs = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    deg = Counter(s for s, _ in arcs)
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(iterations):
+        c = defaultdict(int)
+        for s, d in arcs:
+            c[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * v) // 100 for n, v in c.items()}
+    return r
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_equals_python_mirror(spark, edges):
+    from duckdb_webhook_gateway_spark.operators.graphs import (
+        pagerank_micro,
+        undirect,
+    )
+
+    edf = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_micro(undirect(edf), iterations=2).collect()
+    }
+    assert got == _py_pagerank_mirror(edges, iterations=2)
