@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 # the slice, so truncation keeps the SMALLEST item ids deterministically.
 MAX_BASKET_ITEMS = 1024
 
+# previous pagerank call's cached relations, released on the next call
+_prev_cached: list = []
+
 # Pair expansion over the sorted distinct item array: for each position i,
 # pair items[i] with every later item.  items is ascending, so a < b holds
 # by construction and each unordered pair appears exactly once.
@@ -119,6 +122,15 @@ def pagerank_micro(
     # deg is node-cardinality: joined (co-partitioned on src), NOT broadcast.
     arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
     arcs_d = arcs_d.persist()
+    # release the previous call's cached arcs (persist() pins disk blocks
+    # for the life of the context; see dedup._verify_candidates)
+    global _prev_cached
+    for rel in _prev_cached:
+        try:
+            rel.unpersist(blocking=False)
+        except Exception:
+            pass
+    _prev_cached = [arcs_d]
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(init_micro).cast("long").alias("r")
     )
