@@ -102,3 +102,48 @@ def run_ingest_receipt_join_once(
     rows = spark.table(query_name).collect()
     q.stop()
     return rows
+
+
+def ingest_receipt_join_outer(
+    spark: SparkSession,
+    landing_dir: str,
+    receipt_dir: str,
+    max_lag: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """LEFT OUTER flavor: every envelope emits — matched rows as soon as
+    both sides arrive, UNMATCHED rows (null receipt columns) only once
+    the watermark passes ``ingest_ts + max_lag`` and the state store can
+    prove no receipt is still possible.  That wait is the semantic cost
+    of outer results on unbounded streams; the delivery-monitoring read
+    of it: "rows with NULL status_code are deliveries we can now declare
+    lost", which no inner join can express.  State bounds are identical
+    to the inner form (both sides evict at the lag horizon).
+    """
+    env = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .json(landing_dir)
+        .withWatermark("ingest_ts", watermark)
+    )
+    rec = (
+        spark.readStream.schema(RECEIPT_SCHEMA)
+        .json(receipt_dir)
+        .withWatermark("receipt_ts", watermark)
+    )
+    joined = env.join(
+        rec,
+        (env["event_id"] == rec["event_id"])
+        & (rec["receipt_ts"] >= env["ingest_ts"])
+        & (rec["receipt_ts"] <= env["ingest_ts"] + F.expr(f"interval {max_lag}")),
+        "leftOuter",
+    )
+    return joined.select(
+        env["event_id"].alias("event_id"),
+        "source_path",
+        "ingest_ts",
+        "status_code",
+        "receipt_ts",
+        (F.unix_micros("receipt_ts") - F.unix_micros("ingest_ts"))
+        .cast("double")
+        .alias("delivery_lag_us"),
+    )

@@ -531,3 +531,73 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ks = sorted(r.k for r in rows)
     assert ks == ["A", "A", "B"], ks
+
+
+def test_stream_stream_outer_join_emits_lost_after_watermark(spark, tmp_path):
+    """LEFT OUTER interval join: a matched envelope emits immediately; a
+    receipt-less envelope emits with NULL receipt columns only after the
+    watermark passes ingest_ts + max_lag (drain 2's later data advances
+    it) — the 'declare the delivery lost' semantics."""
+    import json as _json
+    import os
+
+    from duckdb_webhook_gateway_spark.streaming.joins import (
+        ingest_receipt_join_outer,
+    )
+
+    landing = str(tmp_path / "env")
+    receipts = str(tmp_path / "rec")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(landing)
+    os.makedirs(receipts)
+
+    def write(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+    def drain():
+        df = ingest_receipt_join_outer(
+            spark, landing, receipts, max_lag="10 minutes",
+            watermark="1 minute",
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(landing, "e.json", [
+        {"event_id": "ok", "source_path": "/a",
+         "payload_json": "{}", "ingest_ts": "2026-08-13T10:00:00"},
+        {"event_id": "lost", "source_path": "/a",
+         "payload_json": "{}", "ingest_ts": "2026-08-13T10:00:00"},
+    ])
+    write(receipts, "r.json", [
+        {"event_id": "ok", "status_code": 200,
+         "receipt_ts": "2026-08-13T10:00:30"},
+    ])
+    drain()
+    got1 = {r.event_id: r.status_code for r in spark.read.parquet(out_dir).collect()}
+    assert got1.get("ok") == 200
+    assert "lost" not in got1  # watermark hasn't passed the lag horizon yet
+
+    # later traffic on BOTH streams advances both watermarks past
+    # 10:00 + 10 min; the unmatched envelope must now emit with NULLs
+    write(landing, "e2.json", [
+        {"event_id": "late", "source_path": "/a",
+         "payload_json": "{}", "ingest_ts": "2026-08-13T11:00:00"},
+    ])
+    write(receipts, "r2.json", [
+        {"event_id": "late", "status_code": 200,
+         "receipt_ts": "2026-08-13T11:00:01"},
+    ])
+    drain()
+    rows = {r.event_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert "lost" in rows, sorted(rows)
+    assert rows["lost"].status_code is None
+    assert rows["lost"].delivery_lag_us is None
