@@ -28,6 +28,7 @@ _CHECK_FIRST = (
     # errored in CORRECTNESS_r03 on the TIMESTAMP_NTZ testdata regeneration
     # (fixed via functions.epoch_us; re-verify driver-side):
     "part_basket_pairs",
+    "events_hourly_gapfill",
     "customer_functional_deps",
     "events_hopping_windows",
     "doc_prefix_jaccard_join",
@@ -74,11 +75,11 @@ _CHECK_FIRST = (
     "training_order_manifest",
     "vocab_oov_rate",
     "cross_source_overlap",
-    "leakage_safe_split",
     "events_cohort_retention",
     "events_asof_attribution",
 )
 _CHECK_LAST = (
+    "leakage_safe_split",
     "join_key_skew",
     "bpe_merge_candidates",
     "sequence_packing",

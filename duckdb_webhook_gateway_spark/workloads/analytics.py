@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
 from ..sources.files import read_table
 
 
@@ -2007,3 +2008,81 @@ ENTRIES["customer_functional_deps"] = (
     customer_functional_deps,
     _fd_oracle_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_gapfill — calendar-spine densification + LOCF imputation.
+# Warehouses call this gap filling: generate the complete (event_type x
+# hour) grid between the corpus bounds, left-join the actual hourly
+# aggregate, zero-fill the counts, and carry the last observed value
+# forward (last_value IGNORE NULLS) into empty hours.  The spine is
+# generated (1-row bounds agg + sequence explode — never a scan), the
+# grid is types x hours (output-cardinality), and the LOCF window runs
+# inside the per-type hash partition: one shuffle end to end.
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    bounds = ev.agg(
+        (epoch_us(F.min("ts")) / hour_us).cast("long").alias("h0"),
+        (epoch_us(F.max("ts")) / hour_us).cast("long").alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    ).select(F.timestamp_micros(F.col("h") * hour_us).alias("hour_start"))
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.timestamp_micros(
+            (epoch_us("ts") / hour_us).cast("long") * hour_us
+        ).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    grid = types.crossJoin(spine)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+            F.coalesce(
+                F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("locf_value"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) // 3600000000) AS h0,
+         (epoch_us(max(ts)) // 3600000000) AS h1 FROM events),
+spine AS (
+  SELECT make_timestamp((h0 + i) * 3600000000) AS hour_start
+  FROM bounds CROSS JOIN range(0, 1000000) r(i) WHERE h0 + i <= h1),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+           AS hour_start,
+         event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1, 2),
+grid AS (SELECT t.event_type, s.hour_start FROM types t CROSS JOIN spine s)
+SELECT g.event_type, g.hour_start,
+       COALESCE(n, 0) AS n_events,
+       COALESCE(v, 0.0) AS total_value,
+       COALESCE(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS locf_value
+FROM grid g LEFT JOIN actual a
+  ON g.event_type = a.event_type AND g.hour_start = a.hour_start
+ORDER BY g.event_type, g.hour_start
+"""
+
+ENTRIES["events_hourly_gapfill"] = (events_hourly_gapfill, EVENTS_GAPFILL_SQL)
