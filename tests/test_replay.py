@@ -117,3 +117,44 @@ def test_replay_lazy_no_action_until_collect(gateway, spark):
 
     assert isinstance(df, DataFrame)
     assert "raw_event_id" in df.columns
+
+
+def test_replay_loads_runtime_udfs(gateway, spark):
+    """Replay must re-register the webhook's stored Python UDFs (under
+    their namespaced udf_<id>_<fn> names) before running the transform —
+    same contract as the ingest path."""
+    from duckdb_webhook_gateway_spark.engine.udfs import udf_full_name
+
+    _register(gateway, "/r8", "SELECT word AS loud FROM {{payload}}")
+    wid = gateway.catalog.get_by_path("/r8")["id"]
+    gateway.udfs.register(
+        wid, "shout", "def shout(x: str) -> str:\n    return x.upper() + '!'\n"
+    )
+    fn = udf_full_name(wid, "shout")
+    gateway.ingest("/r8", {"word": "hi"})
+    gateway.ingest("/r8", {"word": "ok"})
+    got = {
+        r["loud"]
+        for r in gateway.replay(
+            "/r8", transform_query=f"SELECT {fn}(word) AS loud FROM {{{{payload}}}}"
+        ).collect()
+    }
+    assert got == {"HI!", "OK!"}
+
+
+def test_replay_after_webhook_update_uses_current_transform(gateway, spark):
+    """History ingested under transform v1; after a PUT-style update the
+    default replay runs v2 — the backfill-after-fix workflow."""
+    _register(gateway, "/r9", "SELECT a AS out FROM {{payload}}")
+    gateway.ingest("/r9", {"a": 7})
+    wh = gateway.catalog.get_by_path("/r9")
+    gateway.catalog.update(
+        wh["id"],
+        WebhookConfig(
+            source_path="/r9",
+            destination_url=wh["destination_url"],
+            transform_query="SELECT a * 10 AS out FROM {{payload}}",
+        ),
+    )
+    rows = gateway.replay("/r9").collect()
+    assert [r["out"] for r in rows] == [70]
