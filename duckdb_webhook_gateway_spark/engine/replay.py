@@ -24,7 +24,10 @@ Semantics vs the ingest path:
 - Nothing is delivered and nothing is written: the result is a LAZY
   DataFrame of (raw_event_id, <transform output columns>) with 0/1/N
   rows per event, for the caller to write, diff against
-  transformed_events, or deliver explicitly.
+  transformed_events, or deliver explicitly.  With no ``schema`` and an
+  EMPTY time range there is nothing to infer output columns from, so the
+  frame has only ``raw_event_id`` — pass ``schema`` when looping over
+  windows that may be empty and a stable schema matters.
 
 Scale: payloads never touch the driver (mapPartitions re-tags JSON
 line-by-line), the correlated lateral decorrelates into an equi-join on
@@ -45,6 +48,9 @@ from ..functions import rewrite_dialect
 
 
 _UNSET = object()
+
+# temp views created by prior replay calls, dropped on the next call
+_prev_views: list[str] = []
 
 
 def replay_events(
@@ -78,6 +84,11 @@ def replay_events(
     gateway.udfs.load_webhook_udfs(webhook["id"])
 
     spark = gateway.spark
+    # per-call correlation key: uuid-suffixed so a payload key can never
+    # collide with it and be silently clobbered (the streaming vectorized
+    # path detects '__corr_id' collisions and falls back per-event; batch
+    # replay has no per-event fallback, so it prevents instead)
+    corr = f"__corr_{uuid.uuid4().hex[:12]}"
     ev = spark.table("raw_events").where(F.col("source_path") == path)
     if since is not None:
         ev = ev.where(F.col("timestamp") >= F.to_timestamp(F.lit(since)))
@@ -95,31 +106,44 @@ def replay_events(
             except Exception:
                 continue
             if isinstance(p, dict):
-                yield json.dumps({**p, "__corr_id": r["id"]})
+                yield json.dumps({**p, corr: r["id"]})
             elif isinstance(p, list):
                 for el in p:
                     if isinstance(el, dict):
-                        yield json.dumps({**el, "__corr_id": r["id"]})
+                        yield json.dumps({**el, corr: r["id"]})
 
     rdd = ev.select("id", "payload").rdd.mapPartitions(_embed)
     payload_df = (
-        spark.read.schema(f"__corr_id STRING, {schema}").json(rdd)
+        spark.read.schema(f"{corr} STRING, {schema}").json(rdd)
         if schema
         else spark.read.json(rdd)
     )
-    if "__corr_id" not in payload_df.columns:  # empty range
+    if corr not in payload_df.columns:  # empty range, nothing to infer
+        return spark.createDataFrame([], "raw_event_id string")
+    cols = ", ".join(f"`{c}`" for c in payload_df.columns if c != corr)
+    if not cols:  # every payload was an empty dict: no transform inputs
         return spark.createDataFrame([], "raw_event_id string")
 
     view = f"replay_{uuid.uuid4().hex}"
     payload_df.createOrReplaceTempView(view)
-    cols = ", ".join(f"`{c}`" for c in payload_df.columns if c != "__corr_id")
+    # The result is lazy, so the view can't drop in a finally here (the
+    # ingest executors can — they collect eagerly); instead each call
+    # releases the views of PREVIOUS replay calls, already consumed or
+    # abandoned, bounding the leak to one live view per process.
+    global _prev_views
+    for v in _prev_views:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass
+    _prev_views = [view]
     gate = (
         f"WHERE {fq}" if fq is not None and str(fq).strip() else ""
     )
-    ids = f"(SELECT DISTINCT __corr_id FROM {view} {gate})"
-    inner = f"(SELECT {cols} FROM {view} WHERE __corr_id = b.__corr_id)"
+    ids = f"(SELECT DISTINCT {corr} FROM {view} {gate})"
+    inner = f"(SELECT {cols} FROM {view} WHERE {corr} = b.{corr})"
     rewritten = rewrite_dialect(tq.replace("{{payload}}", inner))
     return spark.sql(
-        f"SELECT b.__corr_id AS raw_event_id, r.* "
+        f"SELECT b.{corr} AS raw_event_id, r.* "
         f"FROM {ids} b, LATERAL ({rewritten}) r"
     )

@@ -122,25 +122,39 @@ def pagerank_micro(
     # deg is node-cardinality: joined (co-partitioned on src), NOT broadcast.
     arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
     arcs_d = arcs_d.persist()
-    # release the previous call's cached arcs (persist() pins disk blocks
-    # for the life of the context; see dedup._verify_candidates)
+    # The node universe is every endpoint, cached once: a node with
+    # out-arcs but no in-arcs receives no contributions, but it must KEEP
+    # its base rank and keep contributing — an inner groupBy(dst) alone
+    # would silently drop it (and its outgoing mass) after iteration 1 on
+    # general digraphs, even though undirected graphs never hit the case.
+    nodes = (
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # release the previous call's cached relations (persist() pins disk
+    # blocks for the life of the context; see dedup._verify_candidates)
     global _prev_cached
     for rel in _prev_cached:
         try:
             rel.unpersist(blocking=False)
         except Exception:
             pass
-    _prev_cached = [arcs_d]
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(init_micro).cast("long").alias("r")
+    _prev_cached = [arcs_d, nodes]
+    ranks = nodes.select(
+        "node", F.lit(init_micro).cast("long").alias("r")
     )
     for _ in range(iterations):
-        ranks = (
+        contrib = (
             arcs_d.join(ranks, arcs_d["src"] == ranks["node"])
-            .groupBy(F.col("dst"))
-            .agg(
-                F.expr(f"{base} + ({damping_pct} * sum(r DIV deg)) DIV 100").alias("r")
-            )
-            .select(F.col("dst").alias("node"), F.col("r"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(r DIV deg)").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"{base} + ({damping_pct} * coalesce(c, 0)) DIV 100"
+            ).alias("r"),
         )
     return ranks

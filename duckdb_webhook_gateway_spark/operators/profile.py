@@ -87,9 +87,12 @@ def functional_dependencies(df, cols):
     the price of one pass; the naive per-pair loop is k² scans.
 
     Returns (lhs, rhs, n_lhs_distinct, n_pair_distinct, holds) for every
-    ordered pair of distinct columns.  NULL handling note: countDistinct
-    ignores rows where any counted column is NULL in BOTH engines, so the
-    FD verdict is over non-NULL rows (the standard relational reading).
+    ordered pair of distinct columns.  NULL handling: Spark's
+    countDistinct(x, y) drops a row when EITHER column is NULL, while
+    DuckDB's COUNT(DISTINCT (x, y)) keeps partial-NULL structs — the two
+    agree only on null-free inputs, which is what the paired workload
+    oracle uses; on nullable columns this operator reports Spark's
+    semantics (FD verdict over rows where both sides are non-NULL).
     """
     from pyspark.sql import functions as F
 

@@ -172,10 +172,11 @@ def grouped_hll_distinct(
     order-independent — no float-summation nondeterminism under AQE
     re-partitioning.
 
-    Plan: one hash aggregate to (group, register) max-rho — 256 rows per
-    group regardless of input size, the whole point of the sketch — then a
-    dense 256-register grid per group (groups x 256 rows) restores empty
-    registers before the final per-group sum.  Nothing broadcast, nothing
+    Plan: ONE scan feeding one hash aggregate to (group, register)
+    max-rho — 256 rows per group regardless of input size, the whole
+    point of the sketch — then a dense 256-register grid per group
+    (derived from the sketch relation itself, not a rescan) restores
+    empty registers before the final per-group sum.  Nothing broadcast, nothing
     collected; registers merge with MAX so the sketch is mergeable across
     partitions, files, or days (partial aggregation does the merge
     map-side for free).
@@ -202,8 +203,10 @@ def grouped_hll_distinct(
         .groupBy(group_col, "reg")
         .agg(F.max("rho").alias("m"))
     )
+    # group universe from the 256-rows-per-group sketch relation, NOT a
+    # second scan of the input — the whole point is one pass over the data
     grid = (
-        df.select(group_col)
+        regmax.select(group_col)
         .distinct()
         .select(
             F.col(group_col),

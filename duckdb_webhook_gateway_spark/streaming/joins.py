@@ -17,12 +17,14 @@ O(stream history).  At 100 TB/day that bound is what makes the join
 runnable at all: an unconstrained stream-stream equi-join would buffer
 both streams forever.
 
-Inner join only in the one-shot helpers: inner matches emit as soon as
-both sides arrive (no watermark wait), so ``availableNow`` drains give a
-deterministic answer.  Outer variants additionally need the watermark to
-actually advance past the lag bound before emitting unmatched rows —
-that requires a second trigger with later data and is deliberately not
-wrapped here.
+The one-shot helper drains with the INNER form: inner matches emit as
+soon as both sides arrive, so a single ``availableNow`` drain gives a
+deterministic answer.  ``ingest_receipt_join_outer`` exposes the LEFT
+OUTER form (lost-delivery detection); its unmatched rows only emit once
+the watermark actually advances past the lag bound, which takes a
+SECOND trigger carrying later data — see
+tests/test_streaming.py::test_stream_stream_outer_join_emits_lost_after_watermark
+for the two-drain choreography.
 """
 
 from __future__ import annotations
@@ -48,10 +50,12 @@ def ingest_receipt_join(
     receipt_dir: str,
     max_lag: str = "10 minutes",
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """(event_id, source_path, ingest_ts, status_code, receipt_ts,
     delivery_lag_us) for every receipt arriving within ``max_lag`` of its
-    envelope's ingest."""
+    envelope's ingest.  ``how`` picks the join flavor (inner/leftOuter);
+    both share identical state bounds."""
     env = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .json(landing_dir)
@@ -67,7 +71,7 @@ def ingest_receipt_join(
         (env["event_id"] == rec["event_id"])
         & (rec["receipt_ts"] >= env["ingest_ts"])
         & (rec["receipt_ts"] <= env["ingest_ts"] + F.expr(f"interval {max_lag}")),
-        "inner",
+        how,
     )
     return joined.select(
         env["event_id"].alias("event_id"),
@@ -111,39 +115,16 @@ def ingest_receipt_join_outer(
     max_lag: str = "10 minutes",
     watermark: str = "2 minutes",
 ) -> DataFrame:
-    """LEFT OUTER flavor: every envelope emits — matched rows as soon as
-    both sides arrive, UNMATCHED rows (null receipt columns) only once
-    the watermark passes ``ingest_ts + max_lag`` and the state store can
-    prove no receipt is still possible.  That wait is the semantic cost
-    of outer results on unbounded streams; the delivery-monitoring read
-    of it: "rows with NULL status_code are deliveries we can now declare
-    lost", which no inner join can express.  State bounds are identical
-    to the inner form (both sides evict at the lag horizon).
+    """LEFT OUTER flavor of :func:`ingest_receipt_join`: every envelope
+    emits — matched rows as soon as both sides arrive, UNMATCHED rows
+    (null receipt columns) only once the watermark passes ``ingest_ts +
+    max_lag`` and the state store can prove no receipt is still
+    possible.  That wait is the semantic cost of outer results on
+    unbounded streams; the delivery-monitoring read of it: "rows with
+    NULL status_code are deliveries we can now declare lost", which no
+    inner join can express.  State bounds are identical to the inner
+    form (both sides evict at the lag horizon).
     """
-    env = (
-        spark.readStream.schema(ENVELOPE_SCHEMA)
-        .json(landing_dir)
-        .withWatermark("ingest_ts", watermark)
-    )
-    rec = (
-        spark.readStream.schema(RECEIPT_SCHEMA)
-        .json(receipt_dir)
-        .withWatermark("receipt_ts", watermark)
-    )
-    joined = env.join(
-        rec,
-        (env["event_id"] == rec["event_id"])
-        & (rec["receipt_ts"] >= env["ingest_ts"])
-        & (rec["receipt_ts"] <= env["ingest_ts"] + F.expr(f"interval {max_lag}")),
-        "leftOuter",
-    )
-    return joined.select(
-        env["event_id"].alias("event_id"),
-        "source_path",
-        "ingest_ts",
-        "status_code",
-        "receipt_ts",
-        (F.unix_micros("receipt_ts") - F.unix_micros("ingest_ts"))
-        .cast("double")
-        .alias("delivery_lag_us"),
+    return ingest_receipt_join(
+        spark, landing_dir, receipt_dir, max_lag, watermark, how="leftOuter"
     )

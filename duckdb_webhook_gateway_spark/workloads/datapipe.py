@@ -3941,10 +3941,16 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             "n",
             F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+            # GREATEST(var, 0): float cancellation on a zero-variance
+            # dimension can yield -1e-18, which DuckDB's sqrt() hard-errors
+            # on (Spark returns NaN) — clamp BOTH engines identically.
             F.round(
                 F.sqrt(
-                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-                    / F.col("n")
+                    F.greatest(
+                        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                        / F.col("n"),
+                        F.lit(0.0),
+                    )
                 ),
                 6,
             ).alias("std"),
@@ -3963,7 +3969,7 @@ agg AS (
   FROM ex GROUP BY 1)
 SELECT dim, n,
        ROUND(s / n, 6) AS mean,
-       ROUND(sqrt((ss - s * s / n) / n), 6) AS std
+       ROUND(sqrt(GREATEST((ss - s * s / n) / n, 0.0)), 6) AS std
 FROM agg
 ORDER BY dim
 """

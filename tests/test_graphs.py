@@ -122,3 +122,22 @@ def test_pagerank_uniform_on_symmetric_graph(spark):
     edf = spark.createDataFrame(cyc, "a bigint, b bigint")
     ranks = {r["r"] for r in G.pagerank_micro(G.undirect(edf)).collect()}
     assert len(ranks) == 1
+
+
+def test_pagerank_digraph_keeps_sourceless_in_nodes(spark):
+    # 1 -> 2 -> 3 -> 2: node 1 has out-arcs but NO in-arcs.  It must keep
+    # its base rank every iteration AND keep contributing to node 2 —
+    # the inner-join formulation silently dropped both after iteration 1.
+    arcs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["r"] for r in G.pagerank_micro(arcs, iterations=3).collect()}
+
+    base = 150_000
+    r = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    deg = {1: 1, 2: 1, 3: 1}
+    for _ in range(3):
+        contrib = {1: 0, 2: r[1] // deg[1] + r[3] // deg[3], 3: r[2] // deg[2]}
+        r = {n: base + (85 * c) // 100 for n, c in contrib.items()}
+    assert got == r
+    assert got[1] == base  # no in-arcs: exactly the teleport mass

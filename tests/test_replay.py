@@ -158,3 +158,21 @@ def test_replay_after_webhook_update_uses_current_transform(gateway, spark):
     )
     rows = gateway.replay("/r9").collect()
     assert [r["out"] for r in rows] == [70]
+
+
+def test_replay_payload_with_corr_key_is_not_clobbered(gateway, spark):
+    # a payload carrying a '__corr_id' key must survive replay intact:
+    # the correlation column is uuid-suffixed per call, so no collision
+    _register(gateway, "/r10", "SELECT __corr_id AS cid FROM {{payload}}")
+    gateway.ingest("/r10", {"__corr_id": "user-supplied", "a": 1})
+    rows = gateway.replay("/r10").collect()
+    assert [r["cid"] for r in rows] == ["user-supplied"]
+
+
+def test_replay_all_empty_payloads_returns_empty(gateway, spark):
+    # empty dicts give the transform no input columns; replay must return
+    # an empty frame, not raise a ParseException on 'SELECT  FROM ...'
+    _register(gateway, "/r11", "SELECT * FROM {{payload}}")
+    gateway.ingest("/r11", {})
+    gateway.ingest("/r11", {})
+    assert gateway.replay("/r11").count() == 0
