@@ -6,9 +6,11 @@ engines computing the same bytes.  Engine-native hashes (Spark xxhash64,
 DuckDB hash()) are NOT interchangeable and are never used in any operator
 that is oracle-checked.
 
-The primitives generate SQL expression *text* in both dialects; the only
-dialect delta is the substring-position function name (Spark ``instr``,
-DuckDB ``strpos``).
+The primitives generate SQL expression *text* in both dialects.  The
+dialect implementations DIFFER structurally — Spark uses its ``conv``
+intrinsic, DuckDB spells out the per-nibble sum with ``strpos`` — and
+compute the same BIGINT only within the ``n <= 15`` hex-char bound;
+tests/test_properties.py pins the bit-equality.
 """
 
 from __future__ import annotations

@@ -738,6 +738,7 @@ def substring_dedup(
     window_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_positions: int | None = 4000,
 ) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): find
     every maximal span whose ``window_tokens``-token substrings also occur
@@ -756,8 +757,18 @@ def substring_dedup(
 
     Returns only docs containing duplicated spans: (doc_id, n_tokens,
     n_dup_spans, n_dup_tokens, dup_token_frac).
+
+    ``max_positions`` bounds window START positions (default 4000 — the
+    house oracle convention's token-index table; the differential oracle
+    can only enumerate bounded positions).  ``n_tokens`` stays the FULL
+    length either way.  Pass None to scan arbitrarily long docs.
     """
     k = window_tokens
+    pos_bound = (
+        f"size(t) - {k - 1}"
+        if max_positions is None
+        else f"least(size(t) - {k - 1}, {max_positions})"
+    )
     t = tokenized(docs, id_col, text_col)
     win = (
         t.filter(F.size("t") >= k)
@@ -766,7 +777,7 @@ def substring_dedup(
             F.size("t").cast("bigint").alias("n_tokens"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(t) - {k - 1}), i -> "
+                    f"transform(sequence(1, {pos_bound}), i -> "
                     f"struct(i AS pos, md5(concat_ws(' ', slice(t, i, {k}))) AS h))"
                 )
             ).alias("w"),

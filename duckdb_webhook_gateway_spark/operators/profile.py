@@ -72,6 +72,14 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 "max_repr",
             )
         )
+    if not parts:
+        # no profilable (scalar) field matched — an empty relation with
+        # the profile schema, not an opaque reduce() TypeError
+        return df.sparkSession.createDataFrame(
+            [],
+            "column_name string, n_rows bigint, n_nulls bigint, "
+            "n_distinct bigint, min_repr string, max_repr string",
+        )
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

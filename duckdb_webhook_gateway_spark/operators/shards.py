@@ -63,8 +63,22 @@ def write_training_shards(
         aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
     else:
         aggs.append(F.lit(None).cast("bigint").alias("n_tokens"))
+    counted = written.groupBy(
+        F.col("shard_id").cast("int").alias("shard_id")
+    ).agg(*aggs)
+    # full 0..n_shards-1 spine: a shard that received zero rows gets an
+    # explicit (id, 0, 0/null) manifest row — a launcher iterating the
+    # manifest must see every shard, not silently fewer than n_shards
+    spine = spark.range(n_shards).select(F.col("id").cast("int").alias("shard_id"))
+    n_tokens_fill = (
+        F.lit(None).cast("bigint") if token_col is None else F.lit(0).cast("bigint")
+    )
     return (
-        written.groupBy(F.col("shard_id").cast("int").alias("shard_id"))
-        .agg(*aggs)
+        spine.join(counted, "shard_id", "left")
+        .select(
+            "shard_id",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_tokens", n_tokens_fill).alias("n_tokens"),
+        )
         .orderBy("shard_id")
     )

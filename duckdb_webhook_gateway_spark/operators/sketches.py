@@ -36,6 +36,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_update(counters: dict, items, k: int) -> dict:
+    """One Misra-Gries pass over ``items`` into ``counters`` (<= k keys).
+
+    THE update rule, shared by the batch operator below and the streaming
+    state twin (streaming/stateful.py::_hh_group) so the two summaries
+    can never silently diverge: increment a tracked item, insert while
+    capacity remains, else decrement-all-and-drop-zeros.
+    """
+    for item in items:
+        c = counters.get(item)
+        if c is not None:
+            counters[item] = c + 1
+        elif len(counters) < k:
+            counters[item] = 1
+        else:
+            # decrement-all; drop zeros (amortized O(1) per row: each
+            # decrement pays back one earlier increment)
+            counters = {t: c - 1 for t, c in counters.items() if c > 1}
+    return counters
+
+
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries; returns a 1-column DataFrame
     ``[col]`` whose distinct values form a superset of every item with
@@ -45,23 +66,18 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # output schema mirrors the input column's type — hardcoding string
+    # would crash (or worse, implicitly cast the later semi-join) for
+    # bigint/int item columns
+    col_type = df.schema[col].dataType.simpleString()
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item in pdf[col].values:
-                c = counters.get(item)
-                if c is not None:
-                    counters[item] = c + 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all; drop zeros (amortized O(1) per row:
-                    # each decrement pays back one earlier increment)
-                    counters = {t: c - 1 for t, c in counters.items() if c > 1}
+            counters = mg_update(counters, pdf[col].values, k)
         yield pd.DataFrame({col: list(counters.keys())})
 
-    return df.select(col).mapInPandas(mg, schema=f"{col} string")
+    return df.select(col).mapInPandas(mg, schema=f"{col} {col_type}")
 
 
 def heavy_hitters(
@@ -125,7 +141,11 @@ def grouped_topk(
                 ascending=[False] + ([True] if tiebreak else []),
                 kind="mergesort",
             )
-            cand = srt.groupby(group_cols, sort=False).head(k)
+            # dropna=False: a NULL group key is a group like any other —
+            # pandas' default dropna=True would silently discard those
+            # rows here while the final row_number window keeps them,
+            # breaking the 'identical to the naive plan' contract
+            cand = srt.groupby(group_cols, sort=False, dropna=False).head(k)
         if cand is not None:
             yield cand
 
@@ -230,4 +250,31 @@ def grouped_hll_distinct(
             ),
             4,
         ).alias("hll_estimate"),
+    )
+
+
+def kmv_ranked(hashed: DataFrame, group_cols: list, k: int = 64, shards: int = 32):
+    """Sharded KMV merge: per-group candidate k-mins with global rank.
+
+    THE construction shared by every KMV query (distinct_kmv_sketch,
+    source_overlap_kmv — two sketches built here MUST stay bit-identical
+    or their set algebra silently diverges): per (group, h % shards)
+    partial k-mins (map-side bounded state, no global sort of the hash
+    stream), explode the <= shards*k survivors, then rank within the
+    group.  Returns (*group_cols, h, rn, cnt) where rn is the global
+    ascending hash rank and cnt the merged candidate count — callers
+    filter rn <= k (sketch membership) or pick rn == least(k, cnt)
+    (the kth-min estimator).
+    """
+    from pyspark.sql import Window
+
+    partial = hashed.groupBy(
+        *group_cols, (F.col("h") % shards).alias("shard")
+    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("mins"))
+    wp = Window.partitionBy(*group_cols).orderBy("h")
+    wc = Window.partitionBy(*group_cols)
+    return (
+        partial.select(*group_cols, F.explode("mins").alias("h"))
+        .withColumn("rn", F.row_number().over(wp))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
     )

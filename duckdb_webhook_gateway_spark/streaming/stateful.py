@@ -156,9 +156,16 @@ def _session_group(key, pdfs, state):
 
     cur = list(state.get) if state.exists else None
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, val in zip(pdf["ts"], pdf["value"]):
+    # Concatenate the WHOLE micro-batch before the event-time sort: a
+    # group spanning multiple Arrow chunks (>10k rows, or unordered
+    # source files) sorted per-chunk would fold out-of-order — merging
+    # events across a genuine gap and regressing session_end.
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts, val in zip(batch["ts"], batch["value"]):
             t = ts.value // 1000  # pandas ns -> epoch us
             if cur is None:
                 cur = [t, t, 0, 0.0]
@@ -170,7 +177,8 @@ def _session_group(key, pdfs, state):
             cur[3] += float(val)
     if closed:
         yield _session_rows(user_id, closed)
-    state.update(tuple(cur))
+    if cur is not None:
+        state.update(tuple(cur))
 
 
 def session_stream(
@@ -252,15 +260,10 @@ def _hh_group(key, pdfs, state, k: int):
         counters = dict(zip(toks, cnts))
     else:
         counters, seq = {}, 0
+    from ..operators.sketches import mg_update
+
     for pdf in pdfs:
-        for item in pdf["item"].values:
-            c = counters.get(item)
-            if c is not None:
-                counters[item] = c + 1
-            elif len(counters) < k:
-                counters[item] = 1
-            else:
-                counters = {t: c - 1 for t, c in counters.items() if c > 1}
+        counters = mg_update(counters, pdf["item"].values, k)
     seq += 1
     state.update((list(counters.keys()), list(counters.values()), seq))
     (grp,) = key
@@ -315,7 +318,15 @@ def run_heavy_hitters_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "heavy-hitter drain did not finish in 120 s — the memory "
+                "sink would hold PARTIAL summaries, voiding the superset "
+                "guarantee"
+            )
+    finally:
+        q.stop()
     out = spark.table(name)
     from pyspark.sql import Window
     import pyspark.sql.functions as F

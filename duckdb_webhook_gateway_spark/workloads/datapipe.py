@@ -2578,18 +2578,7 @@ def distinct_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
     h = F.expr(md5_int_expr("CAST(user_id AS STRING)", "spark", 12))
     hashed = ev.select("event_type", h.alias("h")).distinct()
-    partial = hashed.groupBy(
-        "event_type", (F.col("h") % 32).alias("shard")
-    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, K).alias("mins"))
-    ranked = (
-        partial.select("event_type", F.explode("mins").alias("h"))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
-        )
-        .withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
-        )
-    )
+    ranked = SK.kmv_ranked(hashed, ["event_type"], k=K, shards=32)
     # cnt here is the merged candidate count (<= 32*K); when the true
     # distinct count is below K every hash survives into the merge, so
     # rn == least(K, cnt) selects the same row the oracle's global rank does.
@@ -3295,7 +3284,7 @@ WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 tok AS (SELECT doc_id, t[i] AS token FROM toks JOIN nums ON i <= len(t)),
 big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        FROM toks JOIN nums ON i <= len(t) - 1),
+        FROM toks JOIN nums ON i <= len(t) - 1 AND i < 4000),
 uni_c AS (SELECT token AS w1, CAST(count(*) AS BIGINT) AS c1
           FROM tok GROUP BY token),
 big_c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
@@ -3336,7 +3325,7 @@ toks AS (SELECT doc_id, string_split(text, ' ') AS t,
 feats AS (
   SELECT doc_id, is_tgt,
          ({md5_int_expr("t[i] || ' ' || t[i+1]", 'duckdb')}) % 1024 AS bucket
-  FROM toks JOIN nums ON i <= len(t) - 1
+  FROM toks JOIN nums ON i <= len(t) - 1 AND i < 4000
 ),
 raw_c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr
           FROM feats GROUP BY bucket),
@@ -3565,15 +3554,10 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.expr(hex_to_int_expr("chunk_hash", 12, "spark")).alias("h")
     ).distinct()
 
-    partial = hashes.groupBy("source", (F.col("h") % 32).alias("shard")).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, K).alias("mins")
-    )
-    wsrc = Window.partitionBy("source").orderBy("h")
     sk = (
-        partial.select("source", F.explode("mins").alias("h"))
-        .withColumn("rn", F.row_number().over(wsrc))
+        SK.kmv_ranked(hashes, ["source"], k=K, shards=32)
         .filter(F.col("rn") <= K)
-        .drop("rn")
+        .drop("rn", "cnt")
     )
 
     pairs = spark.createDataFrame(

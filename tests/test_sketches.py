@@ -206,3 +206,44 @@ def test_functional_dependencies_verdicts(spark):
     assert got[("y", "x")] is True   # 1<->a, 2<->b bijection
     # z values map 10->a, 20->a, 30->b: every z determines one x
     assert got[("z", "x")] is True
+
+
+def test_grouped_topk_keeps_null_group(spark):
+    rows = [(None, 9.0, 2), (None, 8.0, 3), ("a", 5.0, 1), (None, 7.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, id int")
+    rows_out = [
+        (r["g"], r["v"])
+        for r in SK.grouped_topk(
+            df.repartition(3), ["g"], "v", 2, tiebreak="id"
+        ).collect()
+    ]
+    got = sorted(rows_out, key=lambda t: (t[0] or "", -t[1]))
+    # the NULL group must surface its top-2 like any other group
+    assert got == [(None, 9.0), (None, 8.0), ("a", 5.0)]
+
+
+def test_heavy_hitters_bigint_items(spark):
+    rows = [(7,)] * 50 + [(8,)] * 3 + [(9,)] * 2
+    df = spark.createDataFrame(rows, "user_id bigint")
+    got = {r["user_id"]: r["cnt"] for r in SK.heavy_hitters(df, "user_id", 4).collect()}
+    assert got == {7: 50}  # only 7 exceeds 55/4; schema follows the column type
+
+
+def test_kmv_ranked_matches_global_kmins(spark):
+    import hashlib
+
+    vals = [f"u{i}" for i in range(500)]
+    hs = sorted(int(hashlib.md5(v.encode()).hexdigest()[:12], 16) for v in vals)
+    df = spark.createDataFrame(
+        [("g", int(hashlib.md5(v.encode()).hexdigest()[:12], 16)) for v in vals],
+        "grp string, h long",
+    ).repartition(16)
+    got = (
+        SK.kmv_ranked(df, ["grp"], k=64, shards=32)
+        .filter("rn <= 64")
+        .orderBy("rn")
+        .collect()
+    )
+    # the sharded-partial merge must reproduce the TRUE global 64 smallest
+    assert [r["h"] for r in got] == hs[:64]
+    assert got[0]["cnt"] <= 32 * 64

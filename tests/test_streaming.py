@@ -601,3 +601,44 @@ def test_stream_stream_outer_join_emits_lost_after_watermark(spark, tmp_path):
     assert "lost" in rows, sorted(rows)
     assert rows["lost"].status_code is None
     assert rows["lost"].delivery_lag_us is None
+
+
+def test_session_group_sorts_across_chunks():
+    """_session_group must sort the WHOLE micro-batch, not each Arrow
+    chunk: a later chunk carrying earlier events would otherwise fold
+    out of order and merge across a genuine gap."""
+    import pandas as pd
+
+    from duckdb_webhook_gateway_spark.streaming.stateful import _session_group
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self.val = v
+
+        @property
+        def get(self):
+            return self.val
+
+    def ev(ts_iso, eid, val=1.0):
+        return {"event_id": eid, "ts": pd.Timestamp(ts_iso),
+                "user_id": 1, "value": val}
+
+    # chunk 1 holds the LATEST event; chunks 2 carries two earlier ones
+    # separated from it by >30 min — correct folding yields ONE closed
+    # session (the early pair) and parks the late event
+    chunk1 = pd.DataFrame([ev("2026-01-01 12:00:00", 3)])
+    chunk2 = pd.DataFrame(
+        [ev("2026-01-01 10:00:00", 1), ev("2026-01-01 10:10:00", 2)]
+    )
+    st = _State()
+    out = list(_session_group((1,), iter([chunk1, chunk2]), st))
+    assert len(out) == 1 and len(out[0]) == 1
+    closed = out[0].iloc[0]
+    assert closed["n_events"] == 2
+    assert str(closed["session_end"]).startswith("2026-01-01 10:10")
+    # open tail = the 12:00 event
+    assert st.val[2] == 1
