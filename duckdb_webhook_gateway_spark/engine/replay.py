@@ -49,9 +49,6 @@ from ..functions import rewrite_dialect
 
 _UNSET = object()
 
-# temp views created by prior replay calls, dropped on the next call
-_prev_views: list[str] = []
-
 
 def replay_events(
     gateway: Any,
@@ -126,24 +123,20 @@ def replay_events(
 
     view = f"replay_{uuid.uuid4().hex}"
     payload_df.createOrReplaceTempView(view)
-    # The result is lazy, so the view can't drop in a finally here (the
-    # ingest executors can — they collect eagerly); instead each call
-    # releases the views of PREVIOUS replay calls, already consumed or
-    # abandoned, bounding the leak to one live view per process.
-    global _prev_views
-    for v in _prev_views:
-        try:
-            spark.catalog.dropTempView(v)
-        except Exception:
-            pass
-    _prev_views = [view]
-    gate = (
-        f"WHERE {fq}" if fq is not None and str(fq).strip() else ""
-    )
-    ids = f"(SELECT DISTINCT {corr} FROM {view} {gate})"
-    inner = f"(SELECT {cols} FROM {view} WHERE {corr} = b.{corr})"
-    rewritten = rewrite_dialect(tq.replace("{{payload}}", inner))
-    return spark.sql(
-        f"SELECT b.{corr} AS raw_event_id, r.* "
-        f"FROM {ids} b, LATERAL ({rewritten}) r"
-    )
+    try:
+        gate = (
+            f"WHERE {fq}" if fq is not None and str(fq).strip() else ""
+        )
+        ids = f"(SELECT DISTINCT {corr} FROM {view} {gate})"
+        inner = f"(SELECT {cols} FROM {view} WHERE {corr} = b.{corr})"
+        rewritten = rewrite_dialect(tq.replace("{{payload}}", inner))
+        # spark.sql analyzes eagerly and resolves the view INTO the
+        # returned plan, so the catalog entry can drop immediately — the
+        # lazy result stays valid with no view leaked (and no global
+        # cleanup state, which would race across sessions/threads)
+        return spark.sql(
+            f"SELECT b.{corr} AS raw_event_id, r.* "
+            f"FROM {ids} b, LATERAL ({rewritten}) r"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

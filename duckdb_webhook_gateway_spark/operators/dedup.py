@@ -826,6 +826,7 @@ def prefix_jaccard_join(
     threshold_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_tokens: int = 4000,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= num/den, by prefix
     filtering — the OTHER canonical set-similarity join, complementary to
@@ -855,9 +856,16 @@ def prefix_jaccard_join(
 
     Returns (doc_a, doc_b, n_inter, n_union, jaccard) with doc_a < doc_b.
     """
+    # first max_tokens positions only — the house oracle convention
+    # (every token-table oracle enumerates positions 1..4000), mirrored
+    # here so the differential identity holds for docs of any length
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+        F.explode(
+            F.array_distinct(
+                F.slice(F.split(F.col(text_col), " "), 1, max_tokens)
+            )
+        ).alias("token"),
     ).filter(F.col("token") != "")
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (

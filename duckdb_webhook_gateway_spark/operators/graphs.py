@@ -98,9 +98,12 @@ def pagerank_micro(
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer micro-units.
 
-    ``arcs`` is a directed arc list ``(src, dst)``.  Every node must have
-    at least one outgoing arc (an undirected graph via :func:`undirect`
-    satisfies this; for general digraphs add self-loops for sinks first).
+    ``arcs`` is a directed arc list ``(src, dst)``.  The node universe is
+    every arc endpoint: sources with no in-arcs keep their teleport-mass
+    rank (and keep contributing), and sinks with no out-arcs accumulate
+    rank normally (their mass leaks, the standard un-normalized
+    treatment).  Undirected graphs via :func:`undirect` hit neither
+    case.
 
     r_{k+1}(v) = base + (damping_pct * sum_{u->v} (r_k(u) DIV deg(u))) DIV 100
 
@@ -110,6 +113,11 @@ def pagerank_micro(
     and any partitioning/summation order — the property the differential
     oracle needs, and the property that makes the operator's output stable
     under AQE re-planning at scale.
+
+    Consumption contract: each call releases the PREVIOUS call's cached
+    arc relation (the dedup-module pattern — persist() pins disk blocks
+    for the context lifetime), so consume a call's result before starting
+    the next or the earlier plan silently recomputes uncached.
 
     Plan shape per iteration: shuffle-join ranks to arcs on ``src``
     (ranks and arcs are both hash-partitioned by src after the first

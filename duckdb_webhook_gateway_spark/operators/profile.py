@@ -104,22 +104,30 @@ def functional_dependencies(df, cols):
     """
     from pyspark.sql import functions as F
 
+    # aliases are POSITIONAL (d_0, p_0_1), never derived from the column
+    # names — name-derived aliases collide for names like 'a_'+'b' vs
+    # 'a'+'_b', and the labels in stack() are quote-escaped, so arbitrary
+    # column names are safe
     aggs = []
-    for c in cols:
-        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
-    for x in cols:
-        for y in cols:
-            if x != y:
+    for i, c in enumerate(cols):
+        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{i}"))
+    for i, x in enumerate(cols):
+        for j, y in enumerate(cols):
+            if i != j:
                 aggs.append(
-                    F.countDistinct(F.col(x), F.col(y)).alias(f"p_{x}__{y}")
+                    F.countDistinct(F.col(x), F.col(y)).alias(f"p_{i}_{j}")
                 )
     one = df.agg(*aggs)
+
+    def _lit(name: str) -> str:
+        return "'" + name.replace("'", "''") + "'"
+
     stack_args = []
-    for x in cols:
-        for y in cols:
-            if x != y:
+    for i, x in enumerate(cols):
+        for j, y in enumerate(cols):
+            if i != j:
                 stack_args.append(
-                    f"'{x}', '{y}', `d_{x}`, `p_{x}__{y}`"
+                    f"{_lit(x)}, {_lit(y)}, `d_{i}`, `p_{i}_{j}`"
                 )
     n = sum(1 for x in cols for y in cols if x != y)
     stacked = one.select(

@@ -2026,8 +2026,15 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_us(F.min("ts")) / hour_us).cast("long").alias("h0"),
         (epoch_us(F.max("ts")) / hour_us).cast("long").alias("h1"),
     )
+    # spine capped at 1e6 hours (~114 years) SYMMETRICALLY with the
+    # oracle's range(0, 1000000) — one corrupt far-future timestamp must
+    # truncate identically on both engines, not silently diverge
     spine = bounds.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        F.explode(
+            F.sequence(
+                F.col("h0"), F.least(F.col("h1"), F.col("h0") + 999_999)
+            )
+        ).alias("h")
     ).select(F.timestamp_micros(F.col("h") * hour_us).alias("hour_start"))
     types = ev.select("event_type").distinct()
     actual = ev.groupBy(

@@ -247,3 +247,21 @@ def test_kmv_ranked_matches_global_kmins(spark):
     # the sharded-partial merge must reproduce the TRUE global 64 smallest
     assert [r["h"] for r in got] == hs[:64]
     assert got[0]["cnt"] <= 32 * 64
+
+
+def test_functional_dependencies_hostile_column_names(spark):
+    # 'a_'+'b' vs 'a'+'_b' would collide under name-derived aliases;
+    # positional aliases + escaped labels keep them distinct
+    rows = [(1, 2, 3, 4)] * 3
+    df = spark.createDataFrame(rows, "`a_` int, `b` int, `a` int, `_b` int")
+    out = SK_profile_fd(df, ["a_", "b", "a", "_b"]).collect()
+    assert len(out) == 12
+    assert {(r["lhs"], r["rhs"]) for r in out} >= {("a_", "b"), ("a", "_b")}
+
+
+def SK_profile_fd(df, cols):
+    from duckdb_webhook_gateway_spark.operators.profile import (
+        functional_dependencies,
+    )
+
+    return functional_dependencies(df, cols)
