@@ -23,7 +23,9 @@ assert qs["events_recent_topk"](spark, "/root/testdata/sf0.001").count() > 0
 # every epoch-arithmetic query must run under that dtype (functions.epoch_us).
 ts_type = dict(spark.read.parquet("/root/testdata/sf0.001/events.parquet").dtypes)["ts"]
 assert ts_type == "timestamp_ntz", ts_type
-for q in ("events_sessionize", "events_cohort_retention", "events_asof_attribution"):
+for q in ("events_sessionize", "events_cohort_retention", "events_asof_attribution",
+          "events_hopping_windows", "events_hourly_gapfill",
+          "events_markov_transitions", "events_range_join"):
     assert qs[q](spark, "/root/testdata/sf0.001").count() > 0, q
 print("VANILLA_OK")
 """
