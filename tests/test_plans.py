@@ -657,3 +657,16 @@ def test_functional_deps_single_scan(spark):
     # via Expand-based multi-distinct — never a per-pair rescan
     assert plan.count("Location: InMemoryFileIndex") <= 2
     assert "Expand" in plan
+
+
+def test_pagerank_no_node_cardinality_broadcast(spark):
+    from duckdb_webhook_gateway_spark.workloads.analytics import part_pagerank
+
+    plan = _plan(part_pagerank(spark, sf_dir()))
+    # degree/rank relations are node-cardinality: they must shuffle-join
+    # on src, never broadcast; the only broadcasts Catalyst may insert
+    # locally are under its size threshold and the plan must stay free of
+    # nested-loop pairings at any size
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
