@@ -39,10 +39,9 @@ from pyspark.sql import functions as F
 # so 1024 items caps a single basket's contribution at ~524k pairs (a few
 # MB) regardless of how degenerate the input is.  Sorted ascending before
 # the slice, so truncation keeps the SMALLEST item ids deterministically.
+# Workload oracles mirror the cap (row_number <= 1024 per basket) so the
+# differential identity holds even on degenerate inputs.
 MAX_BASKET_ITEMS = 1024
-
-# previous pagerank call's cached relations, released on the next call
-_prev_cached: list = []
 
 # Pair expansion over the sorted distinct item array: for each position i,
 # pair items[i] with every later item.  items is ascending, so a < b holds
@@ -114,23 +113,29 @@ def pagerank_micro(
     oracle needs, and the property that makes the operator's output stable
     under AQE re-planning at scale.
 
-    Consumption contract: each call releases the PREVIOUS call's cached
-    arc relation (the dedup-module pattern — persist() pins disk blocks
-    for the context lifetime), so consume a call's result before starting
-    the next or the earlier plan silently recomputes uncached.
+    Cache lifetime is scoped to THIS call: the arc and node relations are
+    materialized with ``localCheckpoint`` (lineage truncated, blocks owned
+    by the returned DataFrames and reclaimed by the context cleaner when
+    they are garbage-collected).  Concurrent/interleaved calls are safe —
+    nothing module-global is shared (the earlier design released a
+    previous call's persisted blocks from the next call, which could
+    silently un-cache a still-live result; see tests/test_graphs.py).
 
     Plan shape per iteration: shuffle-join ranks to arcs on ``src``
     (ranks and arcs are both hash-partitioned by src after the first
     iteration — Catalyst reuses the partitioning), then hash-aggregate by
     ``dst``.  ``O(iterations)`` shuffles total, the textbook synchronous
-    Pregel schedule; arcs+degrees are cached once.
+    Pregel schedule; arcs+degrees are materialized once.
     """
     base = ((100 - damping_pct) * init_micro) // 100
     deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # deg is node-cardinality: joined (co-partitioned on src), NOT broadcast.
-    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
-    arcs_d = arcs_d.persist()
-    # The node universe is every endpoint, cached once: a node with
+    # localCheckpoint (not persist) so block lifetime follows the DataFrame:
+    # iterations re-read materialized blocks, never the upstream plan.
+    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg").localCheckpoint(
+        eager=True
+    )
+    # The node universe is every endpoint, materialized once: a node with
     # out-arcs but no in-arcs receives no contributions, but it must KEEP
     # its base rank and keep contributing — an inner groupBy(dst) alone
     # would silently drop it (and its outgoing mass) after iteration 1 on
@@ -139,17 +144,8 @@ def pagerank_micro(
         arcs.select(F.col("src").alias("node"))
         .unionByName(arcs.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # release the previous call's cached relations (persist() pins disk
-    # blocks for the life of the context; see dedup._verify_candidates)
-    global _prev_cached
-    for rel in _prev_cached:
-        try:
-            rel.unpersist(blocking=False)
-        except Exception:
-            pass
-    _prev_cached = [arcs_d, nodes]
     ranks = nodes.select(
         "node", F.lit(init_micro).cast("long").alias("r")
     )

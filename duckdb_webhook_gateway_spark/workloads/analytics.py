@@ -1477,8 +1477,18 @@ def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The operator truncates degenerate baskets to their 1024 smallest items
+# (graphs.MAX_BASKET_ITEMS); the oracle mirrors the cap with a per-basket
+# row_number so the differential identity holds for ANY input, not only
+# corpora whose baskets happen to stay under the guard.
 PART_BASKET_PAIRS_SQL = """
-WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+WITH op AS (
+  SELECT ok, pk FROM (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= 1024)
 SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
 FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
 GROUP BY 1, 2
@@ -1515,7 +1525,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_PAGERANK_SQL = """
-WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+WITH op AS (
+  SELECT ok, pk FROM (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= 1024),
 pairs AS (
   SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n
   FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
@@ -2022,9 +2038,18 @@ ENTRIES["customer_functional_deps"] = (
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hour_us = 3_600_000_000
+
+    # Truncating integer division, == DuckDB's BIGINT `//` (both truncate
+    # toward zero: -7//2 = -3).  Float `/` + cast truncates too but loses
+    # integer exactness past 2^53; (c - c % d) is exactly divisible so the
+    # final division is exact for any epoch value, negative epochs included.
+    def _hour(c):
+        c = c.cast("long")
+        return ((c - c % hour_us) / hour_us).cast("long")
+
     bounds = ev.agg(
-        (epoch_us(F.min("ts")) / hour_us).cast("long").alias("h0"),
-        (epoch_us(F.max("ts")) / hour_us).cast("long").alias("h1"),
+        _hour(epoch_us(F.min("ts"))).alias("h0"),
+        _hour(epoch_us(F.max("ts"))).alias("h1"),
     )
     # spine capped at 1e6 hours (~114 years) SYMMETRICALLY with the
     # oracle's range(0, 1000000) — one corrupt far-future timestamp must
@@ -2038,9 +2063,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.timestamp_micros(F.col("h") * hour_us).alias("hour_start"))
     types = ev.select("event_type").distinct()
     actual = ev.groupBy(
-        F.timestamp_micros(
-            (epoch_us("ts") / hour_us).cast("long") * hour_us
-        ).alias("hour_start"),
+        F.timestamp_micros(_hour(epoch_us("ts")) * hour_us).alias(
+            "hour_start"
+        ),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")

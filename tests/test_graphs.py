@@ -124,6 +124,27 @@ def test_pagerank_uniform_on_symmetric_graph(spark):
     assert len(ranks) == 1
 
 
+def test_pagerank_interleaved_calls_bit_exact(spark):
+    # Two pagerank results live at once: building the second call must not
+    # release the first call's materialized relations (the old module-global
+    # _prev_cached hazard un-cached a still-live prior result).  Both lazy
+    # results are collected only AFTER both plans exist, then again in
+    # reverse order — all four collections bit-match the Python reference.
+    edges_b = [(10, 11), (11, 12), (12, 10), (12, 13)]
+    edf_a = spark.createDataFrame(EDGES, "a bigint, b bigint")
+    edf_b = spark.createDataFrame(edges_b, "a bigint, b bigint")
+    ra = G.pagerank_micro(G.undirect(edf_a), iterations=3)
+    rb = G.pagerank_micro(G.undirect(edf_b), iterations=3)
+    want_a = _py_pagerank(EDGES, iterations=3)
+    want_b = _py_pagerank(edges_b, iterations=3)
+    assert {r["node"]: r["r"] for r in ra.collect()} == want_a
+    assert {r["node"]: r["r"] for r in rb.collect()} == want_b
+    # re-collect in the opposite order: results must be stable, not
+    # silently recomputed-from-nothing after a later call
+    assert {r["node"]: r["r"] for r in rb.collect()} == want_b
+    assert {r["node"]: r["r"] for r in ra.collect()} == want_a
+
+
 def test_pagerank_digraph_keeps_sourceless_in_nodes(spark):
     # 1 -> 2 -> 3 -> 2: node 1 has out-arcs but NO in-arcs.  It must keep
     # its base rank every iteration AND keep contributing to node 2 —
