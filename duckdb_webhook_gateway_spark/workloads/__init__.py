@@ -19,14 +19,71 @@ Entry = tuple[QueryFn, Optional[str]]
 
 from . import analytics, datapipe  # noqa: E402
 
-# The correctness driver checks the first 50 registered queries; the tail
-# past 50 is never driver-verified.  Queries that have not yet been
-# driver-checked (two rounds in the blind spot, or newly added) register
-# FIRST; long-green trivial queries rotate to the end.
+# The correctness driver checks the first 50 registered queries per round.
+# Rotation policy: every query is driver-re-verified at least every third
+# round.  Round-5 _CHECK_FIRST = new round-5 queries (never checked) +
+# the 50-minus-new OLDEST-verified entries (34 last green in r2 + the
+# oldest r3 tail, per the CORRECTNESS_r0{1..4}.json union); the 50
+# r4-green entries rotate to _CHECK_LAST; the remaining r3-green block
+# sits in the middle and rotates in next round.
 _CHECK_FIRST = (
-    # round-4 additions (never driver-checked) + the three queries that
-    # errored in CORRECTNESS_r03 on the TIMESTAMP_NTZ testdata regeneration
-    # (fixed via functions.epoch_us; re-verify driver-side):
+    # round-5 additions (never driver-checked):
+    "substring_dup_spans_sa",
+    # last driver-green in round 2:
+    "order_priority_rate",
+    "dedup_exact",
+    "events_recent_topk",
+    "events_pivot_by_type",
+    "text_language_id",
+    "text_quality",
+    "doc_fingerprint",
+    "ann_lsh_buckets",
+    "window_top_orders_per_customer",
+    "events_funnel",
+    "rollup_region_nation",
+    "events_json_bucket",
+    "customer_order_counts",
+    "part_filter_like_in",
+    "events_type_rate",
+    "corpus_stats",
+    "doc_length_histogram",
+    "part_projection",
+    "region_keys_union",
+    "nation_key_intersect",
+    "supplier_string_funcs",
+    "lineitem_distinct_counts",
+    "top_orders_by_value",
+    "cube_order_status",
+    "customers_without_orders",
+    "part_size_class",
+    "orders_per_month",
+    "customers_with_urgent_orders",
+    "parts_never_ordered",
+    "events_hourly",
+    "orders_value_quartiles",
+    "supplier_revenue_having",
+    "lineitem_price_quantiles",
+    "part_avg_qty_subquery",
+    # last driver-green in round 3 (oldest first-registered):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_runtime_udf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "multimodal_features",
+    "ann_ivf_topk",
+    "text_tfidf_top_terms",
+    "salted_join_orders",
+    "embedding_near_dup_lsh",
+)
+# r4-green queries (checked last round) — rotate to the unchecked tail;
+# the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "part_basket_pairs",
     "events_hourly_gapfill",
     "customer_functional_deps",
@@ -78,68 +135,6 @@ _CHECK_FIRST = (
     "events_cohort_retention",
     "events_asof_attribution",
 )
-_CHECK_LAST = (
-    "leakage_safe_split",
-    "join_key_skew",
-    "bpe_merge_candidates",
-    "sequence_packing",
-    "source_mixture",
-    "ann_q8_topk",
-    "dedup_clusters",
-    "split_divergence",
-    "multimodal_audio_features",
-    "multimodal_image_features",
-    "dedup_keeplist",
-    "doc_chunk_manifest",
-    "quality_funnel",
-    "split_ngram_decontamination",
-    "mixture_resample",
-    "boilerplate_ratio",
-    "text_pattern_scrub",
-    "text_repetition",
-    "passage_dedup",
-    "stratified_sample",
-    # r3-green rotations (driver-verified once; cycle back through the
-    # sample as slots free up):
-    "split_contamination",
-    "text_char_stats",
-    "dataset_split",
-    "corpus_top_bigrams",
-    "order_priority_rate",
-    "dedup_exact",
-    "events_recent_topk",
-    "events_pivot_by_type",
-    "text_language_id",
-    "text_quality",
-    "doc_fingerprint",
-    "ann_lsh_buckets",
-    "window_top_orders_per_customer",
-    "events_funnel",
-    "rollup_region_nation",
-    "events_json_bucket",
-    "customer_order_counts",
-    "part_filter_like_in",
-    "events_type_rate",
-    "corpus_stats",
-    "doc_length_histogram",
-    "part_projection",
-    "region_keys_union",
-    "nation_key_intersect",
-    "supplier_string_funcs",
-    "lineitem_distinct_counts",
-    "top_orders_by_value",
-    "cube_order_status",
-    "customers_without_orders",
-    "part_size_class",
-    "orders_per_month",
-    "customers_with_urgent_orders",
-    "parts_never_ordered",
-    "events_hourly",
-    "orders_value_quartiles",
-    "supplier_revenue_having",
-    "lineitem_price_quantiles",
-    "part_avg_qty_subquery",
-)
 
 
 def all_entries() -> dict[str, Entry]:
@@ -148,7 +143,8 @@ def all_entries() -> dict[str, Entry]:
     entries.update(datapipe.ENTRIES)
     ordered: dict[str, Entry] = {}
     for name in _CHECK_FIRST:
-        ordered[name] = entries[name]
+        if name in entries:
+            ordered[name] = entries[name]
     for name, e in entries.items():
         if name not in _CHECK_FIRST and name not in _CHECK_LAST:
             ordered[name] = e
