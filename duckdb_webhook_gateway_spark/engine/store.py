@@ -26,6 +26,7 @@ Type mapping follows SURVEY §1.2: UUID -> StringType, JSON -> StringType
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 import uuid
 from datetime import datetime, timezone
@@ -240,16 +241,70 @@ class TableStore:
             pq.write_table(table, os.path.join(part_dir, fname))
         self._register_event_view(name)
 
-    def append_events_df(self, name: str, df: DataFrame) -> None:
+    def append_events_df(
+        self, name: str, df: DataFrame, file_key: str | None = None
+    ) -> None:
         """Append a pre-built DataFrame of audit rows (streaming path —
-        stays distributed; no driver collection)."""
+        stays distributed; no driver collection).
+
+        With ``file_key`` the append is IDEMPOTENT, mirroring
+        :meth:`append_events`'s batch-keyed overwrite for the distributed
+        writer: the job writes to a per-key staging directory with
+        ``mode("overwrite")`` (a replayed micro-batch overwrites its own
+        earlier partial staging output), then the staged files are
+        promoted into the ``event_date=`` layout under deterministic
+        ``part-<file_key>-<seq>`` names — after first dropping any files
+        a previous partial promote of the same key left behind.  The
+        promote step is driver-side file RENAMES only (metadata ops); row
+        data never passes through the driver.
+        """
         if name not in _EVENT_TABLES:
             raise ValueError(f"not an event table: {name}")
-        out = df.select(*[f.name for f in SCHEMAS[name].fields]).withColumn(
-            "event_date", F.to_date("timestamp")
-        )
-        out.write.mode("append").partitionBy("event_date").parquet(self._path(name))
+        out = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in SCHEMAS[name].fields]
+        ).withColumn("event_date", F.to_date("timestamp"))
+        if file_key is None:
+            out.write.mode("append").partitionBy("event_date").parquet(
+                self._path(name)
+            )
+        else:
+            staging = os.path.join(self.base_dir, "_staging", name, file_key)
+            out.write.mode("overwrite").partitionBy("event_date").parquet(
+                staging
+            )
+            self._promote_staged(name, staging, file_key)
         self._register_event_view(name)
+
+    def _promote_staged(self, name: str, staging: str, file_key: str) -> None:
+        table_dir = self._path(name)
+        # drop leftovers of an earlier partial promote of this same batch
+        # (its replay may land rows in different date partitions, e.g. a
+        # clock tick across midnight between attempts)
+        if os.path.isdir(table_dir):
+            for dpart in os.listdir(table_dir):
+                pdir = os.path.join(table_dir, dpart)
+                if not dpart.startswith("event_date=") or not os.path.isdir(
+                    pdir
+                ):
+                    continue
+                for f in os.listdir(pdir):
+                    if f.startswith(f"part-{file_key}-"):
+                        os.unlink(os.path.join(pdir, f))
+        for dpart in sorted(os.listdir(staging)):
+            sdir = os.path.join(staging, dpart)
+            if not dpart.startswith("event_date=") or not os.path.isdir(sdir):
+                continue
+            tdir = os.path.join(table_dir, dpart)
+            os.makedirs(tdir, exist_ok=True)
+            files = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            for i, f in enumerate(files):
+                os.replace(
+                    os.path.join(sdir, f),
+                    os.path.join(tdir, f"part-{file_key}-{i:05d}.parquet"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
 
     def compact_events(self, name: str, max_files_per_partition: int = 1) -> int:
         """Compact an event table's date partitions (small-files problem).

@@ -47,6 +47,64 @@ ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
+# envelope + executor-computed payload-shape fingerprint
+TAGGED_SCHEMA = T.StructType(
+    list(ENVELOPE_SCHEMA.fields) + [T.StructField("fp", T.StringType(), True)]
+)
+
+
+def _shape_fingerprint(payload: Any) -> Optional[str]:
+    """Key-path + scalar-type signature; events sharing it infer the same
+    schema batched as they would individually (per-event inference
+    parity).  Returns None for shapes the vectorized path does not handle
+    (non-dict list elements, ``__corr_id`` collisions).
+
+    Module-level pure function so executors can compute it inside the
+    tagging ``mapInPandas`` — grouping by shape happens distributively,
+    never by collecting payload bodies to the driver.
+    """
+
+    def sig(obj: Any, prefix: str, out: list) -> bool:
+        if isinstance(obj, dict):
+            if "__corr_id" in obj:
+                return False
+            for k in sorted(obj):
+                if not sig(obj[k], f"{prefix}.{k}", out):
+                    return False
+        elif isinstance(obj, list):
+            # Fingerprint EVERY element: a single float among ints
+            # would otherwise silently widen the whole batch group's
+            # inferred type away from the per-event inference result.
+            for el in obj:
+                if not sig(el, f"{prefix}[]", out):
+                    return False
+            out.append((f"{prefix}[]#len", len(obj) > 0))
+        else:
+            out.append((prefix, type(obj).__name__))
+        return True
+
+    out: list = []
+    if isinstance(payload, dict):
+        ok = sig(payload, "$", out)
+    elif isinstance(payload, list):
+        if not payload or not all(isinstance(e, dict) for e in payload):
+            return None
+        sigs = set()
+        ok = True
+        for e in payload:
+            el_out: list = []
+            if not sig(e, "$[]", el_out):
+                ok = False
+                break
+            sigs.add(json.dumps(el_out))
+        if ok and len(sigs) != 1:
+            return None  # heterogeneous rows within one event -> per-event path
+        out.extend(json.loads(next(iter(sigs))) if ok and sigs else [])
+        out.append(("$#list", True))
+    else:
+        return None
+    return json.dumps(out) if ok else None
+
 
 class StreamingGateway:
     """Streaming front end over a :class:`Gateway`.
@@ -126,65 +184,166 @@ class StreamingGateway:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: set-oriented processing + batched audit appends.
 
-        Events are grouped by (webhook, payload shape) and each group runs
-        as TWO Spark queries — a vectorized filter gate and a correlated
-        LATERAL transform — instead of two queries *per event*.  The
-        LATERAL rewrite executes the user's transform against each event's
-        own payload relation inside one job, so per-event semantics
-        (aggregates, LIMIT, 0/1/N shaping, filter-on-raw) are preserved
-        exactly; any group that fails vectorization (exotic payloads, key
-        collisions, analysis errors) falls back to the per-event path.
-        Measured: 500 uniform events/batch go from ~300 s to ~3 s.
+        Payload bodies NEVER pass through the driver.  The batch is tagged
+        executor-side with a payload-shape fingerprint (``mapInPandas``),
+        the raw-event audit append is a distributed write, and each
+        (webhook, shape) group's payload relation is stood up with the
+        ``engine/replay.py`` re-tag pattern (``mapPartitions`` embeds the
+        event id into each payload's JSON on the executors).  The only
+        driver collections are metadata-width: (source_path, fp, event_id)
+        triples for group bookkeeping, filter-gate id sets, and the
+        transform RESULTS (the shaped delivery bodies the driver's
+        delivery pool POSTs; above the fan-out threshold those ship back
+        to executors for delivery too).
+
+        Each group runs as TWO Spark queries — a vectorized filter gate
+        and a correlated LATERAL transform — instead of two queries *per
+        event*; the LATERAL rewrite executes the user's transform against
+        each event's own payload relation inside one job, so per-event
+        semantics (aggregates, LIMIT, 0/1/N shaping, filter-on-raw) are
+        preserved exactly.  A group whose shape cannot be fingerprinted
+        (non-dict list elements, ``__corr_id`` collisions, malformed
+        JSON) or whose vectorized run fails analysis falls back to the
+        per-event path — only THOSE groups' payloads are collected, the
+        bounded exotic tail.
 
         Exactly-once AUDIT semantics on retry: a batch that already
         committed (ledger) is skipped outright, and the audit appends use
-        batch-keyed file names so a partially-failed batch overwrites its
-        own partial output when Structured Streaming replays it.  Delivery
-        remains at-least-once across a crash-replay (the reference never
-        retries, so a re-POST only happens when the whole batch is being
-        recovered).
+        batch-keyed file names (driver writes) or batch-keyed staging +
+        promote (distributed writes) so a partially-failed batch
+        overwrites its own partial output when Structured Streaming
+        replays it.  Delivery remains at-least-once across a crash-replay
+        (the reference never retries, so a re-POST only happens when the
+        whole batch is being recovered).
         """
         if batch_id <= self._last_committed_batch():
             return  # replay of an already-committed batch: audits exist
-        rows = batch_df.collect()
-        if not rows:
-            self._commit_batch(batch_id)
-            return
-        raw_rows: list[dict[str, Any]] = []
-        webhooks_seen: dict[str, Optional[dict[str, Any]]] = {}
-        by_webhook: dict[str, list] = {}
-        for row in rows:
-            if row["event_id"] is None or row["payload_json"] is None:
-                continue  # malformed envelope file: skip, don't poison the batch
-            path = row["source_path"]
-            if path not in webhooks_seen:
-                webhooks_seen[path] = self.gateway.catalog.get_by_path(path)
-            raw_rows.append(
-                {
-                    "id": row["event_id"],
-                    "timestamp": row["ingest_ts"],
-                    "source_path": path,
-                    "payload": row["payload_json"],
-                }
+        tagged = self._tag_shapes(batch_df).persist()
+        try:
+            # ONE metadata-width collect covers group bookkeeping: ids and
+            # shapes, never payload bodies.
+            id_rows = tagged.select("source_path", "fp", "event_id").collect()
+            if not id_rows:
+                self._commit_batch(batch_id)
+                return
+            file_key = f"b{batch_id:09d}"
+            store = self.gateway.store
+            # distributed raw-event append (idempotent via staging+promote)
+            store.append_events_df(
+                "raw_events",
+                tagged.select(
+                    F.col("event_id").alias("id"),
+                    F.col("ingest_ts").alias("timestamp"),
+                    "source_path",
+                    F.col("payload_json").alias("payload"),
+                ),
+                file_key=file_key,
             )
-            if webhooks_seen[path] is None:
-                continue  # unmatched path: raw-logged only (reference 404s pre-log)
-            by_webhook.setdefault(path, []).append(row)
 
-        tr_rows: list[dict[str, Any]] = []
-        for path, wh_rows in by_webhook.items():
-            webhook = webhooks_seen[path]
-            self.gateway.udfs.load_webhook_udfs(webhook["id"])
-            for group in self._shape_groups(wh_rows):
-                tr_rows.extend(self._process_group(webhook, group))
+            groups: dict[tuple[str, Optional[str]], list[str]] = {}
+            for r in id_rows:
+                groups.setdefault((r["source_path"], r["fp"]), []).append(
+                    r["event_id"]
+                )
+            webhooks: dict[str, Optional[dict[str, Any]]] = {}
+            for path, _fp in groups:
+                if path not in webhooks:
+                    webhooks[path] = self.gateway.catalog.get_by_path(path)
 
-        self._resolve_deliveries(tr_rows)
-        store = self.gateway.store
-        file_key = f"b{batch_id:09d}"
-        store.append_events("raw_events", raw_rows, file_key=file_key)
-        if tr_rows:
-            store.append_events("transformed_events", tr_rows, file_key=file_key)
-        self._commit_batch(batch_id)
+            tr_rows: list[dict[str, Any]] = []
+            fallback: list[tuple[str, Optional[str]]] = []
+            for (path, fp), event_ids in sorted(
+                groups.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+            ):
+                webhook = webhooks[path]
+                if webhook is None:
+                    continue  # unmatched path: raw-logged only (reference 404s pre-log)
+                self.gateway.udfs.load_webhook_udfs(webhook["id"])
+                if fp is None:
+                    fallback.append((path, fp))
+                    continue
+                grp = tagged.filter(
+                    (F.col("source_path") == path) & (F.col("fp") == fp)
+                )
+                try:
+                    tr_rows.extend(
+                        self._process_group_distributed(
+                            webhook, grp, event_ids
+                        )
+                    )
+                except Exception:
+                    fallback.append((path, fp))
+
+            # exotic/failed tail: the ONLY payload-bearing collects, each
+            # bounded to its own group
+            for path, fp in fallback:
+                webhook = webhooks[path]
+                self.gateway.udfs.load_webhook_udfs(webhook["id"])
+                cond = F.col("source_path") == path
+                cond = cond & (
+                    F.col("fp").isNull() if fp is None else F.col("fp") == fp
+                )
+                for r in (
+                    tagged.filter(cond)
+                    .select("event_id", "payload_json")
+                    .collect()
+                ):
+                    try:
+                        payload = json.loads(r["payload_json"])
+                    except Exception:
+                        tr_rows.append(
+                            {
+                                "id": new_id(),
+                                "raw_event_id": r["event_id"],
+                                "webhook_id": webhook["id"],
+                                "timestamp": now_utc(),
+                                "destination_url": webhook["destination_url"],
+                                "transformed_payload": json.dumps({}),
+                                "success": False,
+                                "response_code": None,
+                                "response_body": "Error: malformed payload JSON",
+                            }
+                        )
+                        continue
+                    tr_rows.append(
+                        self._process_one(webhook, r["event_id"], payload)
+                    )
+
+            self._resolve_deliveries(tr_rows)
+            if tr_rows:
+                store.append_events(
+                    "transformed_events", tr_rows, file_key=file_key
+                )
+            self._commit_batch(batch_id)
+        finally:
+            tagged.unpersist(blocking=False)
+
+    def _tag_shapes(self, batch_df: DataFrame) -> DataFrame:
+        """Envelope frame -> envelope + shape fingerprint, executor-side.
+
+        Malformed envelopes (null id/payload) are dropped here — the same
+        skip the driver loop used to apply — and unparseable payload JSON
+        tags as ``fp=NULL`` (per-event fallback group).
+        """
+
+        def tag(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                pdf = pdf[
+                    pdf["event_id"].notna() & pdf["payload_json"].notna()
+                ]
+                fps = []
+                for pj in pdf["payload_json"]:
+                    try:
+                        fps.append(_shape_fingerprint(json.loads(pj)))
+                    except Exception:
+                        fps.append(None)
+                yield pdf.assign(
+                    fp=pd.Series(fps, index=pdf.index, dtype=object)
+                )
+
+        return batch_df.mapInPandas(tag, TAGGED_SCHEMA)
 
     # -- delivery fan-out --------------------------------------------------
     def _resolve_deliveries(self, tr_rows: list[dict[str, Any]]) -> None:
@@ -257,88 +416,39 @@ class StreamingGateway:
             )
 
     # -- vectorized group processing --------------------------------------
-    @staticmethod
-    def _shape_fingerprint(payload: Any) -> Optional[str]:
-        """Key-path + scalar-type signature; events sharing it infer the
-        same schema batched as they would individually (per-event
-        inference parity).  Returns None for shapes the vectorized path
-        does not handle (non-dict list elements, __corr_id collisions)."""
+    # module-level function re-exposed for API stability
+    _shape_fingerprint = staticmethod(_shape_fingerprint)
 
-        def sig(obj: Any, prefix: str, out: list) -> bool:
-            if isinstance(obj, dict):
-                if "__corr_id" in obj:
-                    return False
-                for k in sorted(obj):
-                    if not sig(obj[k], f"{prefix}.{k}", out):
-                        return False
-            elif isinstance(obj, list):
-                # Fingerprint EVERY element: a single float among ints
-                # would otherwise silently widen the whole batch group's
-                # inferred type away from the per-event inference result.
-                for el in obj:
-                    if not sig(el, f"{prefix}[]", out):
-                        return False
-                out.append((f"{prefix}[]#len", len(obj) > 0))
-            else:
-                out.append((prefix, type(obj).__name__))
-            return True
-
-        out: list = []
-        if isinstance(payload, dict):
-            ok = sig(payload, "$", out)
-        elif isinstance(payload, list):
-            if not payload or not all(isinstance(e, dict) for e in payload):
-                return None
-            sigs = set()
-            ok = True
-            for e in payload:
-                el_out: list = []
-                if not sig(e, "$[]", el_out):
-                    ok = False
-                    break
-                sigs.add(json.dumps(el_out))
-            if ok and len(sigs) != 1:
-                return None  # heterogeneous rows within one event -> per-event path
-            out.extend(json.loads(next(iter(sigs))) if ok and sigs else [])
-            out.append(("$#list", True))
-        else:
-            return None
-        return json.dumps(out) if ok else None
-
-    def _shape_groups(self, wh_rows: list) -> list:
-        groups: dict[Optional[str], list] = {}
-        for row in wh_rows:
-            payload = json.loads(row["payload_json"])
-            fp = self._shape_fingerprint(payload)
-            groups.setdefault(fp, []).append((row, payload))
-        return list(groups.values())
-
-    def _process_group(self, webhook: dict[str, Any], group: list) -> list:
-        """One (webhook, shape) group.  Vectorized first, else per-event."""
-        if len(group) > 1 and self._shape_fingerprint(group[0][1]) is not None:
-            try:
-                return self._process_group_vectorized(webhook, group)
-            except Exception:
-                pass  # semantics safety net: per-event below
-        return [
-            self._process_one(webhook, row["event_id"], payload)
-            for row, payload in group
-        ]
-
-    def _process_group_vectorized(
-        self, webhook: dict[str, Any], group: list
+    def _process_group_distributed(
+        self, webhook: dict[str, Any], grp: DataFrame, event_ids: list[str]
     ) -> list:
+        """One (webhook, shape) group, payloads resident on executors.
+
+        The payload relation is stood up with the ``engine/replay.py:95``
+        re-tag pattern: ``mapPartitions`` embeds each event's id into its
+        payload JSON as ``__corr_id`` (safe — fingerprinting rejects
+        payloads carrying that key, so collisions route to the per-event
+        path), and ``spark.read.json`` infers the group schema
+        distributively.  Uniform shape within the group makes unified
+        inference == per-event inference (the fingerprint-parity
+        argument).  The filter gate collects only DISTINCT passing ids
+        (id-width); the LATERAL transform's collected output is the
+        shaped delivery bodies, never ingest payloads.
+        """
         spark = self.spark
+
+        def _embed(rows):
+            for r in rows:
+                p = json.loads(r["payload_json"])
+                if isinstance(p, dict):
+                    yield json.dumps({**p, "__corr_id": r["event_id"]})
+                else:  # list of dicts -> N relation rows per event
+                    for el in p:
+                        yield json.dumps({**el, "__corr_id": r["event_id"]})
+
+        rdd = grp.select("event_id", "payload_json").rdd.mapPartitions(_embed)
+        df = spark.read.json(rdd).persist()
         view = f"batch_{uuid.uuid4().hex}"
-        records = []
-        for idx, (_row, payload) in enumerate(group):
-            if isinstance(payload, dict):
-                records.append(json.dumps({**payload, "__corr_id": idx}))
-            else:  # list of dicts -> N rows per event
-                for el in payload:
-                    records.append(json.dumps({**el, "__corr_id": idx}))
-        rdd = spark.sparkContext.parallelize(records, 1)
-        df = spark.read.json(rdd)
         df.createOrReplaceTempView(view)
         try:
             cols = ", ".join(
@@ -358,10 +468,10 @@ class StreamingGateway:
                     f"WHERE {filter_query})"
                 )
             else:
-                passed = set(range(len(group)))
+                passed = set(event_ids)
                 id_source = f"(SELECT DISTINCT __corr_id FROM {view})"
 
-            results: dict[int, list] = {i: [] for i in passed}
+            results: dict[str, list] = {i: [] for i in passed}
             out_cols: list[str] = []
             if passed:
                 inner = f"(SELECT {cols} FROM {view} WHERE __corr_id = b.__corr_id)"
@@ -382,15 +492,15 @@ class StreamingGateway:
                     )
 
             tr_rows = []
-            for idx, (row, _payload) in enumerate(group):
+            for event_id in event_ids:
                 base = {
                     "id": new_id(),
-                    "raw_event_id": row["event_id"],
+                    "raw_event_id": event_id,
                     "webhook_id": webhook["id"],
                     "timestamp": now_utc(),
                     "destination_url": webhook["destination_url"],
                 }
-                if idx not in passed:
+                if event_id not in passed:
                     tr_rows.append(
                         {
                             **base,
@@ -401,7 +511,7 @@ class StreamingGateway:
                         }
                     )
                     continue
-                shaped_rows = results.get(idx, [])
+                shaped_rows = results.get(event_id, [])
                 if not shaped_rows:
                     transformed: dict[str, Any] = {}
                 elif len(shaped_rows) == 1:
@@ -424,6 +534,7 @@ class StreamingGateway:
             return tr_rows
         finally:
             spark.catalog.dropTempView(view)
+            df.unpersist(blocking=False)
 
     def _process_one(
         self, webhook: dict[str, Any], raw_event_id: str, payload: dict | list

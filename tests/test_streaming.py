@@ -225,6 +225,72 @@ def test_stateful_streaming_dedup(gateway, spark, tmp_path):
     assert n_dup == 2, f"expected in-batch + cross-batch dups, got {flags}"
 
 
+def test_no_payload_bearing_collect_in_micro_batch(gateway, spark, monkeypatch):
+    """The micro-batch path must never collect payload bodies to the
+    driver: shape fingerprints are computed executor-side, the raw-event
+    append is a distributed write, and each group's payload relation is
+    stood up with the replay re-tag pattern.  Spy on every
+    DataFrame.collect during a uniform batch (the main path) and assert
+    none of the collected frames carries a payload column — only
+    metadata (ids, shapes, filter-gate ids) and transform results."""
+    _register(gateway)
+    sg = StreamingGateway(gateway)
+    for i in range(12):
+        sg.ingest("/stream", {"kind": f"k{i}", "value": i})
+
+    # Spark 4: the classic DataFrame subclass overrides collect, so the
+    # spy must patch the concrete class, not the abstract base.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as DF
+    except ImportError:  # older layouts: one concrete class
+        from pyspark.sql import DataFrame as DF
+
+    orig = DF.collect
+    seen: list[tuple[str, ...]] = []
+
+    def spy(self):
+        seen.append(tuple(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DF, "collect", spy)
+    try:
+        sg.run_available()
+    finally:
+        monkeypatch.setattr(DF, "collect", orig)
+
+    assert seen, "expected the micro-batch to run at least one collect"
+    bad = [
+        cols for cols in seen if {"payload_json", "payload"} & set(cols)
+    ]
+    assert bad == [], f"payload-bearing collects in micro-batch path: {bad}"
+    n = spark.sql("SELECT count(*) AS n FROM transformed_events").first().n
+    assert n == 12
+
+
+def test_exotic_shape_fallback_still_processes(gateway, spark):
+    """fp=None shapes (list with non-dict elements, __corr_id collisions)
+    take the bounded per-event fallback and still produce audit rows."""
+    gateway.register_webhook(
+        WebhookConfig(
+            source_path="/exotic",
+            destination_url="http://example.com/sink",
+            transform_query="SELECT a FROM {{payload}}",
+        )
+    )
+    sg = StreamingGateway(gateway)
+    ids = [
+        sg.ingest("/exotic", {"a": 5, "__corr_id": "collides"}),
+        sg.ingest("/exotic", {"a": 6}),
+    ]
+    sg.run_available()
+    tr = {
+        r.raw_event_id: json.loads(r.transformed_payload)
+        for r in spark.sql("SELECT * FROM transformed_events").collect()
+    }
+    assert tr[ids[0]] == {"a": 5}
+    assert tr[ids[1]] == {"a": 6}
+
+
 def test_batch_replay_is_idempotent(gateway, spark):
     """A replayed micro-batch (same batch_id) must not duplicate audit
     rows: the ledger skips committed batches, and batch-keyed file names
