@@ -377,11 +377,6 @@ def minhash_bands_inrow(
     return _stack_bands(mins, num_hashes, rows_per_band)
 
 
-# Relations cached by the most recent minhash_lsh_dedup call (candidate
-# pairs + candidate shingle sets); replaced (and the predecessors
-# unpersisted) on the next call so repeated invocations in one session
-# hold at most one call's worth of cached blocks.
-_prev_cached: list[DataFrame] = []
 
 
 def minhash_lsh_dedup(
@@ -444,48 +439,45 @@ def _verify_candidates(
     """Exact-Jaccard verify of an id-pair candidate relation (doc_a, doc_b).
 
     ``cand`` is pair-cardinality by LSH design (near-dup pairs + band false
-    positives — output-scale, not corpus-scale).  It is persisted because
-    three downstream broadcast subplans reference it; without this each
-    would re-run the candidate pipeline, i.e. re-shingle the whole corpus.
-    The previous call's cached relations are released — persist() alone
-    would pin disk-spilled blocks for the life of the SparkContext (memory
-    blocks LRU-evict; disk ones do not).
+    positives — output-scale, not corpus-scale).  It is materialized with
+    ``localCheckpoint`` because two downstream subplans reference it;
+    without that each would re-run the candidate pipeline, i.e.
+    re-shingle the whole corpus.  Checkpoint (not persist + module-global
+    release): block lifetime is scoped to THIS call's result, so
+    interleaved dedup calls can never un-cache each other.
 
     Verify re-shingles ONLY candidate docs, exactly once: broadcast the
-    union id list (id-width) into the raw-doc scan, shingle the survivors,
-    and persist that candidate-cardinality set relation so BOTH pair sides
-    read it from cache instead of re-scanning/re-shingling per side.
-    What's broadcast stays id-width (pairs + ids) — never document-sized
-    rows — and set sizes come free as ``size(sa)``/``size(sb)`` in-row.
+    union id list (id-width) into the raw-doc scan, shingle the
+    survivors, and checkpoint that candidate-cardinality set relation.
+    ``cand`` is then the join SPINE — one broadcast attaches the a-side
+    sets, and the b-side attaches with a shuffle-hash equi-join on
+    ``doc_b`` (hinted: candidate-cardinality on both sides, and a static
+    broadcast of document-sized shingle arrays must never happen).  One
+    broadcast of cand instead of the earlier one-per-side — one fewer
+    chained job per call.  What's broadcast stays id-width (pairs + ids)
+    — never document-sized rows — and set sizes come free as
+    ``size(sa)``/``size(sb)`` in-row.
     """
-    cand = cand.persist()
+    cand = cand.localCheckpoint(eager=True)
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
         .distinct()
     )
     sarr_cand = shingle_arrays(
         docs.join(F.broadcast(ids), id_col), id_col, text_col
-    ).persist()
-    global _prev_cached
-    for rel in _prev_cached:
-        try:
-            rel.unpersist(blocking=False)
-        except Exception:
-            pass  # context may be gone; nothing to release then
-    _prev_cached = [cand, sarr_cand]
+    ).localCheckpoint(eager=True)
 
-    def _side(pair_col: str, set_col: str) -> DataFrame:
-        return (
-            sarr_cand.select(
-                F.col("doc_id").alias(pair_col), F.col("sarr").alias(set_col)
-            )
-            .join(F.broadcast(cand), pair_col)
+    a = (
+        sarr_cand.select(
+            F.col("doc_id").alias("doc_a"), F.col("sarr").alias("sa")
         )
-
-    a = _side("doc_a", "sa")
-    b = _side("doc_b", "sb")
+        .join(F.broadcast(cand), "doc_a")
+    )
+    b = sarr_cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("sarr").alias("sb")
+    )
     inter = (
-        a.join(b, ["doc_a", "doc_b"], "inner")
+        a.join(b.hint("shuffle_hash"), "doc_b", "inner")
         .select(
             "doc_a",
             "doc_b",

@@ -156,43 +156,40 @@ def tfidf_top_terms(
     text_col: str = "text",
     n_docs: int | None = None,
 ) -> DataFrame:
-    """Top-k TF-IDF terms per document — two shuffles, zero joins.
+    """Top-k TF-IDF terms per document — whole-stage codegen end to end,
+    zero joins, nothing broadcast.
 
     tf = in-doc term count, idf = ln(N / df); score rounded to 1e-6 before
     ranking (ln differs across libm implementations only in the last ulp).
 
-    Per-doc term counts are computed in-row by run-length over the SORTED
-    token array — O(n log n) per doc, vs the O(u·n) filter-per-distinct
-    scan this replaces (judge-measured slower than the plain groupBy).
-    The (doc, token, tf) stream — already distinct per (doc, token) — is
-    then shuffled ONCE by token for a count() window that attaches df
-    (no separate agg, no join back, stream computed exactly once), and
-    ONCE by doc_id for the top-k re-nest (sort + slice + posexplode).
-    Nothing is broadcast; both shuffles move (doc, distinct-token)-
-    cardinality rows, far smaller than the raw token stream.
+    Plan shape: if the scan is under-split (small local files), documents
+    are repartitioned ONCE keyed on ``doc_id`` — Generate preserves child
+    partitioning, so the (doc_id, token) tf aggregation that follows the
+    token explode is satisfied by ``hash(doc_id)`` clustering and runs as
+    a single in-place hash aggregate with NO exchange of the raw token
+    stream.  (On a well-split cluster input the repartition is skipped
+    and the tf aggregate's own partial/final pair combines map-side —
+    either way the raw token stream never crosses the wire.)  The
+    distinct (doc, token, tf) stream then shuffles ONCE by token for a
+    count() window that attaches df (no separate agg, no join back), and
+    ONCE by doc_id for the top-k re-nest (in-row struct sort + slice +
+    posexplode).  Every operator here is codegen — an earlier in-row
+    run-length formulation kept one fewer exchange but paid interpreted
+    higher-order-function evaluation per token, measured slower.
     """
     from pyspark.sql import Window
 
-    # Run starts in the sorted array: positions where the token changes.
-    # tf of run k = next_start - start (sentinel n+1 closes the last run).
-    runs = (
-        "transform(sequence(1, size(starts)), k -> struct("
-        "element_at(st, element_at(starts, k)) AS token, "
-        "CAST((CASE WHEN k < size(starts) THEN element_at(starts, k + 1) "
-        "ELSE size(st) + 1 END) - element_at(starts, k) AS BIGINT) AS tf))"
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, "doc_id")
     exploded = (
-        _tok(docs, id_col, text_col)
-        .withColumn("st", F.array_sort("t"))
-        .withColumn(
-            "starts",
-            F.expr(
-                "filter(sequence(1, size(st)), "
-                "i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"
-            ),
-        )
-        .select("doc_id", F.explode(F.expr(runs)).alias("e"))
-        .select("doc_id", "e.token", "e.tf")
+        base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     if n_docs is None:
         # Scalar N; deterministic.  Callers that know the source (e.g. a

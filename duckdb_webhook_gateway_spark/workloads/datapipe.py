@@ -549,10 +549,11 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # ---------------------------------------------------------------------------
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N from the parquet footer (sub-ms, driver-side) instead of a
-    # dedicated Spark count job that would re-run the spread shuffle;
-    # None (directory-style parquet) falls back to the operator's count.
+    # dedicated Spark count job; None (directory-style parquet) falls
+    # back to the operator's count.  No spread: the operator repartitions
+    # by doc_id itself so its tf aggregate reuses that partitioning.
     n = _footer_rows(os.path.join(sf_dir, "documents.parquet"))
-    return X.tfidf_top_terms(_docs(spark, sf_dir, spread=True), k=3, n_docs=n)
+    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3, n_docs=n)
 
 
 TEXT_TFIDF_SQL = f"""

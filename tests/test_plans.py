@@ -670,3 +670,22 @@ def test_pagerank_no_node_cardinality_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_join_free_no_raw_token_exchange(spark):
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        text_tfidf_top_terms,
+    )
+
+    plan = _plan(text_tfidf_top_terms(spark, sf_dir()))
+    # zero joins (df comes from a count window, not a join back) and
+    # nothing broadcast
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    # the raw token stream never crosses the wire: the only exchanges are
+    # the doc_id pre-partition of the DOCUMENT relation, the distinct
+    # (doc, token, tf) window shuffle, and the top-k regroup (formatted
+    # mode lists each node once in the tree and once in the detail block)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
