@@ -267,16 +267,21 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — fused single-pass plan.
 
-    Training-free coarse quantizer: the first ``num_centroids`` corpus
-    vectors (by id) act as centroids — deterministic, so the DuckDB oracle
-    reproduces the exact same index.  Each query probes its ``nprobe``
-    closest lists and ranks only those lists' members: with C lists and
-    balanced assignment the scored candidate set is ~nprobe/C of the
-    corpus.  (At production scale the centroids would come from k-means;
-    the operator only needs *some* deterministic centroid relation.)
+    Coarse quantizer: by default the first ``num_centroids`` corpus
+    vectors (by id) act as centroids — deterministic, so the DuckDB
+    oracle reproduces the exact same index (a differential-testing
+    device, not an index).  The PRODUCTION path passes
+    ``centroids=kmeans_fit(corpus, k=num_centroids)`` — trained lists
+    follow the data distribution, so the same ``nprobe`` budget covers
+    more of each query's true neighborhood (recall rises; pinned in
+    ``tests/test_approx_quality.py``).  Any (centroid_id, ``vec_col``)
+    relation works.  Each query probes its ``nprobe`` closest lists and
+    ranks only those lists' members: with C lists and balanced
+    assignment the scored candidate set is ~nprobe/C of the corpus.
 
     Execution: queries and centroids are both broadcast (the query set is
     small by contract, like ``cosine_topk``); the probe map (query →
@@ -292,9 +297,12 @@ def ivf_topk(
     import pandas as pd
 
     spark = corpus.sparkSession
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
     cent_pd = (
-        corpus.filter(F.col(id_col) < num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+        centroids.select("centroid_id", F.col(vec_col).alias("cv"))
         .orderBy("centroid_id")
         .toPandas()
     )

@@ -42,6 +42,44 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"IVF recall@3 {recall:.2f} vs brute force"
 
 
+def test_ivf_trained_centroids_raise_recall(spark):
+    """Wiring kmeans_fit into ivf_topk (centroids=) is the production
+    path: trained lists follow the data distribution, so the same nprobe
+    budget must recover at least as much of the brute-force top-k as the
+    first-N differential-testing centroids — and clear a floor the
+    first-N quantizer is not held to."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    d = sf_dir("sf0.01")
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in datapipe.ann_cosine_topk(spark, d).collect()
+        if r.rank <= 3
+    }
+
+    def recall(cent):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                queries, emb, num_centroids=16, nprobe=2, k=3,
+                centroids=cent,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_first = recall(None)  # first-16 centroids (oracle device)
+    trained = S.kmeans_fit(emb, k=16, iterations=5).select(
+        "centroid_id", "embedding"
+    )
+    r_trained = recall(trained)
+    assert r_trained >= r_first, (
+        f"trained recall {r_trained:.2f} < first-N {r_first:.2f}"
+    )
+    assert r_trained >= 0.5, f"trained IVF recall@3 {r_trained:.2f}"
+
+
 def test_lsh_buckets_group_near_dups(spark):
     d = sf_dir("sf0.01")
     near = datapipe.embedding_near_dup(spark, d).collect()
