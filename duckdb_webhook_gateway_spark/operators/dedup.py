@@ -806,6 +806,144 @@ def substring_dedup(
     )
 
 
+def _sa_bucket_lcp(pdf):
+    """One k-prefix bucket == one contiguous interval of the corpus-wide
+    generalized suffix array.  Sort the bucket's suffix contexts (token
+    tuples — the suffix-array order restricted to the interval), compute
+    the LCP array between adjacent suffixes (Kasai's output for the
+    interval), and report each suffix's maximal repeat length: the max of
+    its two adjacent LCPs, which equals its max LCP against ANY other
+    suffix (the standard suffix-array range-minimum property)."""
+    import pandas as pd
+
+    items = sorted(
+        (tuple(wl.split(" ")), did, pos)
+        for wl, did, pos in zip(pdf["wl"], pdf["doc_id"], pdf["pos"])
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    adj = [lcp(items[i][0], items[i + 1][0]) for i in range(len(items) - 1)]
+    out = []
+    for i, (_toks, did, pos) in enumerate(items):
+        left = adj[i - 1] if i > 0 else 0
+        right = adj[i] if i < len(adj) else 0
+        out.append((did, pos, max(left, right)))
+    return pd.DataFrame(out, columns=["doc_id", "pos", "match_len"])
+
+
+def substring_dedup_sa(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    context_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_positions: int | None = 4000,
+) -> DataFrame:
+    """Exact substring dedup via a DISTRIBUTED generalized suffix array
+    (Lee et al. 2022, arXiv:2107.06499 build one corpus-wide suffix array
+    on a single machine's disk; this is the shuffle-native formulation).
+
+    Construction: every token position is a suffix.  Suffixes are
+    bucketed by their EXACT ``window_tokens``-token prefix (the string
+    itself, not a hash — no collision caveat, unlike
+    ``substring_dedup``'s md5 windows).  Two facts make the buckets a
+    complete suffix-array decomposition with NO cross-boundary merge:
+    any repeated substring of length >= k contains its occurrences'
+    suffixes in ONE bucket (they share the k-token prefix), and bucket
+    boundaries are exactly the points where the global suffix array's
+    LCP drops below k — so per-bucket sort + adjacent-LCP computes the
+    same duplicated-position marking the corpus-wide SA+LCP would.
+
+    Per bucket (only buckets holding >= 2 suffixes ever reach Python —
+    a codegen count-window prunes the singleton tail first), suffix
+    contexts are sorted token-wise and adjacent LCPs give each suffix
+    its maximal repeat length, capped at ``context_tokens`` (the shipped
+    suffix context; match lengths report as ``min(true, cap)``).
+    Duplicated starts then merge into maximal per-doc spans via the
+    interval-cummax island pattern shared with ``substring_dedup`` — and
+    since a length-l >= k repeat marks starts at every offset of its
+    window chain, the span UNION is identical to the window-hash
+    operator's (differentially cross-checked in tests).
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    n_dup_starts, max_match_len), exact span boundaries on any corpus.
+
+    Scale: the one corpus-wide shuffle keys on the k-token prefix and
+    ships (k + context)-token suffix contexts — a constant-factor blowup
+    of the corpus, the price of distributing what Lee et al. serialize
+    through one machine's disk.  Python sees only duplicated suffixes
+    (output-cardinality);  span merging is doc-partitioned windows.
+    ``max_positions`` bounds suffix starts (oracle convention, as in
+    ``substring_dedup``).
+    """
+    k, L = window_tokens, context_tokens
+    pos_bound = (
+        f"size(t) - {k - 1}"
+        if max_positions is None
+        else f"least(size(t) - {k - 1}, {max_positions})"
+    )
+    t = tokenized(docs, id_col, text_col)
+    win = (
+        t.filter(F.size("t") >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {pos_bound}), i -> struct("
+                    f"CAST(i AS BIGINT) AS pos, "
+                    f"concat_ws(' ', slice(t, i, {k})) AS wk, "
+                    f"concat_ws(' ', slice(t, i, {L})) AS wl))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.wk", "w.wl")
+    )
+    dup = (
+        win.withColumn("cnt", F.count("*").over(Window.partitionBy("wk")))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "pos", "wk", "wl")
+    )
+    # the count-window left the stream hash-partitioned by wk, which
+    # satisfies applyInPandas' clustering requirement — no extra shuffle
+    starts = dup.groupBy("wk").applyInPandas(
+        _sa_bucket_lcp, "doc_id bigint, pos bigint, match_len bigint"
+    )
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        starts.withColumn("pend", F.col("pos") + k - 1)
+        .withColumn("cm", F.max("pend").over(prior))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("cm").isNull() | (F.col("cm") < F.col("pos")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("new_island").over(ordered))
+        .groupBy("doc_id", "island_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pend").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_dup_starts"),
+            F.max("match_len").cast("bigint").alias("max_match_len"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "n_dup_starts", "max_match_len"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Prefix-filtered set-similarity join (PPJoin-family; Bayardo et al. 2007,
 # Xiao et al. 2008 — public algorithms)

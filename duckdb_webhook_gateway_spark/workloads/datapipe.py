@@ -3399,6 +3399,73 @@ ENTRIES["substring_dup_spans"] = (substring_dup_spans, SUBSTRING_DUP_SQL)
 
 
 # ---------------------------------------------------------------------------
+def substring_dup_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True distributed generalized suffix array: suffixes bucketed by
+    their exact 8-token prefix (buckets are complete SA intervals, no
+    boundary merge), per-bucket sort + adjacent LCP for exact maximal
+    repeat lengths (capped at the 16-token shipped context), interval
+    merge to maximal spans (operators/dedup.py::substring_dedup_sa).
+    The oracle replays the same semantics declaratively: exact window
+    strings (no hashes), pairwise capped token-LCP via a probe-length
+    join, identical island merge."""
+    return D.substring_dedup_sa(_docs(spark, sf_dir, spread=True)).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SUBSTRING_SA_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4001) r(i)),
+ext AS (SELECT j FROM range(1, 17) r(j)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(t[i:i+7], 'string_agg', ' ') AS wk,
+         t[i:i+15] AS wl
+  FROM toks JOIN nums ON i <= len(t) - 7
+),
+dup AS (
+  SELECT doc_id, pos, wk, wl FROM (
+    SELECT doc_id, pos, wk, wl, count(*) OVER (PARTITION BY wk) AS cnt
+    FROM win)
+  WHERE cnt > 1
+),
+starts AS (
+  -- probe-length join computes each start's max capped token-LCP against
+  -- any OTHER duplicated start sharing its 8-token prefix; j is bounded
+  -- by the shorter context so truncated end-of-doc contexts cannot
+  -- overshoot their true LCP via equal-short-slice comparisons
+  SELECT a.doc_id, a.pos, max(e.j) AS match_len
+  FROM dup a
+  JOIN dup b ON a.wk = b.wk
+            AND (a.doc_id != b.doc_id OR a.pos != b.pos)
+  JOIN ext e ON e.j <= least(len(a.wl), len(b.wl))
+            AND a.wl[1:e.j] = b.wl[1:e.j]
+  GROUP BY a.doc_id, a.pos
+),
+islands AS (
+  SELECT doc_id, pos, pos + 7 AS pend, match_len,
+         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+              THEN 0 ELSE 1 END AS new_island
+  FROM starts
+),
+spans AS (
+  SELECT doc_id, match_len, pos, pend,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island_id
+  FROM islands
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pend) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_starts,
+       CAST(max(match_len) AS BIGINT) AS max_match_len
+FROM spans GROUP BY doc_id, island_id
+ORDER BY doc_id, span_start
+"""
+
+ENTRIES["substring_dup_spans_sa"] = (substring_dup_spans_sa, SUBSTRING_SA_SQL)
+
+
+# ---------------------------------------------------------------------------
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style one-pass column profile of the events table
     (operators/profile.py::table_profile)."""

@@ -247,6 +247,82 @@ def test_substring_dedup_catches_unaligned_copy_and_merges_spans(spark):
     assert out[4].dup_token_frac == 1.0
 
 
+def test_substring_sa_exact_spans_and_match_lengths(spark):
+    """Seeded corpus, exact expectations: the suffix-array operator must
+    report the same maximal span boundaries as the window-hash stand-in
+    AND the exact maximal repeat length (capped at the shipped context),
+    which the k-aligned stand-in cannot produce."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup_sa
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"  # 10 shared tokens
+    rows = [
+        (1, "intro words " + passage + " outro"),  # copy at offset 3
+        (2, "x1 x2 x3 x4 x5 " + passage),          # copy at offset 6
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),  # unique
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.span_start, r.span_end): (r.n_dup_starts, r.max_match_len)
+        for r in substring_dedup_sa(docs).collect()
+    }
+    # doc 1: passage occupies tokens 3..12 -> starts 3,4,5 (8-token
+    # windows inside the 10-token repeat), span [3, 12], and the maximal
+    # exact repeat is the full 10 tokens.
+    # doc 2: same passage at tokens 6..15 -> starts 6,7,8, span [6, 15].
+    assert out == {
+        (1, 3, 12): (3, 10),
+        (2, 6, 15): (3, 10),
+    }
+
+
+def test_substring_sa_match_length_caps_at_context(spark):
+    """A repeat longer than the shipped context reports the cap, never a
+    wrong exact value; span boundaries stay exact."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup_sa
+
+    long_rep = " ".join(f"t{i}" for i in range(20))  # 20-token repeat
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 " + long_rep), (2, long_rep + " z1 z2 z3")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.max_match_len)
+        for r in substring_dedup_sa(docs, context_tokens=16).collect()
+    }
+    assert out[1] == (3, 22, 16)  # true repeat len 20, reported cap 16
+    assert out[2] == (1, 20, 16)
+
+
+def test_substring_sa_spans_equal_window_hash_stand_in(spark):
+    """Differential cross-check on real data: the SA operator's span
+    UNION per doc must equal the window-hash operator's (any length-l>=k
+    repeat marks the same chained k-window starts)."""
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        substring_dedup,
+        substring_dedup_sa,
+    )
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    sa = substring_dedup_sa(docs)
+    agg = sa.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "n_dup_tokens"
+        ),
+    )
+    legacy = substring_dedup(docs).select(
+        "doc_id", "n_dup_spans", "n_dup_tokens"
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.n_dup_tokens) for r in agg.collect()
+    }
+    want = {
+        r.doc_id: (r.n_dup_spans, r.n_dup_tokens) for r in legacy.collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtered Jaccard join
 # ---------------------------------------------------------------------------

@@ -689,3 +689,23 @@ def test_tfidf_join_free_no_raw_token_exchange(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_substring_sa_single_prefix_shuffle_no_joins(spark):
+    """The distributed suffix array keys ONE corpus-scale exchange on the
+    k-token prefix; the codegen count-window and the per-bucket
+    applyInPandas SA stage share that partitioning (no second wk
+    exchange), span merging is doc-partitioned, and the whole plan is
+    join-free with nothing broadcast."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        substring_dup_spans_sa,
+    )
+
+    plan = _plan(substring_dup_spans_sa(spark, sf_dir()))
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0
+    assert "BroadcastExchange" not in plan
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys.count("wk") == 1, keys
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
