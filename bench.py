@@ -2,12 +2,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "extended": {"value": <sec>, "queries": {...}}}
 
 Each query is executed to completion (count() over the result — forces
 the full plan without driver-side row materialization cost dominating).
 A warmup pass on sf0.001 triggers JVM/codegen warmup so measured numbers
 reflect steady-state execution, which is what matters at scale.
+
+Protocol (UNIFORM, stated in BASELINE.md): per query, one warmup at
+sf0.001, forced GC, then MIN OF TWO timed runs — the same attempt count
+for every query and the same protocol the DuckDB oracle side is measured
+with, so the Spark/DuckDB ratio compares engines, not sampling rules.
+The primary 27-query headline suite is kept intact for round-over-round
+comparability; the "extended" suite times the round-4 operator additions
+under the identical protocol.
 """
 
 from __future__ import annotations
@@ -56,6 +65,23 @@ BENCH_QUERIES = [
     "multimodal_features",
 ]
 
+# Second suite: the round-4 operator additions, timed under the IDENTICAL
+# protocol (kept separate so the 27-query headline total stays comparable
+# across rounds).
+EXTENDED_QUERIES = [
+    "part_basket_pairs",
+    "events_hourly_gapfill",
+    "customer_functional_deps",
+    "doc_prefix_jaccard_join",
+    "part_pagerank",
+    "token_heavy_hitters",
+    "value_quantile_sketch",
+    "semantic_dedup",
+    "lm_perplexity_filter",
+    "dsir_selection",
+    "substring_dup_spans",
+]
+
 
 def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -90,42 +116,46 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    names = [n for n in BENCH_QUERIES if n in entries]
-
-    # Per-query warmup at tiny scale immediately before its timed run
-    # (codegen + class loading amortized; batching all warmups first was
-    # measurably worse — accumulated broadcast/GC state from 19 plans
-    # inflated the later timed loop ~4×).
-    timings: dict[str, float] = {}
-    total = 0.0
     jvm_system = spark.sparkContext._jvm.System
-    for name in names:
-        fn, _ = entries[name]
-        try:
-            fn(spark, WARMUP_DIR).count()
-        except Exception:
-            pass
-        # Force a JVM GC before each timed pair: the ContextCleaner only
-        # reclaims dead broadcasts/shuffles after a GC notices them, and
-        # letting 27 plans' worth pile up produces multi-second GC pauses
-        # that land inside LATER queries' timed windows (observed: the
-        # same query 0.75 s or 2.8 s depending on when the pause hit —
-        # measurement noise, not engine time).
-        jvm_system.gc()
-        # Best of two timed runs: this host is shared, and a co-tenant CPU
-        # burst during a single run has been observed to inflate one query
-        # 10-20×; min-of-2 reports the engine, not the neighbors.  For the
-        # few queries still over a second, both runs fitting inside one
-        # sustained burst is likely enough (observed: 1.9 s measured 2.5 s)
-        # that a third attempt is cheap insurance.
-        dt = min(
-            _timed(fn, spark, SF_DIR),
-            _timed(fn, spark, SF_DIR),
-        )
-        if dt > 1.0:
-            dt = min(dt, _timed(fn, spark, SF_DIR))
-        timings[name] = round(dt, 3)
-        total += dt
+
+    def run_suite(query_names: list[str]) -> tuple[dict[str, float], float]:
+        # Per-query warmup at tiny scale immediately before its timed run
+        # (codegen + class loading amortized; batching all warmups first
+        # was measurably worse — accumulated broadcast/GC state from 19
+        # plans inflated the later timed loop ~4×).
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in query_names:
+            fn, _ = entries[name]
+            try:
+                fn(spark, WARMUP_DIR).count()
+            except Exception:
+                pass
+            # Force a JVM GC before each timed pair: the ContextCleaner
+            # only reclaims dead broadcasts/shuffles after a GC notices
+            # them, and letting 27 plans' worth pile up produces
+            # multi-second GC pauses that land inside LATER queries' timed
+            # windows (observed: the same query 0.75 s or 2.8 s depending
+            # on when the pause hit — measurement noise, not engine time).
+            jvm_system.gc()
+            # UNIFORM min-of-2 for every query — the same attempt count
+            # the DuckDB oracle side is measured with (an extra attempt
+            # for slow queries would bias only the Spark side downward).
+            # min-of-2 because this host is shared: a co-tenant CPU burst
+            # during a single run has been observed to inflate one query
+            # 10-20×; the min reports the engine, not the neighbors.
+            dt = min(
+                _timed(fn, spark, SF_DIR),
+                _timed(fn, spark, SF_DIR),
+            )
+            timings[name] = round(dt, 3)
+            total += dt
+        return timings, total
+
+    timings, total = run_suite([n for n in BENCH_QUERIES if n in entries])
+    ext_timings, ext_total = run_suite(
+        [n for n in EXTENDED_QUERIES if n in entries]
+    )
 
     print(
         json.dumps(
@@ -135,6 +165,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extended": {
+                    "value": round(ext_total, 3),
+                    "queries": ext_timings,
+                },
             }
         )
     )

@@ -79,22 +79,26 @@ def _infer_spark_type(values: list):
     return None  # mixed/unsupported -> fall back
 
 
-def _coerce(value, dtype):
-    """Align python values with the inferred type (int -> float widening,
-    nested recursion)."""
+def _arrow_type(dtype):
+    """Spark type (from ``_infer_spark_type``) -> pyarrow type."""
+    import pyarrow as pa
     from pyspark.sql import types as T
 
-    if value is None:
-        return None
+    if isinstance(dtype, T.LongType):
+        return pa.int64()
     if isinstance(dtype, T.DoubleType):
-        return float(value)
+        return pa.float64()
+    if isinstance(dtype, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, T.StringType):
+        return pa.string()
     if isinstance(dtype, T.StructType):
-        return tuple(
-            _coerce(value.get(f.name), f.dataType) for f in dtype.fields
+        return pa.struct(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in dtype.fields]
         )
     if isinstance(dtype, T.ArrayType):
-        return [_coerce(v, dtype.elementType) for v in value]
-    return value
+        return pa.list_(_arrow_type(dtype.elementType))
+    raise TypeError(f"no arrow mapping for {dtype}")
 
 
 def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
@@ -104,12 +108,18 @@ def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
     (reference: src/app.py:451-454).
 
     Fast path: the schema is inferred driver-side (pure Python walk of the
-    JSON — the same type rules spark.read.json applies) and rows are
-    created directly, skipping the executor-side inference job that costs
-    an extra Spark job per event.  Column order follows dict insertion
-    order — matching the reference's pandas construction
-    (src/app.py:451-454) where read.json would sort keys.  Shapes the
-    walker can't type uniformly fall back to spark.read.json.
+    JSON — the same type rules spark.read.json applies) and the relation
+    is stood up as a pyarrow Table, which ``createDataFrame`` turns into
+    a JVM-side **LocalTableScan**.  That matters twice over: no inference
+    job, and — unlike the pickled-row ``createDataFrame(rows, schema)``
+    this replaces, whose ``Scan ExistingRDD`` re-ran a Python worker
+    round-trip on EVERY query over the view (~0.5 s per filter probe) —
+    every subsequent query over the payload view evaluates entirely in
+    the JVM, usually driver-local without launching a job.  Column order
+    follows dict insertion order — matching the reference's pandas
+    construction (src/app.py:451-454) where read.json would sort keys.
+    Shapes the walker can't type uniformly (mixed scalar kinds,
+    int64-overflowing literals) fall back to spark.read.json.
     """
     if isinstance(payload, dict):
         records = [payload]
@@ -124,8 +134,18 @@ def payload_to_df(spark: SparkSession, payload: dict | list) -> DataFrame:
 
         if isinstance(schema, T.StructType) and len(schema.fields) > 0:
             try:
-                rows = [_coerce(r, schema) for r in records]
-                return spark.createDataFrame(rows, schema)
+                import pyarrow as pa
+
+                tbl = pa.Table.from_pylist(
+                    records,
+                    schema=pa.schema(
+                        [
+                            pa.field(f.name, _arrow_type(f.dataType))
+                            for f in schema.fields
+                        ]
+                    ),
+                )
+                return spark.createDataFrame(tbl)
             except Exception:
                 pass  # fall back to authoritative inference
     # One tiny partition: a per-event relation must not fan out across the

@@ -180,7 +180,11 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    # size the pre-partition like every other shuffle in the session
+    # (bench sessions size shuffle.partitions to the data; production
+    # sets it 2-3x total cores) — NOT defaultParallelism, which would
+    # fan the map stage wider than the downstream shuffles
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )

@@ -83,3 +83,31 @@ def test_delivery_failure_audited(gateway, spark):
     tr = spark.sql("SELECT * FROM transformed_events").collect()
     assert tr[0].success is False
     assert "Error" in tr[0].response_body
+
+
+def test_per_event_latency_warm(gateway, spark, receiver):
+    """Warm per-event ingest latency stays interactive: the payload
+    relation is a JVM-local Arrow table (LocalTableScan), so the filter
+    probe and transform never pay a Python-RDD worker round trip.  The
+    pickled-row relation this guards against measured ~0.75 s median;
+    the bar is 0.4 s with headroom for loaded CI hosts."""
+    import time
+
+    gateway.register_webhook(
+        WebhookConfig(
+            source_path="/lat",
+            destination_url=f"http://127.0.0.1:{receiver}/hook",
+            transform_query="SELECT v, v * 2 AS doubled FROM {{payload}}",
+            filter_query="v > 0",
+        )
+    )
+    for i in range(3):  # warm: plans, Arrow path, delivery socket
+        gateway.ingest("/lat", {"v": i + 1})
+    samples = []
+    for i in range(9):
+        t0 = time.perf_counter()
+        out = gateway.ingest("/lat", {"v": i + 1})
+        samples.append(time.perf_counter() - t0)
+        assert out.delivery.success
+    samples.sort()
+    assert samples[len(samples) // 2] <= 0.4, f"median {samples} s"
