@@ -87,19 +87,59 @@ def heavy_hitters(
     counts — computed in two map-side passes (MG candidates + recount of
     candidates only), never a vocabulary-wide shuffle.
 
-    ``total`` lets callers who already counted the stream skip the extra
-    count job.  Output columns: ``[col, cnt]``, deterministic for any
-    partitioning.
+    ``total`` lets callers who already counted the stream (e.g. from
+    parquet footers) skip any extra work.  Without it, the stream length
+    is accumulated INSIDE the same Misra-Gries pass (each partition's
+    summary carries its row count) rather than by a separate ``count()``
+    job — the earlier default hid a second full scan of ``df``.  The
+    tiny (candidates + 1 per partition)-row summary is checkpointed so
+    the candidate list and the total both read one materialized pass.
+    Output columns: ``[col, cnt]``, deterministic for any partitioning.
     """
-    cand = misra_gries_candidates(df, col, k).distinct()
-    n = total if total is not None else df.count()
+    if total is not None:
+        cand = misra_gries_candidates(df, col, k).distinct()
+        counts = (
+            df.join(F.broadcast(cand), col, "left_semi")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # integer-exact threshold: freq > n/k  <=>  freq * k > n
+        return counts.filter(F.col("cnt") * k > F.lit(total)).select(col, "cnt")
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    col_type = df.schema[col].dataType.simpleString()
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            counters = mg_update(counters, pdf[col].values, k)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "pn": [0] * len(counters) + [n],
+            }
+        )
+
+    summary = (
+        df.select(col)
+        .mapInPandas(mg, schema=f"{col} {col_type}, pn bigint")
+        .localCheckpoint(eager=True)
+    )
+    cand = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    tot = summary.agg(F.sum("pn").alias("__n"))
     counts = (
         df.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # integer-exact threshold: freq > n/k  <=>  freq * k > n
-    return counts.filter(F.col("cnt") * k > F.lit(n))
+    return (
+        counts.join(F.broadcast(tot))
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(col, "cnt")
+    )
 
 
 def grouped_topk(
