@@ -439,12 +439,15 @@ def _verify_candidates(
     """Exact-Jaccard verify of an id-pair candidate relation (doc_a, doc_b).
 
     ``cand`` is pair-cardinality by LSH design (near-dup pairs + band false
-    positives — output-scale, not corpus-scale).  It is materialized with
-    ``localCheckpoint`` because two downstream subplans reference it;
-    without that each would re-run the candidate pipeline, i.e.
-    re-shingle the whole corpus.  Checkpoint (not persist + module-global
-    release): block lifetime is scoped to THIS call's result, so
-    interleaved dedup calls can never un-cache each other.
+    positives — output-scale, not corpus-scale).  It is cached MEMORY_ONLY
+    because two downstream subplans reference it; without that each would
+    re-run the candidate pipeline, i.e. re-shingle the whole corpus.
+    MEMORY_ONLY (not the earlier default persist + module-global release):
+    memory blocks LRU-evict on pressure, so nothing pins disk for the
+    context lifetime and no cross-call release list is needed —
+    interleaved dedup calls can never un-cache each other.  Lazy caching
+    (not localCheckpoint) also keeps the full candidate lineage in the
+    compiled plan, where the scale pins (`tests/test_plans.py`) audit it.
 
     Verify re-shingles ONLY candidate docs, exactly once: broadcast the
     union id list (id-width) into the raw-doc scan, shingle the
@@ -458,14 +461,16 @@ def _verify_candidates(
     — never document-sized rows — and set sizes come free as
     ``size(sa)``/``size(sb)`` in-row.
     """
-    cand = cand.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_ONLY)
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
         .distinct()
     )
     sarr_cand = shingle_arrays(
         docs.join(F.broadcast(ids), id_col), id_col, text_col
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_ONLY)
 
     a = (
         sarr_cand.select(

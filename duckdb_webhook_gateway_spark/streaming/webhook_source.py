@@ -53,11 +53,23 @@ TAGGED_SCHEMA = T.StructType(
 )
 
 
+# Fingerprint path encoding: key segments joined by unit separator \x1f
+# (keys containing it are declared unfingerprintable rather than risking
+# ambiguity), list descent marked by record separator \x1e.  The encoding
+# is injective, so the fingerprint doubles as a SCHEMA: every (path,
+# type) entry can be parsed back into a nested StructType without a data
+# pass (see schema_from_fingerprint).
+_SEP = "\x1f"
+_LIST = "\x1e"
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
 def _shape_fingerprint(payload: Any) -> Optional[str]:
     """Key-path + scalar-type signature; events sharing it infer the same
     schema batched as they would individually (per-event inference
     parity).  Returns None for shapes the vectorized path does not handle
-    (non-dict list elements, ``__corr_id`` collisions).
+    (non-dict list elements, ``__corr_id`` collisions, keys containing
+    the path separator).
 
     Module-level pure function so executors can compute it inside the
     tagging ``mapInPandas`` — grouping by shape happens distributively,
@@ -68,17 +80,32 @@ def _shape_fingerprint(payload: Any) -> Optional[str]:
         if isinstance(obj, dict):
             if "__corr_id" in obj:
                 return False
+            if not obj:
+                # record emptiness: {} and {"a": {}} must not share a
+                # fingerprint (their per-event schemas differ)
+                out.append((prefix + _SEP + "#empty", "dict"))
+                return True
             for k in sorted(obj):
-                if not sig(obj[k], f"{prefix}.{k}", out):
+                if _SEP in k or _LIST in k:
+                    return False
+                if not sig(obj[k], prefix + _SEP + k, out):
                     return False
         elif isinstance(obj, list):
             # Fingerprint EVERY element: a single float among ints
             # would otherwise silently widen the whole batch group's
             # inferred type away from the per-event inference result.
             for el in obj:
-                if not sig(el, f"{prefix}[]", out):
+                if not sig(el, prefix + _SEP + _LIST, out):
                     return False
-            out.append((f"{prefix}[]#len", len(obj) > 0))
+            out.append((prefix + _SEP + _LIST + "#len", len(obj) > 0))
+        elif isinstance(obj, bool):
+            out.append((prefix, "bool"))
+        elif isinstance(obj, int):
+            # int64 range matters for schema derivation: a wider literal
+            # must not silently read as NULL under a LongType schema
+            out.append(
+                (prefix, "int" if _I64_MIN <= obj <= _I64_MAX else "bigint")
+            )
         else:
             out.append((prefix, type(obj).__name__))
         return True
@@ -93,7 +120,7 @@ def _shape_fingerprint(payload: Any) -> Optional[str]:
         ok = True
         for e in payload:
             el_out: list = []
-            if not sig(e, "$[]", el_out):
+            if not sig(e, "$" + _SEP + _LIST, el_out):
                 ok = False
                 break
             sigs.add(json.dumps(el_out))
@@ -104,6 +131,105 @@ def _shape_fingerprint(payload: Any) -> Optional[str]:
     else:
         return None
     return json.dumps(out) if ok else None
+
+
+def schema_from_fingerprint(fp: str) -> Optional[T.StructType]:
+    """Parse a shape fingerprint back into the StructType that
+    ``spark.read.json`` WOULD infer for payloads of that shape — no data
+    pass, no inference job.  Returns None for shapes whose inferred type
+    this parser does not model bit-for-bit (int64-overflowing literals,
+    mixed-kind arrays beyond int+float, empty dicts/lists) — callers
+    fall back to authoritative executor-side inference.  The equivalence
+    is property-tested against real read.json inference in
+    tests/test_streaming.py.
+
+    Scalar mapping (matching Spark's JSON inference): int -> Long,
+    float (and int+float mixes) -> Double, bool -> Boolean, str ->
+    String, all-null -> String.  Keys sort alphabetically exactly as
+    inference canonicalizes them (the fingerprint already records them
+    sorted).
+    """
+    try:
+        entries = json.loads(fp)
+    except Exception:
+        return None
+
+    is_list_payload = any(p == "$#list" for p, _ in entries)
+    tree: dict = {}
+    TYPES = "__types__"
+    for path, tname in entries:
+        if path == "$#list":
+            continue
+        parts = path.split(_SEP)
+        if parts[0] != "$":
+            return None
+        parts = parts[1:]
+        if is_list_payload:
+            if not parts or parts[0] != _LIST:
+                return None
+            parts = parts[1:]
+        if parts and parts[-1] in ("#empty", _LIST + "#len"):
+            if parts[-1] == "#empty":
+                return None  # empty dict: inference drops/structs it — bail
+            # list-length marker: an empty list has no element entries and
+            # its inferred element type is not derivable — bail; non-empty
+            # lists carry element entries, the marker itself is a no-op
+            if tname is False:
+                return None
+            continue
+        node = tree
+        for seg in parts[:-1]:
+            node = node.setdefault(seg, {})
+            if not isinstance(node, dict):
+                return None
+        leaf = parts[-1] if parts else None
+        if leaf is None:
+            return None
+        slot = node.setdefault(leaf, {})
+        if not isinstance(slot, dict):
+            return None
+        slot.setdefault(TYPES, set()).add(tname)
+
+    def build(node: dict):
+        types = node.get(TYPES, set())
+        children = {k: v for k, v in node.items() if k != TYPES}
+        has_list_child = _LIST in children
+        if types and (children.keys() - {_LIST} or (has_list_child and types - {"NoneType"})):
+            return None  # same path both scalar and container -> bail
+        if has_list_child and len(children) > 1:
+            return None
+        if has_list_child:
+            elem = build(children[_LIST])
+            if elem is None:
+                return None
+            return T.ArrayType(elem, True)
+        if children:
+            fields = []
+            for k in sorted(children):
+                ft = build(children[k])
+                if ft is None:
+                    return None
+                fields.append(T.StructField(k, ft, True))
+            return T.StructType(fields)
+        kinds = set(types) - {"NoneType"}
+        if not kinds:
+            return T.StringType()
+        if kinds == {"bool"}:
+            return T.BooleanType()
+        if kinds == {"int"}:
+            return T.LongType()
+        if kinds <= {"int", "float"}:
+            return T.DoubleType()
+        if kinds == {"str"}:
+            return T.StringType()
+        return None  # bigint / mixed kinds -> authoritative inference
+
+    if not tree:
+        return None
+    out = build(tree)
+    if not isinstance(out, T.StructType) or not out.fields:
+        return None
+    return out
 
 
 class StreamingGateway:
@@ -136,6 +262,11 @@ class StreamingGateway:
         # checkpoint dir so wiping the checkpoint (which replays the
         # stream from scratch) resets it too.
         self._ledger_path = os.path.join(self.checkpoint_dir, "audit_ledger")
+        # fingerprint -> StructType: repeat shapes skip the executor-side
+        # inference pass entirely (bounded; fp space per deployment is
+        # the set of distinct payload shapes)
+        self._schema_cache: dict[str, Any] = {}
+        self._SCHEMA_CACHE_MAX = 1024
 
     # -- producer side (driver/HTTP shell) --------------------------------
     def ingest(self, path: str, payload: dict | list) -> str:
@@ -268,7 +399,7 @@ class StreamingGateway:
                 try:
                     tr_rows.extend(
                         self._process_group_distributed(
-                            webhook, grp, event_ids
+                            webhook, grp, event_ids, fp
                         )
                     )
                 except Exception:
@@ -420,7 +551,11 @@ class StreamingGateway:
     _shape_fingerprint = staticmethod(_shape_fingerprint)
 
     def _process_group_distributed(
-        self, webhook: dict[str, Any], grp: DataFrame, event_ids: list[str]
+        self,
+        webhook: dict[str, Any],
+        grp: DataFrame,
+        event_ids: list[str],
+        fp: Optional[str] = None,
     ) -> list:
         """One (webhook, shape) group, payloads resident on executors.
 
@@ -428,12 +563,16 @@ class StreamingGateway:
         re-tag pattern: ``mapPartitions`` embeds each event's id into its
         payload JSON as ``__corr_id`` (safe — fingerprinting rejects
         payloads carrying that key, so collisions route to the per-event
-        path), and ``spark.read.json`` infers the group schema
-        distributively.  Uniform shape within the group makes unified
-        inference == per-event inference (the fingerprint-parity
-        argument).  The filter gate collects only DISTINCT passing ids
-        (id-width); the LATERAL transform's collected output is the
-        shaped delivery bodies, never ingest payloads.
+        path).  The group schema comes from the shape fingerprint itself
+        when derivable (``schema_from_fingerprint`` — cached per fp, no
+        inference pass at all); shapes the parser does not model fall
+        back to distributed ``spark.read.json`` inference.  Either way,
+        uniform shape within the group makes the relation schema equal
+        per-event inference (the fingerprint-parity argument; the
+        derived-schema path is property-tested against real inference).
+        The filter gate collects only DISTINCT passing ids (id-width);
+        the LATERAL transform's collected output is the shaped delivery
+        bodies, never ingest payloads.
         """
         spark = self.spark
 
@@ -446,8 +585,25 @@ class StreamingGateway:
                     for el in p:
                         yield json.dumps({**el, "__corr_id": r["event_id"]})
 
+        schema = None
+        if fp is not None:
+            if fp in self._schema_cache:
+                schema = self._schema_cache[fp]
+            else:
+                schema = schema_from_fingerprint(fp)
+                if len(self._schema_cache) >= self._SCHEMA_CACHE_MAX:
+                    self._schema_cache.clear()
+                self._schema_cache[fp] = schema
+
         rdd = grp.select("event_id", "payload_json").rdd.mapPartitions(_embed)
-        df = spark.read.json(rdd).persist()
+        if schema is not None:
+            full = T.StructType(
+                list(schema.fields)
+                + [T.StructField("__corr_id", T.StringType(), True)]
+            )
+            df = spark.read.schema(full).json(rdd).persist()
+        else:
+            df = spark.read.json(rdd).persist()
         view = f"batch_{uuid.uuid4().hex}"
         df.createOrReplaceTempView(view)
         try:

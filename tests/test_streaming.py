@@ -291,6 +291,58 @@ def test_exotic_shape_fallback_still_processes(gateway, spark):
     assert tr[ids[1]] == {"a": 6}
 
 
+def test_schema_from_fingerprint_matches_real_inference(spark):
+    """The fingerprint-derived StructType must equal what spark.read.json
+    actually infers for payloads of that shape — bit-for-bit, or the
+    derived-schema fast path would silently change vectorized-group
+    semantics.  Shapes the parser cannot model exactly must return None
+    (authoritative inference fallback), never a wrong schema."""
+    from duckdb_webhook_gateway_spark.streaming.webhook_source import (
+        _shape_fingerprint,
+        schema_from_fingerprint,
+    )
+
+    payloads = [
+        {"a": 1, "b": "x"},
+        {"a": 1.5, "b": True},
+        {"a": 1, "f": 2.5},
+        {"n": {"x": 1, "y": {"z": "s"}}},
+        {"l": [1, 2, 3]},
+        {"l": [1, 2.5]},
+        {"lod": [{"k": 1}, {"k": 2}]},
+        {"m": None, "a": 3},
+        [{"r": 1}, {"r": 2}],
+        {"deep": [{"xs": [1, 2]}]},
+        {"zz": "s", "aa": 1},  # alphabetical field canonicalization
+        {"l": [1, None, 3]},
+        {"dot.key": 1},  # separator-encoded paths keep dotted keys exact
+    ]
+    for p in payloads:
+        fp = _shape_fingerprint(p)
+        assert fp is not None, p
+        derived = schema_from_fingerprint(fp)
+        assert derived is not None, p
+        recs = p if isinstance(p, list) else [p]
+        inferred = spark.read.json(
+            spark.sparkContext.parallelize(
+                [json.dumps(r) for r in recs], 1
+            )
+        ).schema
+        assert derived == inferred, (p, derived, inferred)
+
+    # shapes the parser must refuse -> inference fallback, never a guess
+    for p in [
+        {"a": []},
+        {"a": {}},
+        {"big": 2**70},
+        {"m": [1, "s"]},
+        {"m": [1, {"k": 2}]},
+    ]:
+        fp = _shape_fingerprint(p)
+        if fp is not None:
+            assert schema_from_fingerprint(fp) is None, p
+
+
 def test_batch_replay_is_idempotent(gateway, spark):
     """A replayed micro-batch (same batch_id) must not duplicate audit
     rows: the ledger skips committed batches, and batch-keyed file names
