@@ -209,6 +209,7 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 64,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Pairwise 3-gram Jaccard near-dup detection with conservative
     hot-shingle pruning (pass ``max_shingle_df=None`` for the fully exact
@@ -221,6 +222,15 @@ def ngram_jaccard_dedup(
     and NOTHING is broadcast (the round-2 version broadcast a
     corpus-cardinality sizes relation: multi-GB at 100M+ docs).
 
+    ``hash_shingles`` (default ON — the standard production-dedup trade,
+    e.g. the Gopher/SlimPajama pipelines) keys the inverted index on a
+    60-bit md5-derived integer instead of the shingle text: the ONE
+    corpus-scale shuffle ships 8-byte keys instead of ~25-byte strings
+    and the index groupBy compares longs, at the cost of hash-Jaccard
+    semantics (a 2^60-space collision merges two shingles — both engines
+    hash identically, so the differential identity is unaffected).  Pass
+    ``False`` for exact-string shingles.
+
     ``max_shingle_df`` (default ON) drops posting lists longer than the
     cutoff from the PAIRING stage — a shingle shared by k docs emits k²/2
     pair rows, so one stop-word run in a 100M-doc corpus would otherwise
@@ -230,6 +240,19 @@ def ngram_jaccard_dedup(
     create a false positive.
     """
     sarr = shingle_arrays(docs, id_col, text_col)
+    if hash_shingles:
+        from ..functions.hashing import hex_to_int_expr
+
+        # hash in-row over the nested set (one pass, before the explode);
+        # array_distinct guards the (astronomically unlikely) within-doc
+        # collision so set sizes stay consistent with the keyed index
+        h = hex_to_int_expr("h", 15, "spark")
+        sarr = sarr.withColumn(
+            "sarr",
+            F.expr(
+                f"array_distinct(transform(transform(sarr, x -> md5(x)), h -> {h}))"
+            ),
+        )
     lists = (
         sarr.select(
             F.struct(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import epoch_us
-from ..functions.hashing import md5_int_expr
+from ..functions.hashing import hex_to_int_expr, md5_int_expr
 from ..sources.files import read_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -140,17 +140,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df=64 (operator default) is mirrored in the oracle's
     # ``rare`` CTE: hot shingles are dropped from the PAIRING stage only;
     # denominators stay exact (see ngram_jaccard_dedup docstring).
+    # hash_shingles (operator default) is mirrored by the oracle's ``shh``
+    # CTE — both engines key the index on the same 60-bit md5-derived
+    # integer, so a collision (2^-60-scale) merges identically on both
+    # sides and the differential identity is exact, not probabilistic.
     return D.ngram_jaccard_dedup(_docs(spark, sf_dir, spread=True), threshold=0.6)
 
 
 DEDUP_NGRAM_SQL = f"""
 WITH {_ORACLE_SHINGLES.strip()},
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shh AS (SELECT DISTINCT doc_id,
+               {hex_to_int_expr("md5(shingle)", 15, "duckdb")} AS shingle
+        FROM sh),
+counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+rare AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 64),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a
-  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a
+  JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   JOIN rare r ON r.shingle = a.shingle
   GROUP BY 1, 2
 ),
@@ -960,7 +967,8 @@ def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     ngram_drops = (
-        D.ngram_jaccard_dedup(docs, threshold=0.6)
+        # exact-string shingles: this oracle replays string equality
+        D.ngram_jaccard_dedup(docs, threshold=0.6, hash_shingles=False)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -1116,7 +1124,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("k"))
         .select(F.col("k").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    npairs = D.ngram_jaccard_dedup(docs, threshold=0.6).select("doc_a", "doc_b")
+    npairs = D.ngram_jaccard_dedup(
+        docs, threshold=0.6, hash_shingles=False
+    ).select("doc_a", "doc_b")
     pairs = npairs.union(epairs).distinct()
     cc = D.connected_components(pairs)
     return cc.select(
@@ -2364,7 +2374,7 @@ def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir, spread=True)
     emb = _emb(spark, sf_dir)
-    pairs = D.ngram_jaccard_dedup(docs, threshold=0.35)
+    pairs = D.ngram_jaccard_dedup(docs, threshold=0.35, hash_shingles=False)
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("xva"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("xvb"))
     scored = S.with_cosine(pairs.join(ea, "doc_a").join(eb, "doc_b"), "xva", "xvb")
