@@ -390,3 +390,90 @@ def dsir_weights(
         "logratio_per_feature",
         (F.col("logratio_per_feature") > 0).alias("selected"),
     )
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+    carry: tuple = (),
+) -> DataFrame:
+    """Per-document Gopher quality-rule verdicts (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the public rule set behind MassiveText and
+    most later pretraining pipelines).
+
+    Rules, each integer-exact (cross-multiplied thresholds, no float
+    ratios — the determinism convention of this repo's oracles):
+
+    - ``r_words``    word count in [min_words, max_words]
+    - ``r_wordlen``  mean word length in [3, 10] chars
+    - ``r_symbol``   symbol-to-word ratio ('#' or ellipsis) < 0.1
+    - ``r_alpha``    >= 80% of words contain an alphabetic character
+    - ``r_stop``     >= min_stop_words DISTINCT stop words present
+
+    ``passed`` is the conjunction.  Pure single-scan projection: no
+    shuffle, no join, nothing broadcast; mean word length derives from
+    ``length(text)`` and the word count (single-space tokenization
+    identity), so no second tokenize pass.  The only non-codegen
+    expression is the alpha-word lambda filter (per-doc, bounded).
+    ``carry`` names extra input columns to pass through (e.g. the source
+    for per-source gating) so callers never need a join back.
+    """
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), " ").alias("t"),
+        *[F.col(c) for c in carry],
+    ).select(
+        "doc_id",
+        *carry,
+        F.size("t").cast("bigint").alias("n_words"),
+        (
+            F.length("text") - (F.size("t") - F.lit(1))
+        ).cast("bigint").alias("nonspace"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "…", ""))
+            )
+        ).cast("bigint").alias("n_sym"),
+        F.expr("size(filter(t, w -> w rlike '[a-z]'))")
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.expr(
+            f"size(array_intersect(array_distinct(t), array({stop_arr})))"
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    rules = d.select(
+        "doc_id",
+        *carry,
+        "n_words",
+        F.col("n_words").between(min_words, max_words).alias("r_words"),
+        (
+            (F.lit(3) * F.col("n_words") <= F.col("nonspace"))
+            & (F.col("nonspace") <= F.lit(10) * F.col("n_words"))
+        ).alias("r_wordlen"),
+        (F.lit(10) * F.col("n_sym") < F.col("n_words")).alias("r_symbol"),
+        (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words")).alias(
+            "r_alpha"
+        ),
+        (F.col("n_stop") >= F.lit(min_stop_words)).alias("r_stop"),
+    )
+    return rules.withColumn(
+        "passed",
+        F.col("r_words")
+        & F.col("r_wordlen")
+        & F.col("r_symbol")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )

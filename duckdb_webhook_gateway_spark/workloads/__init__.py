@@ -29,6 +29,7 @@ from . import analytics, datapipe  # noqa: E402
 _CHECK_FIRST = (
     # round-5 additions (never driver-checked):
     "substring_dup_spans_sa",
+    "gopher_quality_gate",
     # last driver-green in round 2:
     "order_priority_rate",
     "dedup_exact",
@@ -79,7 +80,6 @@ _CHECK_FIRST = (
     "ann_ivf_topk",
     "text_tfidf_top_terms",
     "salted_join_orders",
-    "embedding_near_dup_lsh",
 )
 # r4-green queries (checked last round) — rotate to the unchecked tail;
 # the parity suite still covers them at sf0.1 every round.

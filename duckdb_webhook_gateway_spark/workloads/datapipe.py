@@ -4079,3 +4079,87 @@ ENTRIES["doc_prefix_jaccard_join"] = (
     doc_prefix_jaccard_join,
     DOC_PREFIX_JACCARD_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set gating report (Rae et al. 2021 §A1.1) per source:
+    document pass counts plus per-rule failure counts
+    (operators/text.py::gopher_quality_rules).  Single corpus scan —
+    the rules project in-row (source carried through, no join back) and
+    collapse in one partial-agg groupBy of source cardinality.
+    min_stop_words=1: the synthetic vocabulary carries only 'the' from
+    the Gopher stop list (the paper's >=2-of-8 rule would zero out the
+    corpus and gate nothing differentially); every threshold is
+    integer-exact cross-multiplied arithmetic in both engines."""
+    rules = X.gopher_quality_rules(
+        _docs(spark, sf_dir), min_stop_words=1, carry=("source",)
+    )
+    agg = rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(~F.col("r_words"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fail_word_count"),
+        F.sum(F.when(~F.col("r_wordlen"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fail_word_length"),
+        F.sum(F.when(~F.col("r_symbol"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fail_symbol_ratio"),
+        F.sum(F.when(~F.col("r_alpha"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fail_alpha_words"),
+        F.sum(F.when(~F.col("r_stop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fail_stop_words"),
+    )
+    return agg.orderBy("source")
+
+
+GOPHER_GATE_SQL = """
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS t, len(text) AS nchars,
+         len(text) - len(replace(text, '#', ''))
+           + len(text) - len(replace(text, '…', '')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(t) AS n_words,
+         nchars - (len(t) - 1) AS nonspace,
+         n_sym,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(t),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM d
+),
+r AS (
+  SELECT source,
+         (n_words BETWEEN 50 AND 100000) AS r_words,
+         (3 * n_words <= nonspace AND nonspace <= 10 * n_words) AS r_wordlen,
+         (10 * n_sym < n_words) AS r_symbol,
+         (5 * n_alpha >= 4 * n_words) AS r_alpha,
+         (n_stop >= 1) AS r_stop
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r_words AND r_wordlen AND r_symbol AND r_alpha
+                          AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_length,
+       CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha_words,
+       CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stop_words
+FROM r GROUP BY source ORDER BY source
+"""
+
+ENTRIES["gopher_quality_gate"] = (gopher_quality_gate, GOPHER_GATE_SQL)

@@ -300,3 +300,31 @@ def test_multitouch_credit_conserves_purchase_value(spark):
     assert per_purchase
     for r in per_purchase:
         assert abs(r["total"] - round(r["p_value"] * 1_000_000)) <= r["n"], r
+
+
+def test_gopher_rules_seeded_verdicts(spark):
+    """Each Gopher rule fires on exactly the documents built to trip it
+    (Rae et al. 2021 §A1.1 thresholds, integer-exact arithmetic)."""
+    from duckdb_webhook_gateway_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    good = " ".join(["the"] + ["word"] * 59)          # 60 words, all rules ok
+    short = "the tiny doc"                            # < 50 words
+    longwords = " ".join(["the"] + ["x" * 15] * 59)   # mean word len > 10
+    symbols = " ".join(["the"] + ["#"] * 59)          # symbol ratio + alpha
+    nostop = " ".join(["word"] * 60)                  # no stop words
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, longwords), (4, symbols), (5, nostop)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_rules(docs, min_stop_words=1).collect()
+    }
+    assert out[1].passed
+    assert not out[2].r_words and out[2].r_wordlen
+    assert not out[3].r_wordlen and out[3].r_words
+    assert not out[4].r_symbol and not out[4].r_alpha
+    assert not out[5].r_stop and out[5].r_words
+    assert all(not out[i].passed for i in (2, 3, 4, 5))
