@@ -79,7 +79,6 @@ _CHECK_FIRST = (
     "multimodal_features",
     "ann_ivf_topk",
     "text_tfidf_top_terms",
-    "salted_join_orders",
 )
 # r4-green queries (checked last round) — rotate to the unchecked tail;
 # the parity suite still covers them at sf0.1 every round.
