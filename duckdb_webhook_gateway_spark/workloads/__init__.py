@@ -30,6 +30,7 @@ _CHECK_FIRST = (
     # round-5 additions (never driver-checked):
     "substring_dup_spans_sa",
     "gopher_quality_gate",
+    "gopher_repetition_report",
     # last driver-green in round 2:
     "order_priority_rate",
     "dedup_exact",

@@ -4163,3 +4163,95 @@ FROM r GROUP BY source ORDER BY source
 """
 
 ENTRIES["gopher_quality_gate"] = (gopher_quality_gate, GOPHER_GATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per source (Rae et al. 2021 §A1.1):
+    characters under the most frequent word 2-gram and characters covered
+    by duplicated 5-grams (position-marked, each counted once), as exact
+    integer sums with rounded fractions
+    (operators/text.py::gopher_repetition_signals — one Arrow pass, the
+    statistic is doc-local so the token stream never shuffles).  The
+    oracle rebuilds both signals relationally: positional self-joins for
+    the n-grams, HAVING count(*)>1 for duplication, and a DISTINCT
+    position × offset expansion for the once-per-character coverage.
+    Space-joined n-grams are injective for a fixed token count, so the
+    string grouping equals the tuple grouping."""
+    # dup_n=3 (paper range is 5-10): the synthetic corpus carries no
+    # within-doc duplicated 5-grams at any SF, so the 3-gram variant is
+    # the discriminative choice; column names keep the canonical labels
+    rep = X.gopher_repetition_signals(
+        _docs(spark, sf_dir, spread=True), carry=("source",), dup_n=3
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+            F.sum("top2_chars").cast("bigint").alias("top2_chars"),
+            F.sum("dup5_chars").cast("bigint").alias("dup5_chars"),
+        )
+        .withColumn(
+            "top2_frac",
+            F.round(F.col("top2_chars") / F.col("total_chars"), 6),
+        )
+        .withColumn(
+            "dup5_frac",
+            F.round(F.col("dup5_chars") / F.col("total_chars"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH nums AS (SELECT i FROM range(1, 4005) r(i)),
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+                len(text) AS nchars
+         FROM documents),
+tk AS (SELECT doc_id, i AS p, t[i] AS w FROM toks JOIN nums ON i <= len(t)),
+tot AS (SELECT doc_id, source, nchars - (len(t) - 1) AS total_chars
+        FROM toks),
+g2 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS cnt
+  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.p <= 4000
+  GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, cnt * len(gram) AS top2_chars FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram) AS rn
+    FROM g2) WHERE rn = 1),
+g5 AS (
+  SELECT a.doc_id, a.p,
+         a.w || ' ' || b.w || ' ' || c.w AS gram
+  FROM tk a
+  JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN tk c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+  WHERE a.p <= 4000),
+dup AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram
+        HAVING count(*) > 1),
+off AS (SELECT j FROM range(0, 3) r(j)),
+cov AS (SELECT DISTINCT s.doc_id, s.p + o.j AS cp
+        FROM g5 s JOIN dup USING (doc_id, gram) CROSS JOIN off o),
+dup5 AS (SELECT c.doc_id, sum(len(t.w)) AS dup5_chars
+         FROM cov c JOIN tk t ON t.doc_id = c.doc_id AND t.p = c.cp
+         GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(total_chars) AS BIGINT) AS total_chars,
+       CAST(sum(coalesce(top2_chars, 0)) AS BIGINT) AS top2_chars,
+       CAST(sum(coalesce(dup5_chars, 0)) AS BIGINT) AS dup5_chars,
+       round(sum(coalesce(top2_chars, 0)) * 1.0 / sum(total_chars), 6)
+         AS top2_frac,
+       round(sum(coalesce(dup5_chars, 0)) * 1.0 / sum(total_chars), 6)
+         AS dup5_frac
+FROM tot LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+ENTRIES["gopher_repetition_report"] = (
+    gopher_repetition_report,
+    GOPHER_REPETITION_SQL,
+)

@@ -328,3 +328,38 @@ def test_gopher_rules_seeded_verdicts(spark):
     assert not out[4].r_symbol and not out[4].r_alpha
     assert not out[5].r_stop and out[5].r_words
     assert all(not out[i].passed for i in (2, 3, 4, 5))
+
+
+def test_gopher_repetition_seeded_signals(spark):
+    """Exact expectations on a seeded corpus: top-n-gram chars count every
+    occurrence; duplicated-n-gram coverage marks each position ONCE even
+    under overlapping repeats."""
+    from duckdb_webhook_gateway_spark.operators.text import (
+        gopher_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # period-3 cycle: every 3-gram (a,b,c)/(b,c,a)/(c,a,b)
+            # occurs twice -> all 8 positions covered
+            (1, "a b c a b c a b"),
+            # one repeated 3-gram 'p q r' at positions 1-3 and 5-7; the
+            # middle token x and tail s are uncovered
+            (3, "p q r x p q r s"),
+            (2, "x y z w v u t s"),  # no repeats at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_repetition_signals(docs, dup_n=3).collect()
+    }
+    d1 = out[1]
+    assert d1.total_chars == 8
+    assert d1.top2_chars == 9  # 'a b' x3, len('a b') == 3
+    assert d1.dup5_chars == 8  # every 3-gram repeats -> full coverage
+    d3 = out[3]
+    assert d3.dup5_chars == 6  # positions 1-3 and 5-7, x and s excluded
+    d2 = out[2]
+    assert d2.dup5_chars == 0
+    assert d2.top2_chars == 3  # every 2-gram once; tie -> lexicographic min
