@@ -709,3 +709,38 @@ def test_substring_sa_single_prefix_shuffle_no_joins(spark):
     keys = re.findall(r"hashpartitioning\((\w+)#", plan)
     assert keys.count("wk") == 1, keys
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+
+
+def test_gopher_gate_single_scan_no_joins(spark):
+    """The rule gate is one scan: rules project in-row (source carried
+    through — no join back to documents), one source-cardinality
+    aggregate, nothing broadcast."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        gopher_quality_gate,
+    )
+
+    plan = _plan(gopher_quality_gate(spark, sf_dir()))
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0
+    assert "BroadcastExchange" not in plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
+
+
+def test_gopher_repetition_single_arrow_pass(spark):
+    """Repetition signals: ONE ArrowEvalPython/mapInPandas pass over the
+    document scan — the token stream never shuffles for the doc-local
+    statistic — then a source-cardinality aggregate; join-free."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        gopher_repetition_report,
+    )
+
+    plan = _plan(gopher_repetition_report(spark, sf_dir()))
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0
+    assert "BroadcastExchange" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
