@@ -243,47 +243,58 @@ def lm_perplexity(
     (sum-order FP drift is ~1e-13, so rounding makes the NTILE ordering
     engine-portable; ties break on doc_id).
 
-    Plan shape: the two count relations are vocab-cardinality (paired
-    partial/final HashAggregates), and the probability lookup joins key
-    on words — corpus bigram occurrences shuffle once per join key.
-    Stop-word contexts make c(w1) skewed: at cluster scale run with AQE
-    skew-join enabled (session default) or salt w1.  The final NTILE is
-    a single global window over DOC-cardinality rows (doc_id, score) —
-    at 100 TB replace with broadcast approx-quantile cutoffs; kept exact
-    here so the DuckDB oracle can replay it bit-for-bit.
+    Plan shape: JOIN-FREE, one job.  ONE corpus explode produces a
+    combined position stream (w1 = token at i, w2 = token at i+1, NULL
+    at document end), so unigram occurrences and bigram occurrences are
+    the SAME rows.  Both model statistics are then COUNT WINDOWS over
+    that stream — c(w1) over partition (w1), c(w1,w2) over partition
+    (w1, w2) — no count relation is ever materialized or joined back
+    (the earlier aggregate+join shape re-ran the corpus explode per
+    consumer and sort-merge-joined on the heavily skewed w1).  |V| is a
+    one-row broadcast subtree (count_distinct), the only non-window
+    statistic.  Two corpus-width exchanges total, both of a narrow
+    (id, w1, w2) stream.  The final NTILE is a single global window
+    over DOC-cardinality rows (doc_id, score) — at 100 TB replace with
+    broadcast approx-quantile cutoffs; kept exact here so the DuckDB
+    oracle can replay it bit-for-bit.
     """
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         F.slice(F.split(F.col(text_col), " "), 1, max_tokens).alias("t"),
     )
-    tok = t.select("doc_id", F.explode("t").alias("token"))
-    big = (
-        t.filter(F.size("t") >= 2)
+    # combined stream: one row per token POSITION; w2 is the successor
+    # token (NULL at the last position).  Unigrams = all rows, bigrams =
+    # rows with a successor — both relations from one explode.
+    pos = (
+        t.filter(F.size("t") >= 1)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(t) - 1), i -> "
-                    "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                    "transform(sequence(1, size(t)), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "IF(i < size(t), element_at(t, i + 1), NULL) AS w2))"
                 )
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    uni_c = tok.groupBy(F.col("token").alias("w1")).agg(
-        F.count("*").cast("bigint").alias("c1")
-    )
-    big_c = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("cb"))
-    vocab = tok.agg(
-        F.countDistinct("token").cast("bigint").alias("vocab")
-    )
+    vocab = pos.agg(F.count_distinct("w1").cast("bigint").alias("vocab"))
     scored = (
-        big.join(big_c, ["w1", "w2"])
-        .join(uni_c, "w1")
+        pos.withColumn("c1", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn(
+            "cb", F.count("*").over(Window.partitionBy("w1", "w2"))
+        )
+        .filter(F.col("w2").isNotNull())
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            (-F.log2((F.col("cb") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))).alias("bits"),
+            (
+                -F.log2(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vocab"))
+                )
+            ).alias("bits"),
         )
     )
     doc_scores = scored.groupBy("doc_id").agg(
@@ -319,13 +330,19 @@ def dsir_weights(
     weight > 0 (importance-ratio above 1).
 
     Plan shape: the target flag is evaluated in-row BEFORE the bigram
-    explode, so distribution-building needs no doc-id join at all — just
-    two bucket-keyed aggregations (both ``n_buckets``-cardinality with
-    map-side partials) plus a single-row totals agg.  The learned
-    distribution (n_buckets rows) and totals then BROADCAST back into
-    the per-occurrence scoring join: the corpus shuffles only for the
-    final per-doc aggregate.
+    explode, so distribution-building needs no doc-id join at all — ONE
+    (doc, bucket)-keyed aggregation reduces the explode+hash stream to a
+    contingency relation bounded by docs x n_buckets, materialized once
+    with ``localCheckpoint``.  The per-bucket distribution is summed
+    from it (n_buckets rows — a fixed-width CONSTANT, like a k-means
+    centroid set), collected, and the learned log-ratios are baked into
+    the scoring pass as an array LITERAL indexed by bucket: scoring is
+    join-free (no broadcast exchange, no lookup shuffle) and reads the
+    materialized contingency blocks, never the corpus again.  Exactly
+    ONE corpus pass total.
     """
+    import json
+    import math
     from ..functions.hashing import md5_int_expr
 
     t = docs.select(
@@ -351,38 +368,62 @@ def dsir_weights(
             (F.expr(md5_int_expr("feat", "spark")) % n_buckets).alias("bucket"),
         )
     )
-    raw_c = feats.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("cr")
+    # ONE corpus pass total: the explode+hash stream reduces to a
+    # (doc, bucket) contingency relation — bounded by docs x n_buckets,
+    # far below occurrence cardinality — which is materialized once and
+    # feeds BOTH the distribution build and the scoring aggregate.
+    doc_bucket = (
+        feats.groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    tgt_c = (
-        feats.filter("is_tgt")
-        .groupBy("bucket")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-    )
-    tot = feats.agg(
-        F.count("*").cast("bigint").alias("nr"),
-        F.count_if("is_tgt").cast("bigint").alias("nt"),
-    )
-    dist = (
-        raw_c.join(tgt_c, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (
-                F.log2(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("nt") + F.lit(float(n_buckets)))
-                )
-                - F.log2(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("nr") + F.lit(float(n_buckets)))
-                )
-            ).alias("lr"),
+    bucket_rows = (
+        doc_bucket.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cr"),
+            F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
         )
+        .collect()
     )
-    scored = feats.join(F.broadcast(dist), "bucket").groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.round(F.avg("lr"), 6).alias("logratio_per_feature"),
+    cr = [0] * n_buckets
+    ct = [0] * n_buckets
+    for r in bucket_rows:
+        cr[r["bucket"]] = r["cr"]
+        ct[r["bucket"]] = r["ct"]
+    nr, nt = sum(cr), sum(ct)
+    # log2 computed as log(x)/log(2) — the same formula Spark's LOG2 and
+    # DuckDB's log2 evaluate, keeping cross-engine drift at the 1-ulp
+    # level the round(..., 6) below absorbs
+    ln2 = math.log(2.0)
+    lr = [
+        (
+            math.log((ct[b] + 1.0) / (nt + float(n_buckets))) / ln2
+            - math.log((cr[b] + 1.0) / (nr + float(n_buckets))) / ln2
+        )
+        for b in range(n_buckets)
+    ]
+    # scoring: join-free pass over the MATERIALIZED contingency relation
+    # (the corpus is never re-read) — element_at on a constant array,
+    # occurrence-weighted mean == the per-occurrence mean exactly.
+    # The constant ships as a JSON string literal decoded by from_json
+    # and constant-folded JVM-side: F.lit(python_list) pays a ~0.45 s
+    # py4j element-by-element conversion PER CALL, the JSON string is one
+    # round-trip (doubles serialized via repr — shortest-round-trip, so
+    # the JVM parses back the identical bits)
+    lr_arr = F.from_json(F.lit(json.dumps(lr)), "array<double>")
+    scored = (
+        doc_bucket.withColumn(
+            "lr", F.element_at(lr_arr, F.col("bucket").cast("int") + 1)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_features"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr")) / F.sum("cnt"), 6
+            ).alias("logratio_per_feature"),
+        )
     )
     return scored.select(
         "doc_id",

@@ -3287,7 +3287,7 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy quality scoring with decile buckets
     (operators/text.py::lm_perplexity) — the CCNet-style 'train a small
     LM on the corpus, drop the high-perplexity tail' pipeline stage."""
-    return X.lm_perplexity(_docs(spark, sf_dir))
+    return X.lm_perplexity(_docs(spark, sf_dir, spread=True))
 
 
 LM_PERPLEXITY_SQL = """
@@ -3326,7 +3326,9 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weighting toward the lang='en' target domain
     (operators/text.py::dsir_weights): hashed-bigram distribution ratio,
     selected = weight > 0."""
-    return X.dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
+    return X.dsir_weights(
+        _docs(spark, sf_dir, spread=True), target=F.col("lang") == "en"
+    )
 
 
 DSIR_SELECTION_SQL = f"""

@@ -637,6 +637,11 @@ def test_prefix_jaccard_no_cartesian_no_corpus_broadcast(spark):
     # joins are id-keyed equi-joins — never a nested-loop/cartesian pairing
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the token-df lineage (corpus explode + window) runs exactly ONCE:
+    # per_doc is localCheckpoint-ed before the three-way fan-out, so the
+    # final plan reads materialized blocks and never rescans the parquet
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
     # no broadcast may carry the token arrays (document-sized)
     lines = plan.splitlines()
     for i, line in enumerate(lines):
