@@ -113,38 +113,45 @@ def pagerank_micro(
     oracle needs, and the property that makes the operator's output stable
     under AQE re-planning at scale.
 
-    Cache lifetime is scoped to THIS call: the arc and node relations are
-    materialized with ``localCheckpoint`` (lineage truncated, blocks owned
-    by the returned DataFrames and reclaimed by the context cleaner when
-    they are garbage-collected).  Concurrent/interleaved calls are safe —
-    nothing module-global is shared (the earlier design released a
-    previous call's persisted blocks from the next call, which could
-    silently un-cache a still-live result; see tests/test_graphs.py).
+    Sharing strategy: NOTHING is cached or checkpointed.  The whole
+    fixed-iteration recursion is ONE lazy plan in which ``arcs_d`` and
+    ``nodes`` are the same DataFrame objects in every iteration, so
+    their shuffle exchanges canonicalize identically and Spark's
+    ReuseExchange (and AQE stage reuse) computes each exactly once per
+    action — measured faster than eager ``localCheckpoint`` barriers,
+    which serialize three blocking job rounds and pay materialization
+    I/O for relations the exchange files already hold.  It is also
+    hazard-free: no blocks outlive the action, nothing module-global is
+    shared (an earlier design's persist released a previous call's
+    blocks from the next call; see tests/test_graphs.py).
 
     Plan shape per iteration: shuffle-join ranks to arcs on ``src``
     (ranks and arcs are both hash-partitioned by src after the first
     iteration — Catalyst reuses the partitioning), then hash-aggregate by
     ``dst``.  ``O(iterations)`` shuffles total, the textbook synchronous
-    Pregel schedule; arcs+degrees are materialized once.
+    Pregel schedule; arc and node exchanges are computed once and reused.
     """
+    from pyspark.sql import Window
+
     base = ((100 - damping_pct) * init_micro) // 100
-    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # deg is node-cardinality: joined (co-partitioned on src), NOT broadcast.
-    # localCheckpoint (not persist) so block lifetime follows the DataFrame:
-    # iterations re-read materialized blocks, never the upstream plan.
-    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg").localCheckpoint(
-        eager=True
-    )
-    # The node universe is every endpoint, materialized once: a node with
-    # out-arcs but no in-arcs receives no contributions, but it must KEEP
-    # its base rank and keep contributing — an inner groupBy(dst) alone
-    # would silently drop it (and its outgoing mass) after iteration 1 on
-    # general digraphs, even though undirected graphs never hit the case.
+    # Out-degree via a COUNT WINDOW over src: one shuffle of the arc
+    # stream, no degree aggregate + join back (which would execute the
+    # upstream edge lineage twice — for derived graphs like basket pairs
+    # that upstream is the dominant cost of the operator).
+    arcs_d = arcs.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).select("src", "dst", "deg")
+    # The node universe is every endpoint: a node with out-arcs but no
+    # in-arcs receives no contributions, but it must KEEP its base rank
+    # and keep contributing — an inner groupBy(dst) alone would silently
+    # drop it (and its outgoing mass) after iteration 1 on general
+    # digraphs, even though undirected graphs never hit the case.
+    # Derived from arcs_d (inner on src preserves every arc) so the
+    # distinct's exchange sits above the already-reused window exchange.
     nodes = (
-        arcs.select(F.col("src").alias("node"))
-        .unionByName(arcs.select(F.col("dst").alias("node")))
+        arcs_d.select(F.col("src").alias("node"))
+        .unionByName(arcs_d.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     ranks = nodes.select(
         "node", F.lit(init_micro).cast("long").alias("r")
