@@ -939,9 +939,13 @@ def substring_dedup_sa(
         .select("doc_id", "pos", "wk", "wl")
     )
     # the count-window left the stream hash-partitioned by wk, which
-    # satisfies applyInPandas' clustering requirement — no extra shuffle
+    # satisfies applyInPandas' clustering requirement — no extra shuffle.
+    # The id column keeps its INPUT type (string ids work, not just
+    # bigint) — only pos/match_len are fixed-width.
+    id_type = docs.schema[id_col].dataType.simpleString()
     starts = dup.groupBy("wk").applyInPandas(
-        _sa_bucket_lcp, "doc_id bigint, pos bigint, match_len bigint"
+        _sa_bucket_lcp,
+        f"doc_id {id_type}, pos bigint, match_len bigint",
     )
     prior = (
         Window.partitionBy("doc_id")

@@ -486,7 +486,7 @@ def gopher_quality_rules(
                 - F.length(F.regexp_replace("text", "…", ""))
             )
         ).cast("bigint").alias("n_sym"),
-        F.expr("size(filter(t, w -> w rlike '[a-z]'))")
+        F.expr("size(filter(t, w -> w rlike '[a-zA-Z]'))")
         .cast("bigint")
         .alias("n_alpha"),
         F.expr(
@@ -534,10 +534,14 @@ def gopher_repetition_signals(
     unstructured text —
 
     - ``top2_chars``: characters covered by occurrences of the MOST
-      frequent word ``top_n``-gram (count × gram character length, ties
+      frequent word ``top_n``-gram — count × the gram's NON-SPACE
+      character length (sum of its token lengths, matching the
+      ``total_chars`` denominator, which also excludes spaces); ties
       broken by gram string ascending — the deterministic variant of the
       paper's rule; they filter when this fraction exceeds 0.20; paper
-      n = 2..4)
+      n = 2..4.  Occurrences are counted OVERLAPPING, as in the public
+      Dolma/DataTrove implementations, so on degenerate runs (e.g.
+      ``a a a a``) the fraction can still exceed 1.0
     - ``dup5_chars``: characters of tokens covered by ANY word
       ``dup_n``-gram occurring more than once in the document, each
       position counted once (position marking, as in the public
@@ -582,7 +586,10 @@ def gopher_repetition_signals(
                     gram, cnt = min(
                         g2.items(), key=lambda kv: (-kv[1], kv[0])
                     )
-                    top2 = cnt * len(gram)
+                    # non-space characters only: the joining spaces are
+                    # excluded from total_chars, so they must not count
+                    # toward coverage either
+                    top2 = cnt * (len(gram) - (tn - 1))
                 else:
                     top2 = 0
                 bound5 = min(n - dn + 1, mp)

@@ -142,9 +142,15 @@ def all_entries() -> dict[str, Entry]:
     entries.update(analytics.ENTRIES)
     entries.update(datapipe.ENTRIES)
     ordered: dict[str, Entry] = {}
+    # A typo'd or renamed rotation name must FAIL here, not silently
+    # shrink the driver's 50-query verification window.
+    missing = [n for n in (*_CHECK_FIRST, *_CHECK_LAST) if n not in entries]
+    if missing:
+        raise KeyError(
+            f"rotation names not in the query registry: {missing}"
+        )
     for name in _CHECK_FIRST:
-        if name in entries:
-            ordered[name] = entries[name]
+        ordered[name] = entries[name]
     for name, e in entries.items():
         if name not in _CHECK_FIRST and name not in _CHECK_LAST:
             ordered[name] = e

@@ -4133,7 +4133,7 @@ m AS (
          len(t) AS n_words,
          nchars - (len(t) - 1) AS nonspace,
          n_sym,
-         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
          len(list_intersect(list_distinct(t),
              ['the','be','to','of','and','that','have','with'])) AS n_stop
   FROM d
@@ -4220,7 +4220,7 @@ g2 AS (
   WHERE a.p <= 4000
   GROUP BY 1, 2),
 top2 AS (
-  SELECT doc_id, cnt * len(gram) AS top2_chars FROM (
+  SELECT doc_id, cnt * (len(gram) - 1) AS top2_chars FROM (
     SELECT doc_id, gram, cnt,
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY cnt DESC, gram) AS rn

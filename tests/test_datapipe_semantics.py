@@ -356,10 +356,12 @@ def test_gopher_repetition_seeded_signals(spark):
     }
     d1 = out[1]
     assert d1.total_chars == 8
-    assert d1.top2_chars == 9  # 'a b' x3, len('a b') == 3
+    # 'a b' x3 overlapping, 2 NON-SPACE chars per occurrence (the joining
+    # space is excluded, matching the total_chars denominator)
+    assert d1.top2_chars == 6
     assert d1.dup5_chars == 8  # every 3-gram repeats -> full coverage
     d3 = out[3]
     assert d3.dup5_chars == 6  # positions 1-3 and 5-7, x and s excluded
     d2 = out[2]
     assert d2.dup5_chars == 0
-    assert d2.top2_chars == 3  # every 2-gram once; tie -> lexicographic min
+    assert d2.top2_chars == 2  # every 2-gram once; tie -> lexicographic min

@@ -389,3 +389,25 @@ def test_prefix_jaccard_duplicate_tokens_collapse(spark):
     )
     rows = prefix_jaccard_join(df, 9, 10).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_substring_sa_string_doc_ids(spark):
+    """The applyInPandas output schema derives the id type from the input
+    (ADVICE r5): string doc ids must work end-to-end, not just BIGINT."""
+    from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup_sa
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    rows = [
+        ("doc-a", "intro words " + passage + " outro"),
+        ("doc-b", "x1 x2 x3 x4 x5 " + passage),
+        ("doc-c", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.span_start, r.span_end): (r.n_dup_starts, r.max_match_len)
+        for r in substring_dedup_sa(docs).collect()
+    }
+    assert out == {
+        ("doc-a", 3, 12): (3, 10),
+        ("doc-b", 6, 15): (3, 10),
+    }
