@@ -188,7 +188,12 @@ def tfidf_top_terms(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    if base.rdd.getNumPartitions() < target:
+    # Split-count probe via the file index (driver-side metadata, no
+    # plan-to-RDD conversion — a .rdd access here forced a full analyzer
+    # + RDD translation on every query construction).  Derived
+    # (non-file-scan) inputs report no files and get the repartition,
+    # which is the safe direction.
+    if len(docs.inputFiles()) < target:
         base = base.repartition(target, "doc_id")
     exploded = (
         base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))

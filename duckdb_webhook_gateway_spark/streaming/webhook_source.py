@@ -232,6 +232,136 @@ def schema_from_fingerprint(fp: str) -> Optional[T.StructType]:
     return out
 
 
+def _make_shape_deliver(webhook_id: str, dest_url: str, out_cols: list):
+    """Executor-side shape + deliver + audit for one (webhook, shape) group.
+
+    Returns a ``mapInArrow`` function over the three-way marker union
+    (role 2 = LATERAL result row, role 1 = gate-passing id, role 0 =
+    group member), repartitioned by ``__corr_id`` so every event's rows
+    live in exactly one task.  Per event: no role-1 row -> the
+    filtered-out audit row (constant body, no POST); otherwise apply the
+    0/1/N shaping contract with the SAME ``_plain`` conversions the
+    driver path used (Arrow ``to_pylist`` hands back exact Python values
+    — ints stay ints, SQL NULL stays None, no pandas NaN coercion), POST
+    the body through a bounded in-task thread pool, and emit the
+    finished ``transformed_events`` audit row.  Within-event row order
+    is the LATERAL's output order: an event's rows are produced
+    contiguously by one upstream task and shuffle fetch preserves
+    within-block order.  The ``timestamp`` column ships as an ISO
+    string; the store's distributed writer casts it to TimestampType.
+    """
+
+    def shape_deliver(batches):
+        import pyarrow as pa
+
+        from duckdb_webhook_gateway_spark.engine.delivery import (
+            deliver as _deliver,
+        )
+        from duckdb_webhook_gateway_spark.engine.results import _plain
+        from duckdb_webhook_gateway_spark.engine.store import (
+            new_id as _nid,
+            now_utc as _now,
+        )
+
+        from duckdb_webhook_gateway_spark.engine.audit import (
+            FILTERED_OUT_BODY as _FILTERED,
+        )
+
+        groups: dict[str, list] = {}
+        passed: set = set()
+        order: list[str] = []
+        for batch in batches:
+            for row in batch.to_pylist():
+                cid = row["__corr_id"]
+                if cid not in groups:
+                    groups[cid] = []
+                    order.append(cid)
+                role = row["__role"]
+                if role == 1:
+                    passed.add(cid)
+                elif role == 2:
+                    groups[cid].append(
+                        {c: _plain(row[c]) for c in out_cols}
+                    )
+        filtered = [cid for cid in order if cid not in passed]
+        order = [cid for cid in order if cid in passed]
+        bodies = []
+        for cid in order:
+            shaped = groups[cid]
+            if not shaped:
+                transformed: dict[str, Any] = {}
+            elif len(shaped) == 1:
+                transformed = shaped[0]
+            else:
+                transformed = {"results": shaped}
+            bodies.append(transformed)
+        # bounded in-task delivery pool: one slow destination stalls only
+        # its own slot, and partition count stays modest (task overhead,
+        # output-file count) without serializing POST latency
+        if bodies:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(bodies))
+            ) as pool:
+                outcomes = list(
+                    pool.map(lambda b: _deliver(dest_url, b), bodies)
+                )
+        else:
+            outcomes = []
+        out_rows = [
+            {
+                "id": _nid(),
+                "raw_event_id": cid,
+                "webhook_id": webhook_id,
+                "timestamp": _now().isoformat(),
+                "transformed_payload": json.dumps({}),
+                "destination_url": dest_url,
+                "success": False,
+                "response_code": None,
+                "response_body": _FILTERED,
+            }
+            for cid in filtered
+        ]
+        for cid, transformed, res in zip(order, bodies, outcomes):
+            out_rows.append(
+                {
+                    "id": _nid(),
+                    "raw_event_id": cid,
+                    "webhook_id": webhook_id,
+                    "timestamp": _now().isoformat(),
+                    "transformed_payload": json.dumps(
+                        transformed, default=str
+                    ),
+                    "destination_url": dest_url,
+                    "success": res.success,
+                    "response_code": res.response_code,
+                    "response_body": res.response_body,
+                }
+            )
+        if out_rows:
+            # explicit schema: an all-NULL response_code partition must
+            # still type as int32, never infer as null
+            yield pa.RecordBatch.from_pylist(
+                out_rows,
+                schema=pa.schema(
+                    [
+                        ("id", pa.string()),
+                        ("raw_event_id", pa.string()),
+                        ("webhook_id", pa.string()),
+                        ("timestamp", pa.string()),
+                        ("transformed_payload", pa.string()),
+                        ("destination_url", pa.string()),
+                        ("success", pa.bool_()),
+                        ("response_code", pa.int32()),
+                        ("response_body", pa.string()),
+                    ]
+                ),
+            )
+
+    return shape_deliver
+
+
 class StreamingGateway:
     """Streaming front end over a :class:`Gateway`.
 
@@ -321,11 +451,11 @@ class StreamingGateway:
         (webhook, shape) group's payload relation is stood up with the
         ``engine/replay.py`` re-tag pattern (``mapPartitions`` embeds the
         event id into each payload's JSON on the executors).  The only
-        driver collections are metadata-width: (source_path, fp, event_id)
-        triples for group bookkeeping, filter-gate id sets, and the
-        transform RESULTS (the shaped delivery bodies the driver's
-        delivery pool POSTs; above the fan-out threshold those ship back
-        to executors for delivery too).
+        driver collection on the main path is metadata-width group
+        bookkeeping — (source_path, fp, event_id) triples.  Filter
+        gating, transform, result shaping, delivery AND the transformed-
+        event audit rows are one distributed plan per group, executed by
+        the batch's single staged audit write.
 
         Each group runs as TWO Spark queries — a vectorized filter gate
         and a correlated LATERAL transform — instead of two queries *per
@@ -382,6 +512,8 @@ class StreamingGateway:
                     webhooks[path] = self.gateway.catalog.get_by_path(path)
 
             tr_rows: list[dict[str, Any]] = []
+            result_dfs: list[DataFrame] = []
+            group_cleanups: list[tuple[str, DataFrame]] = []
             fallback: list[tuple[str, Optional[str]]] = []
             for (path, fp), event_ids in sorted(
                 groups.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
@@ -397,11 +529,12 @@ class StreamingGateway:
                     (F.col("source_path") == path) & (F.col("fp") == fp)
                 )
                 try:
-                    tr_rows.extend(
-                        self._process_group_distributed(
-                            webhook, grp, event_ids, fp
-                        )
+                    audit_df, drv_rows = self._process_group_distributed(
+                        webhook, grp, event_ids, fp, cleanups=group_cleanups
                     )
+                    if audit_df is not None:
+                        result_dfs.append(audit_df)
+                    tr_rows.extend(drv_rows)
                 except Exception:
                     fallback.append((path, fp))
 
@@ -441,10 +574,29 @@ class StreamingGateway:
                     )
 
             self._resolve_deliveries(tr_rows)
-            if tr_rows:
-                store.append_events(
-                    "transformed_events", tr_rows, file_key=file_key
-                )
+            try:
+                # Distributed results first: executing this write runs the
+                # shape+deliver+audit pass on the executors — the shaped
+                # bodies never exist on the driver.  Union keeps it ONE
+                # idempotent staged write for the whole batch.
+                if result_dfs:
+                    res_union = result_dfs[0]
+                    for extra in result_dfs[1:]:
+                        res_union = res_union.unionByName(extra)
+                    store.append_events_df(
+                        "transformed_events", res_union, file_key=file_key
+                    )
+                if tr_rows:
+                    store.append_events(
+                        "transformed_events", tr_rows, file_key=file_key
+                    )
+            finally:
+                for view, grp_df in group_cleanups:
+                    try:
+                        self.spark.catalog.dropTempView(view)
+                    except Exception:
+                        pass
+                    grp_df.unpersist(blocking=False)
             self._commit_batch(batch_id)
         finally:
             tagged.unpersist(blocking=False)
@@ -556,7 +708,8 @@ class StreamingGateway:
         grp: DataFrame,
         event_ids: list[str],
         fp: Optional[str] = None,
-    ) -> list:
+        cleanups: Optional[list] = None,
+    ) -> tuple[Optional[DataFrame], list]:
         """One (webhook, shape) group, payloads resident on executors.
 
         The payload relation is stood up with the ``engine/replay.py:95``
@@ -570,9 +723,22 @@ class StreamingGateway:
         uniform shape within the group makes the relation schema equal
         per-event inference (the fingerprint-parity argument; the
         derived-schema path is property-tested against real inference).
-        The filter gate collects only DISTINCT passing ids (id-width);
-        the LATERAL transform's collected output is the shaped delivery
-        bodies, never ingest payloads.
+        NOTHING event-bearing touches the driver: the filter gate, the
+        LATERAL transform, the 0/1/N shaping, the delivery POSTs and the
+        ``transformed_events`` audit rows (including filtered-out rows)
+        are ONE distributed plan — a three-way marker union (result rows
+        / gate-passing ids / group-member ids) repartitioned by event id
+        into a ``mapInArrow`` pass that shapes, delivers and audits, all
+        executor-side.  The caller appends the returned DataFrame with
+        the store's distributed idempotent writer (the same contract as
+        the raw-event path).  Arrow (not pandas) so null integers and
+        exact types survive: ``to_pylist`` yields the identical Python
+        values a driver ``Row`` would, with no NaN/float coercion.
+        Returns ``(audit_df, [])`` — the list is kept for signature
+        parity with the fallback path.  The payload relation's temp view
+        and cache must outlive the audit write, so cleanup registers
+        into ``cleanups`` for the caller to run after its appends
+        instead of a local finally.
         """
         spark = self.spark
 
@@ -606,91 +772,61 @@ class StreamingGateway:
             df = spark.read.json(rdd).persist()
         view = f"batch_{uuid.uuid4().hex}"
         df.createOrReplaceTempView(view)
-        try:
-            cols = ", ".join(
-                f"`{c}`" for c in df.columns if c != "__corr_id"
+        if cleanups is not None:
+            cleanups.append((view, df))
+        cols = ", ".join(f"`{c}`" for c in df.columns if c != "__corr_id")
+        filter_query = webhook.get("filter_query")
+        if filter_query is not None and str(filter_query).strip():
+            gate = f"WHERE {filter_query}"
+        else:
+            gate = ""
+        id_source = f"(SELECT DISTINCT __corr_id FROM {view} {gate})"
+        # Analysis-check the gate eagerly so a bad filter routes this
+        # group to the per-event fallback path (matching the collect-gate
+        # behavior this replaces); execution stays deferred.
+        pass_df = spark.sql(f"SELECT __corr_id FROM {id_source} g")
+
+        inner = f"(SELECT {cols} FROM {view} WHERE __corr_id = b.__corr_id)"
+        rewritten = rewrite_dialect(
+            webhook["transform_query"].replace("{{payload}}", inner)
+        )
+        outer = (
+            f"SELECT b.__corr_id AS __corr_id, r.* "
+            f"FROM {id_source} b, LATERAL ({rewritten}) r"
+        )
+        res_df = spark.sql(outer)
+        out_cols = [c for c in res_df.columns if c != "__corr_id"]
+        # Three-way marker union, all distributed (no filter-gate collect,
+        # no driver-built filtered rows): role 2 = transform result row,
+        # role 1 = event passed the gate (guarantees 0-row transforms
+        # still deliver `{}`), role 0 = group member (events with no role-1
+        # row audit as filtered-out).  The id relations are id-width.
+        all_ids = grp.select(F.col("event_id").alias("__corr_id"))
+        marked = (
+            res_df.withColumn("__role", F.lit(2))
+            .unionByName(
+                pass_df.withColumn("__role", F.lit(1)),
+                allowMissingColumns=True,
             )
-            filter_query = webhook.get("filter_query")
-            if filter_query is not None and str(filter_query).strip():
-                passed = {
-                    r[0]
-                    for r in spark.sql(
-                        f"SELECT DISTINCT __corr_id FROM {view} "
-                        f"WHERE {filter_query}"
-                    ).collect()
-                }
-                id_source = (
-                    f"(SELECT DISTINCT __corr_id FROM {view} "
-                    f"WHERE {filter_query})"
-                )
-            else:
-                passed = set(event_ids)
-                id_source = f"(SELECT DISTINCT __corr_id FROM {view})"
-
-            results: dict[str, list] = {i: [] for i in passed}
-            out_cols: list[str] = []
-            if passed:
-                inner = f"(SELECT {cols} FROM {view} WHERE __corr_id = b.__corr_id)"
-                rewritten = rewrite_dialect(
-                    webhook["transform_query"].replace("{{payload}}", inner)
-                )
-                outer = (
-                    f"SELECT b.__corr_id AS __corr_id, r.* "
-                    f"FROM {id_source} b, LATERAL ({rewritten}) r"
-                )
-                res_df = spark.sql(outer)
-                out_cols = [c for c in res_df.columns if c != "__corr_id"]
-                from ..engine.results import _plain
-
-                for r in res_df.collect():
-                    results[r["__corr_id"]].append(
-                        {c: _plain(r[c]) for c in out_cols}
-                    )
-
-            tr_rows = []
-            for event_id in event_ids:
-                base = {
-                    "id": new_id(),
-                    "raw_event_id": event_id,
-                    "webhook_id": webhook["id"],
-                    "timestamp": now_utc(),
-                    "destination_url": webhook["destination_url"],
-                }
-                if event_id not in passed:
-                    tr_rows.append(
-                        {
-                            **base,
-                            "transformed_payload": json.dumps({}),
-                            "success": False,
-                            "response_code": None,
-                            "response_body": FILTERED_OUT_BODY,
-                        }
-                    )
-                    continue
-                shaped_rows = results.get(event_id, [])
-                if not shaped_rows:
-                    transformed: dict[str, Any] = {}
-                elif len(shaped_rows) == 1:
-                    transformed = shaped_rows[0]
-                else:
-                    transformed = {"results": shaped_rows}
-                tr_rows.append(
-                    {
-                        **base,
-                        "transformed_payload": json.dumps(
-                            transformed, default=str
-                        ),
-                        # resolved by _resolve_deliveries (parallel fan-out)
-                        "success": False,
-                        "response_code": None,
-                        "response_body": None,
-                        "_deliver": (webhook["destination_url"], transformed),
-                    }
-                )
-            return tr_rows
-        finally:
-            spark.catalog.dropTempView(view)
-            df.unpersist(blocking=False)
+            .unionByName(
+                all_ids.withColumn("__role", F.lit(0)),
+                allowMissingColumns=True,
+            )
+        )
+        # ~32 events per task with an 8-thread delivery pool inside each:
+        # delivery concurrency without the task-scheduling and output-file
+        # overhead of tiny partitions
+        nparts = max(1, min(8, (len(event_ids) + 127) // 128))
+        audit_df = marked.repartition(nparts, "__corr_id").mapInArrow(
+            _make_shape_deliver(
+                webhook["id"], webhook["destination_url"], out_cols
+            ),
+            "id string, raw_event_id string, webhook_id string, "
+            "timestamp string, transformed_payload string, "
+            "destination_url string, success boolean, "
+            "response_code int, response_body string",
+        )
+        return audit_df, []
 
     def _process_one(
         self, webhook: dict[str, Any], raw_event_id: str, payload: dict | list

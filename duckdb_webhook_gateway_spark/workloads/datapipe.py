@@ -32,7 +32,12 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     raw rows (a few MB) to unlock full parallelism.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # File-count probe instead of .rdd.getNumPartitions(): the .rdd
+    # access forces plan-to-RDD conversion (full analysis) on every
+    # query construction.  inputFiles() reads the already-cached file
+    # index; single- or few-file scans (the local testdata shape) get
+    # the spread, many-split cluster inputs skip it.
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -263,6 +263,17 @@ def test_no_payload_bearing_collect_in_micro_batch(gateway, spark, monkeypatch):
         cols for cols in seen if {"payload_json", "payload"} & set(cols)
     ]
     assert bad == [], f"payload-bearing collects in micro-batch path: {bad}"
+    # transform RESULTS stay distributed too (r5 item): the shaped
+    # delivery bodies and their audit rows are built + delivered + written
+    # executor-side, so no collected frame may carry the transform's
+    # output columns or the audit payload column
+    bad_res = [
+        cols
+        for cols in seen
+        if {"doubled", "transformed_payload", "__role", "__corr_id"}
+        & set(cols)
+    ]
+    assert bad_res == [], f"result-bearing collects in micro-batch: {bad_res}"
     n = spark.sql("SELECT count(*) AS n FROM transformed_events").first().n
     assert n == 12
 
