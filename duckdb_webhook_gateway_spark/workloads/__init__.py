@@ -21,17 +21,41 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-5 _CHECK_FIRST = new round-5 queries (never checked) +
-# the 50-minus-new OLDEST-verified entries (34 last green in r2 + the
-# oldest r3 tail, per the CORRECTNESS_r0{1..4}.json union); the 50
-# r4-green entries rotate to _CHECK_LAST; the remaining r3-green block
-# sits in the middle and rotates in next round.
+# round.  Round-6 _CHECK_FIRST = the 26 queries last green in r3 (they hit
+# the staleness limit this round) + the 24 r5-green entries with the
+# OLDEST prior history (last green in r2 before r5).  The 50 r4-green
+# entries sit unlisted in the middle (due r7, rotate in next round); the
+# remaining 26 r5-green entries — including the three r5 additions, whose
+# history is youngest — rotate to _CHECK_LAST (due r8).
 _CHECK_FIRST = (
-    # round-5 additions (never driver-checked):
-    "substring_dup_spans_sa",
-    "gopher_quality_gate",
-    "gopher_repetition_report",
-    # last driver-green in round 2:
+    # last driver-green in round 3 (staleness limit this round):
+    "join_key_skew",
+    "salted_join_orders",
+    "embedding_near_dup_lsh",
+    "text_char_stats",
+    "dataset_split",
+    "corpus_top_bigrams",
+    "multimodal_audio_features",
+    "multimodal_image_features",
+    "dedup_keeplist",
+    "stratified_sample",
+    "split_contamination",
+    "dedup_clusters",
+    "text_pattern_scrub",
+    "passage_dedup",
+    "split_divergence",
+    "ann_q8_topk",
+    "text_repetition",
+    "sequence_packing",
+    "source_mixture",
+    "boilerplate_ratio",
+    "doc_chunk_manifest",
+    "quality_funnel",
+    "bpe_merge_candidates",
+    "mixture_resample",
+    "split_ngram_decontamination",
+    "leakage_safe_split",
+    # r5-green with the oldest prior history (r2 before r5):
     "order_priority_rate",
     "dedup_exact",
     "events_recent_topk",
@@ -56,6 +80,10 @@ _CHECK_FIRST = (
     "lineitem_distinct_counts",
     "top_orders_by_value",
     "cube_order_status",
+)
+# Freshest r5-green queries (checked last round) — rotate to the
+# unchecked tail; the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "customers_without_orders",
     "part_size_class",
     "orders_per_month",
@@ -66,7 +94,6 @@ _CHECK_FIRST = (
     "supplier_revenue_having",
     "lineitem_price_quantiles",
     "part_avg_qty_subquery",
-    # last driver-green in round 3 (oldest first-registered):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -80,60 +107,9 @@ _CHECK_FIRST = (
     "multimodal_features",
     "ann_ivf_topk",
     "text_tfidf_top_terms",
-)
-# r4-green queries (checked last round) — rotate to the unchecked tail;
-# the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "part_basket_pairs",
-    "events_hourly_gapfill",
-    "customer_functional_deps",
-    "events_hopping_windows",
-    "doc_prefix_jaccard_join",
-    "nation_trade_matrix",
-    "part_pagerank",
-    "part_name_fuzzy_pairs",
-    "orderkey_hll_distinct",
-    "q10_returned_revenue",
-    "region_status_grouping_sets",
-    "monthly_revenue_incremental",
-    "events_markov_transitions",
-    "embedding_dim_stats",
-    "events_sessionize",
-    "token_heavy_hitters",
-    "bloom_prefilter_join",
-    "weighted_sample_topk",
-    "customer_scd2_snapshot",
-    "value_quantile_sketch",
-    "source_overlap_kmv",
-    "events_multitouch_attribution",
-    "brand_top_parts",
-    "token_freq_cm_sketch",
-    "semantic_dedup",
-    "lm_perplexity_filter",
-    "dsir_selection",
-    "substring_dup_spans",
-    "events_profile",
-    "streaming_hourly_counts",
-    "corpus_zipf_stats",
-    "multimodal_image_resize",
-    "source_quality_deciles",
-    "source_temperature_mixture",
-    "multimodal_video_features",
-    "embedding_label_quality",
-    "corpus_pmi_pairs",
-    "events_rolling_features",
-    "distinct_kmv_sketch",
-    "events_range_join",
-    "source_lang_mix",
-    "passage_savings",
-    "dedup_incremental",
-    "ensemble_near_dup",
-    "events_anomaly_zscore",
-    "training_order_manifest",
-    "vocab_oov_rate",
-    "cross_source_overlap",
-    "events_cohort_retention",
-    "events_asof_attribution",
+    "substring_dup_spans_sa",
+    "gopher_quality_gate",
+    "gopher_repetition_report",
 )
 
 
