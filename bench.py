@@ -82,6 +82,15 @@ EXTENDED_QUERIES = [
     "substring_dup_spans",
 ]
 
+# Third suite: round-5 operator additions (suffix-array dedup, Gopher
+# quality + repetition), same protocol, kept separate so both earlier
+# suites stay round-over-round comparable.
+EXTENDED2_QUERIES = [
+    "substring_dup_spans_sa",
+    "gopher_quality_gate",
+    "gopher_repetition_report",
+]
+
 
 def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -156,6 +165,9 @@ def main() -> None:
     ext_timings, ext_total = run_suite(
         [n for n in EXTENDED_QUERIES if n in entries]
     )
+    ext2_timings, ext2_total = run_suite(
+        [n for n in EXTENDED2_QUERIES if n in entries]
+    )
 
     print(
         json.dumps(
@@ -168,6 +180,10 @@ def main() -> None:
                 "extended": {
                     "value": round(ext_total, 3),
                     "queries": ext_timings,
+                },
+                "extended2": {
+                    "value": round(ext2_total, 3),
+                    "queries": ext2_timings,
                 },
             }
         )

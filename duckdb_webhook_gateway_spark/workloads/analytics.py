@@ -1510,7 +1510,13 @@ ENTRIES["part_basket_pairs"] = (part_basket_pairs, PART_BASKET_PAIRS_SQL)
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import basket_pairs, pagerank_micro, undirect
 
-    op = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem")
+    # the in-row basket expansion is CPU-heavy per input row; a
+    # single-file scan (one partition locally) would serialize that map
+    # stage on one core — same spread rule as the datapipe operators
+    if len(li.inputFiles()) < spark.sparkContext.defaultParallelism:
+        li = li.repartition(spark.sparkContext.defaultParallelism)
+    op = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     )
     edges = basket_pairs(op).filter(F.col("n_baskets") >= 2)
