@@ -696,10 +696,54 @@ def test_tfidf_join_free_no_raw_token_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
 
 
+def test_dsir_single_corpus_pass_join_free_scoring(spark):
+    """DSIR (round-6 shape): the corpus explode+hash reduces ONCE into a
+    checkpointed (doc, bucket) contingency relation; scoring reads ONLY
+    the materialized blocks (no parquet rescan) and attaches the learned
+    distribution as a constant array literal — no join of any kind."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        dsir_selection,
+    )
+
+    plan = _plan(dsir_selection(spark, sf_dir()))
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0
+    assert "BroadcastExchange" not in plan
+    # one shuffle: the per-doc aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_lm_perplexity_window_only_no_count_joins(spark):
+    """LM perplexity (round-6 shape): c(w1) and c(w1,w2) are count
+    windows over ONE combined position stream — no vocab- or
+    bigram-keyed join anywhere (the skewed w1 never drives a sort-merge
+    join).  The only join-like node is the 1-row |V| cross join."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        lm_perplexity_filter,
+    )
+
+    plan = _plan(lm_perplexity_filter(spark, sf_dir()))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # corpus-width exchanges: spread repartition, the two count windows,
+    # the doc agg, the |V| aggregate's tiny exchange, the global NTILE
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 7
+    # both model statistics come from windows keyed on w1 (c(w1) and
+    # c(w1,w2) — hashpartitioning's first key), never a join
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys.count("w1") >= 2, keys
+
+
 def test_substring_sa_single_prefix_shuffle_no_joins(spark):
     """The distributed suffix array keys ONE corpus-scale exchange on the
-    k-token prefix; the codegen count-window and the per-bucket
-    applyInPandas SA stage share that partitioning (no second wk
+    k-token prefix; the codegen count-window and the bucket-streaming
+    mapInArrow SA stage share that partitioning (no second wk
     exchange), span merging is doc-partitioned, and the whole plan is
     join-free with nothing broadcast."""
     import re
