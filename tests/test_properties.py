@@ -304,3 +304,104 @@ def test_pagerank_equals_python_mirror(spark, edges):
         for r in pagerank_micro(undirect(edf), iterations=2).collect()
     }
     assert got == _py_pagerank_mirror(edges, iterations=2)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_lm_perplexity_matches_python_mirror(spark, texts):
+    """Round-6 window-only shape vs an independent Python bigram LM:
+    same add-one-smoothed cross-entropy per doc (to the 1e-6 rounding
+    the operator applies) and the same bigram counts."""
+    from collections import Counter
+
+    import math
+
+    from duckdb_webhook_gateway_spark.operators.text import lm_perplexity
+
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity(_docs_df(spark, texts)).collect()
+    }
+
+    toks = [t.split(" ") for t in texts]
+    uni = Counter(w for ts in toks for w in ts)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+    )
+    vocab = len(uni)
+    expect = {}
+    for i, ts in enumerate(toks):
+        bs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not bs:
+            continue
+        bits = [
+            -math.log2((big[b] + 1.0) / (uni[b[0]] + float(vocab)))
+            for b in bs
+        ]
+        expect[i] = (len(bs), round(sum(bits) / len(bs), 6))
+
+    assert set(out) == set(expect)
+    for i, (nb, bpb) in expect.items():
+        assert out[i]["n_bigrams"] == nb
+        assert abs(out[i]["bits_per_bigram"] - bpb) <= 1e-6
+
+
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=6),
+    flags=st.lists(st.booleans(), min_size=6, max_size=6),
+)
+@settings(**SETTINGS)
+def test_dsir_weights_matches_python_mirror(spark, texts, flags):
+    """Round-6 one-pass contingency shape vs an independent Python DSIR:
+    identical hashed-bigram bucket counts, smoothed log-ratio
+    distribution, and per-doc occurrence-weighted means."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.text import dsir_weights
+
+    n_buckets = 1024
+    df = spark.createDataFrame(
+        [(i, t, flags[i]) for i, t in enumerate(texts)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, target=F.col("is_t")).collect()
+    }
+
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % n_buckets
+
+    cr = [0] * n_buckets
+    ct = [0] * n_buckets
+    feats_per_doc = {}
+    for i, t in enumerate(texts):
+        ts = t.split(" ")
+        bs = [bucket(f"{ts[j]} {ts[j+1]}") for j in range(len(ts) - 1)]
+        if not bs:
+            continue
+        feats_per_doc[i] = bs
+        for b in bs:
+            cr[b] += 1
+            if flags[i]:
+                ct[b] += 1
+    nr, nt = sum(cr), sum(ct)
+    ln2 = math.log(2.0)
+    lr = [
+        math.log((ct[b] + 1.0) / (nt + float(n_buckets))) / ln2
+        - math.log((cr[b] + 1.0) / (nr + float(n_buckets))) / ln2
+        for b in range(n_buckets)
+    ]
+    expect = {
+        i: (len(bs), round(sum(lr[b] for b in bs) / len(bs), 6))
+        for i, bs in feats_per_doc.items()
+    }
+
+    assert set(out) == set(expect)
+    for i, (nf, w) in expect.items():
+        assert out[i]["n_features"] == nf
+        assert abs(out[i]["logratio_per_feature"] - w) <= 1e-6
+        assert out[i]["selected"] == (out[i]["logratio_per_feature"] > 0)
