@@ -1462,6 +1462,9 @@ ENTRIES["brand_top_parts"] = (brand_top_parts, BRAND_TOP_PARTS_SQL)
 def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import basket_pairs
 
+    # NOT spread: unlike part_pagerank (whose reused exchanges amortize
+    # the extra shuffle), a measured A/B shows the single-pass pair count
+    # is faster scanning in place (0.95 s vs 1.08 s at sf0.1)
     op = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     )
