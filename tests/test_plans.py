@@ -793,3 +793,34 @@ def test_gopher_repetition_single_arrow_pass(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
+
+
+def test_all_queries_free_of_scale_hazard_joins(spark):
+    """Global sweep: EVERY registered workload query's physical plan must
+    be free of CartesianProduct, and BroadcastNestedLoopJoin may appear
+    only in the whitelisted queries whose cross join is a deliberate
+    1-row/bounded-side shape.  The per-query pins above check specific
+    plan properties; this sweep guarantees no UNPINNED query ships a
+    pairing that explodes at corpus scale."""
+    from duckdb_webhook_gateway_spark.workloads import all_entries
+
+    # Each BNLJ below pairs a corpus-scale side with a BOUNDED broadcast
+    # side — one row of global stats/bounds/|V|, or the small query set
+    # of an ANN search:
+    bnlj_ok = {
+        "ann_cosine_topk",       # broadcast query set x corpus (by design)
+        "ann_q8_topk",           # same, int8 variant
+        "semantic_dedup",        # 1-row stats / K-row centroid pairing
+        "value_quantile_sketch", # 1-row min/max stats
+        "events_hourly_gapfill", # 1-row calendar bounds
+        "corpus_zipf_stats",     # 1-row corpus totals
+        "lm_perplexity_filter",  # 1-row |V|
+    }
+    offenders = {}
+    for name, (fn, _) in all_entries().items():
+        plan = _plan(fn(spark, sf_dir()))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert offenders == {}, offenders
