@@ -573,8 +573,8 @@ class StreamingGateway:
                         self._process_one(webhook, r["event_id"], payload)
                     )
 
-            self._resolve_deliveries(tr_rows)
             try:
+                self._resolve_deliveries(tr_rows)
                 # Distributed results first: executing this write runs the
                 # shape+deliver+audit pass on the executors — the shaped
                 # bodies never exist on the driver.  Union keeps it ONE
@@ -813,10 +813,12 @@ class StreamingGateway:
                 allowMissingColumns=True,
             )
         )
-        # ~32 events per task with an 8-thread delivery pool inside each:
+        # ~512 events per task with an 8-thread delivery pool inside each:
         # delivery concurrency without the task-scheduling and output-file
-        # overhead of tiny partitions
-        nparts = max(1, min(8, (len(event_ids) + 127) // 128))
+        # overhead of tiny partitions, and the per-task group buffer stays
+        # bounded at cluster scale (a fixed small cap would funnel a
+        # million-event group through 8 tasks)
+        nparts = max(1, min(1024, (len(event_ids) + 511) // 512))
         audit_df = marked.repartition(nparts, "__corr_id").mapInArrow(
             _make_shape_deliver(
                 webhook["id"], webhook["destination_url"], out_cols
