@@ -484,9 +484,12 @@ class StreamingGateway:
         batch-keyed file names (driver writes) or batch-keyed staging +
         promote (distributed writes) so a partially-failed batch
         overwrites its own partial output when Structured Streaming
-        replays it.  Delivery remains at-least-once across a crash-replay
-        (the reference never retries, so a re-POST only happens when the
-        whole batch is being recovered).
+        replays it.  Delivery is at-least-once: a crash-replay re-POSTs
+        the recovered batch, and — with delivery running inside the audit
+        write's tasks since round 6 — a task-level retry re-POSTs that
+        task's partition.  Both are the same contract the reference's
+        non-retrying, non-deduplicating sink offers under recovery; the
+        audit rows themselves stay exactly-once via the staged overwrite.
         """
         if batch_id <= self._last_committed_batch():
             return  # replay of an already-committed batch: audits exist
