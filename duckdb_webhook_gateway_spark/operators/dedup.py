@@ -80,6 +80,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 # ---------------------------------------------------------------------------
+# Pair explosion over a sorted posting list: k docs -> k(k-1)/2 (a < b) pairs.
+_PAIR_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), "
+    "y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float,
@@ -126,13 +134,8 @@ def jaccard_pairs(
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
             .filter(F.size("ds") > 1)
         )
-        pair_expr = (
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), "
-            "y -> struct(x AS doc_a, y AS doc_b))))"
-        )
         inter = (
-            lists.select(F.explode(F.expr(pair_expr)).alias("p"))
+            lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
             .select("p.doc_a", "p.doc_b")
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared_shingles"))
@@ -185,13 +188,6 @@ def _with_jaccard(inter: DataFrame, threshold: float) -> DataFrame:
         .select("doc_a", "doc_b", "shared_shingles", "jaccard")
     )
 
-
-# Pair explosion over a sorted posting list: k docs -> k(k-1)/2 (a < b) pairs.
-_PAIR_EXPR = (
-    "flatten(transform(ds, (x, i) -> "
-    "transform(slice(ds, i + 2, size(ds)), "
-    "y -> struct(x AS doc_a, y AS doc_b))))"
-)
 
 # Same explosion when the posting list carries (id, n) structs: each pair
 # row arrives with BOTH set sizes attached — the Jaccard denominator needs
@@ -604,13 +600,22 @@ def incremental_minhash_dedup(
         )
         matched = matched.join(F.broadcast(ok_keys), ["band_id", "band_key"])
     cand = (
-        matched.select(
+        # a re-ingested id matches its own store rows: drop self-pairs
+        # (they would report a bogus jaccard=1.0 "duplicate")
+        matched.filter(F.col("store_id") != F.col("new_id"))
+        .select(
             F.least("store_id", "new_id").alias("doc_a"),
             F.greatest("store_id", "new_id").alias("doc_b"),
         )
         .distinct()
     )
-    docs_all = corpus_docs.unionByName(new_docs)
+    # latest-wins on id overlap: a re-ingested doc's NEW text verifies,
+    # and the shingle relation never carries duplicate doc_id rows
+    # (which would multiply every pair involving that id)
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    docs_all = corpus_docs.join(
+        F.broadcast(new_ids), id_col, "left_anti"
+    ).unionByName(new_docs)
     return _verify_candidates(docs_all, cand, threshold, id_col, text_col)
 
 
@@ -718,9 +723,9 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    if prev_sum is None:  # empty graph
+    if prev_sum is None:  # empty graph — keep the documented output schema
         edges.unpersist()
-        return labels
+        return labels.select("node", F.col("lab").alias("cluster_id"))
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])

@@ -130,7 +130,14 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     fp = ( Σ_pos pos · md5int(token_pos) ) mod (2³¹-1) — order-sensitive
     (re-ordered tokens change the fingerprint), integer-exact, and
     commutative in the summation so partition order doesn't matter.
-    Products stay < 2⁵³ for documents up to ~1M tokens, well inside BIGINT.
+
+    Each TERM is reduced mod 2³¹-1 BEFORE the sum (the modular identity
+    keeps the result bit-identical): products p·h8 stay < 2⁵³, but the
+    unreduced running SUM would pass 2⁶³ near ~65k tokens (h8 < 2³², so
+    Σ ≈ 2³¹·n²) and Spark's non-ANSI BIGINT would wrap silently while
+    DuckDB promotes to HUGEINT — breaking both the value and the oracle
+    parity on long documents.  With per-term reduction the sum is
+    < n·2³¹: safe to ~2³² tokens.
     """
     h8 = md5_int_expr("token", "spark")
     tok = (
@@ -143,7 +150,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         )
     )
     return (
-        tok.withColumn("term", F.expr(f"p * {h8}"))
+        tok.withColumn("term", F.expr(f"(p * {h8}) % 2147483647"))
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(2147483647)).cast("bigint").alias("fingerprint"))
     )

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 import uuid
 from typing import Any, Optional
 
@@ -393,7 +392,8 @@ class StreamingGateway:
         )
         self.checkpoint_dir = os.path.join(gateway.workdir, "checkpoints")
         os.makedirs(self.landing_dir, exist_ok=True)
-        self._write_lock = threading.Lock()
+        # NOTE: concurrent ingest() calls need no lock — every event
+        # writes its own uniquely-named file (uuid) via an atomic rename.
         # Ledger of fully-committed micro-batch ids; lives inside the
         # checkpoint dir so wiping the checkpoint (which replays the
         # stream from scratch) resets it too.
@@ -411,6 +411,13 @@ class StreamingGateway:
         File-per-batch-of-one keeps the file-source contract (files are
         immutable once visible); a fronting HTTP shell may buffer several
         events per file for higher ingest rates.
+
+        The staging file is DOT-PREFIXED so the file stream source (which
+        skips only hidden '.'/'_' names, not extensions) can never list a
+        half-written envelope — a plain '<id>.json.tmp' in the watched
+        dir could be read partially before the rename AND re-read under
+        its final name after it, duplicating or corrupting the event.
+        The same-directory rename stays atomic.
         """
         event_id = new_id()
         envelope = {
@@ -420,7 +427,7 @@ class StreamingGateway:
             "ingest_ts": now_utc().isoformat(),
         }
         fname = os.path.join(self.landing_dir, f"{event_id}.json")
-        tmp = fname + ".tmp"
+        tmp = os.path.join(self.landing_dir, f".{event_id}.json.tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps(envelope) + "\n")
         os.rename(tmp, fname)

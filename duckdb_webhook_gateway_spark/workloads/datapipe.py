@@ -360,7 +360,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINT_SQL = f"""
 WITH {_ORACLE_TOKS.strip()}
 SELECT doc_id,
-       CAST(sum(p * {md5_int_expr('token', 'duckdb')}) % 2147483647 AS BIGINT) AS fingerprint
+       CAST(sum((p * {md5_int_expr('token', 'duckdb')}) % 2147483647)
+            % 2147483647 AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """
 

@@ -411,3 +411,27 @@ def test_substring_sa_string_doc_ids(spark):
         ("doc-a", 3, 12): (3, 10),
         ("doc-b", 6, 15): (3, 10),
     }
+
+
+def test_incremental_dedup_reingest_no_self_pairs(spark):
+    """Re-ingesting a doc id already in the corpus must not emit a
+    doc==doc self-pair (bogus jaccard=1.0) nor duplicate verify rows;
+    the new batch's text wins in the shingle relation (r6 review fix)."""
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")],
+        ["doc_id", "text"],
+    )
+    # doc 1 re-ingested (same text) + a genuine near-dup of it
+    new = spark.createDataFrame(
+        [(1, base), (3, base + " tail")], ["doc_id", "text"]
+    )
+    out = incremental_minhash_dedup(new, corpus, threshold=0.5).collect()
+    pairs = sorted((r.doc_a, r.doc_b) for r in out)
+    assert all(a != b for a, b in pairs), pairs
+    assert len(pairs) == len(set(pairs)), pairs  # no duplicated rows
+    assert (1, 3) in pairs
