@@ -116,9 +116,6 @@ def near_dup_pairs(
     schema; recall becomes the multi-table LSH catch probability).  Pass
     ``None`` to force the exact path regardless of size.
     """
-    import numpy as np
-    import pandas as pd
-
     if exact_ceiling is not None:
         # Routing needs only the corpus size; callers that know it (e.g.
         # from parquet footer metadata) pass n_rows and skip the count
@@ -293,9 +290,6 @@ def ivf_topk(
     pair can only be emitted once).  The only shuffle is the final top-k
     window over the ~nprobe/C-sized candidate set.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = corpus.sparkSession
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < num_centroids).select(
@@ -535,8 +529,12 @@ def kmeans_fit(
     final assignment.
     """
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # seed = the k LOWEST-id vectors (orderBy+limit, not filter(id < k):
+    # ids need not be dense 0-based — a sparse/offset id space would
+    # otherwise yield fewer than k seeds, silently degenerate)
     centroids = (
-        corpus.filter(F.col(id_col) < k)
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col))
     )
     renest = (
@@ -573,9 +571,14 @@ def kmeans_fit(
 
 
 # ---------------------------------------------------------------------------
+_Q8_MAX_EXPR = "array_max(transform({v}, y -> abs(CAST(y AS DOUBLE))))"
+# NB: the scale max is hoisted into its own projection (__mx) before this
+# runs — inlining it in the lambda would re-scan the array per ELEMENT
+# (higher-order lambdas are interpreted with no common-subexpression
+# elimination: O(d²) per vector)
 _Q8_EXPR = (
-    "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / "
-    "array_max(transform({v}, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))"
+    "transform({v}, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 127.0 / __mx) AS BIGINT))"
 )
 _INT_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -597,12 +600,23 @@ def quantize_int8(
 
     Returns (vec_id, q, sq): quantized bigint vector + its squared norm.
     """
-    q = _Q8_EXPR.format(v=vec_col)
-    return vectors.select(
+    # three cascaded projections so each array expression evaluates ONCE
+    # per row: scale max -> quantized vector -> squared norm from the
+    # materialized q column (Catalyst keeps non-cheap multiply-referenced
+    # aliases in their own project instead of re-inlining them)
+    withm = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.expr(q).alias("q"),
+        F.col(vec_col).alias("__v"),
+        F.expr(_Q8_MAX_EXPR.format(v=vec_col)).alias("__mx"),
+    )
+    qd = withm.select(
+        "vec_id", F.expr(_Q8_EXPR.format(v="__v")).alias("q")
+    )
+    return qd.select(
+        "vec_id",
+        "q",
         F.expr(
-            "aggregate(" + q + ", CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+            "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
         ).alias("sq"),
     )
 

@@ -96,18 +96,23 @@ def heavy_hitters(
     the candidate list and the total both read one materialized pass.
     Output columns: ``[col, cnt]``, deterministic for any partitioning.
     """
-    if total is not None:
-        cand = misra_gries_candidates(df, col, k).distinct()
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    # Shared recount + integer-exact threshold (freq > n/k <=> freq*k > n)
+    # used by BOTH branches — one definition, no divergence risk.
+    def recount_above(cand: DataFrame, n_col) -> DataFrame:
         counts = (
             df.join(F.broadcast(cand), col, "left_semi")
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # integer-exact threshold: freq > n/k  <=>  freq * k > n
-        return counts.filter(F.col("cnt") * k > F.lit(total)).select(col, "cnt")
+        return counts.filter(F.col("cnt") * k > n_col).select(col, "cnt")
 
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
+    if total is not None:
+        cand = misra_gries_candidates(df, col, k).distinct()
+        return recount_above(cand, F.lit(total))
+
     col_type = df.schema[col].dataType.simpleString()
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,17 +134,8 @@ def heavy_hitters(
         .localCheckpoint(eager=True)
     )
     cand = summary.filter(F.col(col).isNotNull()).select(col).distinct()
-    tot = summary.agg(F.sum("pn").alias("__n"))
-    counts = (
-        df.join(F.broadcast(cand), col, "left_semi")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        counts.join(F.broadcast(tot))
-        .filter(F.col("cnt") * k > F.col("__n"))
-        .select(col, "cnt")
-    )
+    n_total = summary.agg(F.sum("pn")).collect()[0][0] or 0  # one long
+    return recount_above(cand, F.lit(int(n_total)))
 
 
 def grouped_topk(
@@ -166,8 +162,6 @@ def grouped_topk(
     |groups| * partitions * k, and the skew ceiling per reduce task
     drops from |hottest group| to partitions * k.
     """
-    import pandas as pd  # noqa: F401  (executor-side)
-
     schema = df.schema
 
     def partial_topk(batches):
