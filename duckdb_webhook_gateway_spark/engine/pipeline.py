@@ -16,7 +16,6 @@ Order of operations (reference: src/app.py:1113-1244):
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass, field
 from typing import Any, Optional

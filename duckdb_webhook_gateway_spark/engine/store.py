@@ -127,12 +127,28 @@ class TableStore:
     # -- catalog tables (driver-state + parquet persistence) -------------
     def _load_catalog(self, name: str) -> list[dict[str, Any]]:
         path = self._path(name)
+        # crash-recovery: _persist_catalog renames the previous directory
+        # to __old before promoting the new one; a crash in that window
+        # leaves only __old — restore it rather than booting empty
+        old = path + ".__old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
         if not os.path.isdir(path):
             return []
         try:
             df = self.spark.read.schema(SCHEMAS[name]).parquet(path)
             return [row.asDict() for row in df.collect()]
-        except Exception:
+        except Exception as e:
+            # a corrupt catalog must be LOUD: silently returning [] here
+            # would wipe every registered webhook/UDF/reference table on
+            # the next persist with no trace of why
+            import sys
+
+            print(
+                f"WARNING: catalog table {name!r} unreadable at {path}: "
+                f"{e}; starting with an empty catalog",
+                file=sys.stderr,
+            )
             return []
 
     def _catalog_df(self, name: str) -> DataFrame:
@@ -142,11 +158,23 @@ class TableStore:
         self._catalog_df(name).createOrReplaceTempView(name)
 
     def _persist_catalog(self, name: str) -> None:
-        # Tiny tables: one-file overwrite is atomic enough under self.lock
-        # (the reference serialized ALL SQL behind one lock; we only
-        # serialize catalog mutations).
+        # Crash-safe swap under self.lock: Spark's mode("overwrite")
+        # deletes the live directory BEFORE writing, so a crash mid-write
+        # would lose the whole catalog.  Write to a temp dir, then
+        # rename-promote (old -> __old, tmp -> live, drop __old); a crash
+        # in the tiny no-live window is recovered by _load_catalog's
+        # __old fallback.
+        path = self._path(name)
+        tmp = path + ".__tmp"
+        old = path + ".__old"
+        shutil.rmtree(tmp, ignore_errors=True)
         df = self._catalog_df(name).coalesce(1)
-        df.write.mode("overwrite").parquet(self._path(name))
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         self._register_catalog_view(name)
 
     def catalog_rows(self, name: str) -> list[dict[str, Any]]:
@@ -200,12 +228,19 @@ class TableStore:
         ``file_key`` makes the append IDEMPOTENT: the parquet file name is
         derived from it (per date partition), so re-running the same append
         — e.g. a retried streaming micro-batch — overwrites its own earlier
-        partial output instead of duplicating rows.
+        partial output instead of duplicating rows.  Before writing, every
+        file an earlier attempt of this key left in OTHER date partitions
+        (or under the distributed writer's naming) is dropped — same
+        cross-midnight / cross-writer guard as the staged-promote path.
         """
         if name not in _EVENT_TABLES:
             raise ValueError(f"not an event table: {name}")
         if not rows:
             return
+        if file_key is not None:
+            # own scheme only — the distributed writer may have just
+            # written this batch's other rows under part-<key>-NNNNN
+            self._drop_key_files(name, file_key, distributed_scheme=False)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -275,21 +310,53 @@ class TableStore:
             self._promote_staged(name, staging, file_key)
         self._register_event_view(name)
 
+    def _drop_key_files(
+        self,
+        name: str,
+        file_key: str,
+        driver_scheme: bool = True,
+        distributed_scheme: bool = True,
+    ) -> None:
+        """Remove files a previous attempt of batch ``file_key`` left,
+        across ALL date partitions — a replayed batch can land rows in
+        different partitions than its first attempt (clock tick across
+        midnight between attempts).  Scheme flags select which writer's
+        naming to drop (driver ``part-<key>.parquet`` / distributed
+        ``part-<key>-NNNNN.parquet``): each WRITER cleans only its own
+        scheme (the two run back-to-back for the same batch, so cleaning
+        both here would delete the sibling writer's fresh output);
+        :meth:`drop_batch_files` cleans both and is for batch REPLAY
+        boundaries, before any writer has run."""
+        table_dir = self._path(name)
+        if not os.path.isdir(table_dir):
+            return
+        exact = f"part-{file_key}.parquet"
+        prefix = f"part-{file_key}-"
+        for dpart in os.listdir(table_dir):
+            pdir = os.path.join(table_dir, dpart)
+            if not dpart.startswith("event_date=") or not os.path.isdir(
+                pdir
+            ):
+                continue
+            for f in os.listdir(pdir):
+                if (driver_scheme and f == exact) or (
+                    distributed_scheme and f.startswith(prefix)
+                ):
+                    os.unlink(os.path.join(pdir, f))
+
+    def drop_batch_files(self, name: str, file_key: str) -> None:
+        """Drop every file ANY writer's earlier attempt of this batch key
+        left (both naming schemes, all date partitions).  Call at a batch
+        REPLAY boundary before re-running its writers — covers an attempt
+        that used a different writer (e.g. a group that fell back to the
+        per-event driver path on retry)."""
+        self._drop_key_files(name, file_key)
+
     def _promote_staged(self, name: str, staging: str, file_key: str) -> None:
         table_dir = self._path(name)
-        # drop leftovers of an earlier partial promote of this same batch
-        # (its replay may land rows in different date partitions, e.g. a
-        # clock tick across midnight between attempts)
-        if os.path.isdir(table_dir):
-            for dpart in os.listdir(table_dir):
-                pdir = os.path.join(table_dir, dpart)
-                if not dpart.startswith("event_date=") or not os.path.isdir(
-                    pdir
-                ):
-                    continue
-                for f in os.listdir(pdir):
-                    if f.startswith(f"part-{file_key}-"):
-                        os.unlink(os.path.join(pdir, f))
+        # drop leftovers of an earlier attempt's DISTRIBUTED writes only
+        # (the driver writer's same-key file belongs to the same batch)
+        self._drop_key_files(name, file_key, driver_scheme=False)
         for dpart in sorted(os.listdir(staging)):
             sdir = os.path.join(staging, dpart)
             if not dpart.startswith("event_date=") or not os.path.isdir(sdir):
@@ -308,6 +375,14 @@ class TableStore:
 
     def compact_events(self, name: str, max_files_per_partition: int = 1) -> int:
         """Compact an event table's date partitions (small-files problem).
+
+        MAINTENANCE-WINDOW operation: the rewrite unlinks the source part
+        files, which invalidates any still-unexecuted LAZY DataFrame over
+        this table (e.g. the frame ``Gateway.replay`` hands back) and any
+        concurrently executing scan — the store lock serializes mutators,
+        not readers.  File-level parquet has no snapshot isolation;
+        run compaction when no long-lived readers are outstanding (a
+        table format like Delta/Iceberg lifts this at cluster scale).
 
         Per-event ingestion writes one small parquet file per append — the
         classic streaming-sink pathology: at 10k events/day a month of

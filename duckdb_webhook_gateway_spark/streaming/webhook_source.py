@@ -510,6 +510,13 @@ class StreamingGateway:
                 return
             file_key = f"b{batch_id:09d}"
             store = self.gateway.store
+            # Uncommitted REPLAY boundary: drop every file any earlier
+            # attempt of this batch wrote, under EITHER writer's naming —
+            # an attempt may land rows in different date partitions
+            # (midnight tick) or switch writers (fallback on retry), and
+            # the per-writer overwrite below only cleans its own scheme.
+            store.drop_batch_files("raw_events", file_key)
+            store.drop_batch_files("transformed_events", file_key)
             # distributed raw-event append (idempotent via staging+promote)
             store.append_events_df(
                 "raw_events",

@@ -158,3 +158,66 @@ def test_compaction_merges_small_files(spark, tmp_path):
         [{"id": new_id(), "timestamp": now_utc(), "source_path": "/new", "payload": "{}"}],
     )
     assert spark.table("raw_events").count() == 11
+
+
+def test_catalog_persist_crash_window_recovers_from_old(spark, tmp_path):
+    """_persist_catalog promotes via rename (old -> __old, tmp -> live);
+    a crash between those renames leaves only __old — the next load must
+    restore it instead of booting an empty catalog (r6 review fix)."""
+    import os
+
+    store = TableStore(spark, str(tmp_path / "s"))
+
+    def _add(rows):
+        rows.append(
+            {
+                "id": "id-1",
+                "webhook_id": "w",
+                "table_name": "t1",
+                "description": None,
+                "created_at": now_utc(),
+                "updated_at": now_utc(),
+            }
+        )
+
+    store.mutate_catalog("reference_tables", _add)
+    path = store._path("reference_tables")
+    # simulate the crash window: live dir renamed away, tmp never promoted
+    os.rename(path, path + ".__old")
+    assert not os.path.isdir(path)
+
+    store2 = TableStore(spark, str(tmp_path / "s"))
+    rows = store2.catalog_rows("reference_tables")
+    assert [r["id"] for r in rows] == ["id-1"]
+
+
+def test_driver_append_cross_midnight_replay_is_idempotent(spark, tmp_path):
+    """A replayed driver-side keyed append whose timestamps drifted into a
+    DIFFERENT date partition must drop the first attempt's file (r6
+    review fix: the overwrite alone only covers same-date replays)."""
+    import datetime as dt
+
+    store = TableStore(spark, str(tmp_path / "s"))
+    row = {
+        "id": new_id(),
+        "raw_event_id": "r",
+        "webhook_id": "w",
+        "destination_url": "u",
+        "transformed_payload": "{}",
+        "success": True,
+        "response_code": 200,
+        "response_body": "",
+    }
+    store.append_events(
+        "transformed_events",
+        [{**row, "timestamp": dt.datetime(2026, 8, 13, 23, 59, 59)}],
+        file_key="b000000007",
+    )
+    # replay of the same batch, clock ticked past midnight
+    store.append_events(
+        "transformed_events",
+        [{**row, "timestamp": dt.datetime(2026, 8, 14, 0, 0, 1)}],
+        file_key="b000000007",
+    )
+    n = spark.sql("SELECT count(*) AS n FROM transformed_events").first().n
+    assert n == 1
