@@ -130,6 +130,9 @@ class GatewayHTTPServer:
         if self._drain_thread is not None:
             self._drain_thread.join(timeout=120)
         self.httpd.shutdown()
+        # release the listening socket fd (shutdown() only stops the
+        # serve loop; without close, start/stop cycles leak bound sockets)
+        self.httpd.server_close()
         self.executor.shutdown(wait=True)
 
     def wait_idle(self) -> None:
@@ -162,6 +165,16 @@ def _make_handler(srv: GatewayHTTPServer):
 
         def _json(self) -> Any:
             return json.loads(self._body().decode())
+
+        def _json_dict(self) -> dict:
+            """Parsed body, REQUIRED to be a JSON object — a valid but
+            non-dict body ('\"x\"', '[1]') must 400 like malformed JSON,
+            not AttributeError past the except clause and drop the
+            connection."""
+            data = self._json()
+            if not isinstance(data, dict):
+                raise ValueError("JSON object required")
+            return data
 
         def _auth(self) -> bool:
             """403 when the key is missing, 401 when it is wrong
@@ -205,7 +218,12 @@ def _make_handler(srv: GatewayHTTPServer):
                 wid = (qs.get("webhook_id") or [None])[0]
                 return self._send(200, {"udfs": gw.udfs.list(wid)})
             if path == "/events":
-                limit = int((qs.get("limit") or ["50"])[0])
+                try:
+                    limit = int((qs.get("limit") or ["50"])[0])
+                except ValueError:
+                    return self._send(
+                        400, {"detail": "limit must be an integer"}
+                    )
                 return self._send(200, {"events": gw.recent_events(limit)})
             m = re.fullmatch(r"/event/([^/]+)/transformed", path)
             if m:
@@ -303,7 +321,7 @@ def _make_handler(srv: GatewayHTTPServer):
 
         def _register(self):
             try:
-                data = self._json()
+                data = self._json_dict()
             except ValueError:
                 return self._send(400, {"detail": "Invalid JSON"})
             try:
@@ -344,7 +362,7 @@ def _make_handler(srv: GatewayHTTPServer):
             import tempfile
 
             try:
-                data = self._json()
+                data = self._json_dict()
             except ValueError:
                 return self._send(400, {"detail": "Invalid JSON"})
             fmt = (data.get("format") or "csv").lower()
@@ -373,7 +391,7 @@ def _make_handler(srv: GatewayHTTPServer):
 
         def _register_udf(self):
             try:
-                data = self._json()
+                data = self._json_dict()
             except ValueError:
                 return self._send(400, {"detail": "Invalid JSON"})
             if not gw.catalog.get_by_id(data.get("webhook_id", "")):
@@ -416,7 +434,7 @@ def _make_handler(srv: GatewayHTTPServer):
             if not m:
                 return self._send(404, {"detail": "Not found"})
             try:
-                data = self._json()
+                data = self._json_dict()
                 cfg = WebhookConfig(
                     source_path=data.get("source_path", ""),
                     destination_url=data.get("destination_url", ""),
@@ -442,7 +460,7 @@ def _make_handler(srv: GatewayHTTPServer):
             if not m:
                 return self._send(404, {"detail": "Not found"})
             try:
-                data = self._json()
+                data = self._json_dict()
             except ValueError:
                 return self._send(400, {"detail": "Invalid JSON"})
             row = gw.catalog.set_active(m.group(1), bool(data.get("active", True)))

@@ -97,17 +97,16 @@ class WebhookCatalog:
 
     # -- lookups (exact, case-sensitive; reference: src/app.py:319-348) ---
     def get_by_path(self, path: str) -> Optional[dict[str, Any]]:
+        # per-event ingestion hot path: copy only the hit, not the table
         path = normalize_path(path)
-        for row in self.store.catalog_rows("webhooks"):
-            if row["source_path"] == path:
-                return row
-        return None
+        return self.store.find_catalog_row(
+            "webhooks", lambda r: r["source_path"] == path
+        )
 
     def get_by_id(self, webhook_id: str) -> Optional[dict[str, Any]]:
-        for row in self.store.catalog_rows("webhooks"):
-            if row["id"] == webhook_id:
-                return row
-        return None
+        return self.store.find_catalog_row(
+            "webhooks", lambda r: r["id"] == webhook_id
+        )
 
     def list(self) -> list[dict[str, Any]]:
         return self.store.catalog_rows("webhooks")

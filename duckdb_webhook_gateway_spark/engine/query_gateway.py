@@ -132,9 +132,9 @@ def run_adhoc_query(
     Binding is parameterized (injection-safe), never string interpolation.
     """
     if not is_read_only_sql(query):
-        raise ReadOnlyViolation(
-            "Write operations are not allowed through the query endpoint"
-        )
+        from ..plans.guard import READ_ONLY_MESSAGE
+
+        raise ReadOnlyViolation(READ_ONLY_MESSAGE)
     if "sqlite_master" in query.lower():
         _register_sqlite_master(spark)
     bound_query, args = _bind_params(query, params)

@@ -30,7 +30,7 @@ import shutil
 import threading
 import uuid
 from datetime import datetime, timezone
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -180,6 +180,19 @@ class TableStore:
     def catalog_rows(self, name: str) -> list[dict[str, Any]]:
         with self.lock:
             return [dict(r) for r in self._catalog[name]]
+
+    def find_catalog_row(
+        self, name: str, pred
+    ) -> Optional[dict[str, Any]]:
+        """First row matching ``pred``, copied — the per-event lookup
+        path: matching under the lock and copying only the HIT avoids
+        deep-copying the whole table per ingest (O(N) dict copies that
+        also contend with mutate_catalog's persist)."""
+        with self.lock:
+            for r in self._catalog[name]:
+                if pred(r):
+                    return dict(r)
+        return None
 
     def mutate_catalog(self, name: str, fn) -> Any:
         """Read-modify-write a catalog table under the store lock.

@@ -42,8 +42,13 @@ def is_read_only_sql(query: str) -> bool:
     return True
 
 
+# Single source of the reference's exact denial message (src/app.py's
+# query endpoint) — the gateway's ReadOnlyViolation raises it too.
+READ_ONLY_MESSAGE = (
+    "Write operations are not allowed through the query endpoint"
+)
+
+
 def assert_read_only(query: str) -> None:
     if not is_read_only_sql(query):
-        raise PermissionError(
-            "Write operations are not allowed through the query endpoint"
-        )
+        raise PermissionError(READ_ONLY_MESSAGE)

@@ -234,3 +234,14 @@ def test_spa_path_traversal_blocked(server):
     """../ escapes must never leave the frontend dir."""
     code, ctype, body = _get_raw(server, "/%2e%2e/%2e%2e/etc/passwd")
     assert code == 200 and b"root:" not in body
+
+
+def test_non_dict_json_body_and_bad_limit_return_400(server):
+    """r6 review fixes: a valid-but-non-dict JSON body on the dict-shaped
+    endpoints must 400 (not drop the connection on AttributeError), and a
+    non-numeric /events?limit= must 400 (not kill the handler)."""
+    assert _req(server, "POST", "/register", '"hello"')[0] == 400
+    assert _req(server, "POST", "/register", "[1, 2]")[0] == 400
+    assert _req(server, "POST", "/register_udf", "5")[0] == 400
+    assert _req(server, "PUT", "/webhook/some-id", "[]")[0] == 400
+    assert _req(server, "GET", "/events?limit=abc")[0] == 400
