@@ -126,7 +126,18 @@ def bpe_encode(
     for a, b, _ in merges:
         fold = _MERGE_FOLD.format(a=_q(a), b=_q(b), ab=_q(a + b))
         out = out.select(id_col, F.expr(fold).alias("syms"))
-    return out.groupBy(id_col).agg(
+    counted = out.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.size("syms")).cast("bigint").alias("n_bpe_tokens"),
+    )
+    # empty/whitespace-only documents have no surviving words: report
+    # them as (id, 0, 0) instead of silently dropping the doc from the
+    # output (an inner join downstream would lose it)
+    ids = docs.select(F.col(id_col)).distinct()
+    return ids.join(counted, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )

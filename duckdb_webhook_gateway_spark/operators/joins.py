@@ -46,7 +46,20 @@ def salted_join(
     side is replicated ×salt_factor (cheap: it is the small side by
     definition).  Output columns = large ∪ small minus the duplicate key,
     exactly like ``large.join(small, key)``.
+
+    Only ``inner``/``left``-family joins are supported: the replicated
+    small side would emit an UNMATCHED small row once per salt under
+    right/full outer semantics — silently ×salt_factor wrong — so those
+    modes are rejected rather than quietly broken.
     """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "cross",
+    ):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "an unmatched small-side row would duplicate per salt under "
+            "right/full outer semantics"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt_factor))
     l_salted = large.withColumn("_salt", salt)
     s_salted = small.withColumn(
@@ -95,13 +108,22 @@ def asof_join_backward(
     ``right`` has at most one row per (key, ts) — pre-aggregate ties
     (e.g. max id) so the match is deterministic.
 
+    The right values ride as ONE struct (``_r``): the struct is NULL
+    exactly on left filler rows, so ``last(ignorenulls)`` matches the
+    most recent right ROW — a right row whose VALUE is genuinely NULL
+    correctly yields NULL (per-column ignorenulls would reach back past
+    it to a stale earlier value), and multiple value columns always come
+    from the same right row, never mixed across rows.
+
     Returns all left columns plus ``right_value_cols`` (null when no
     earlier right row exists).
     """
     from pyspark.sql import Window
 
     r = right.select(
-        key_col, ts_col, *right_value_cols
+        key_col,
+        ts_col,
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_r"),
     ).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -110,9 +132,11 @@ def asof_join_backward(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for c in right_value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(c, F.col("_r").getField(c))
+    return out.drop("_side", "_r")
 
 
 def bloom_semi_filter(

@@ -105,8 +105,22 @@ def compact_parquet(
     import glob
     import os
 
-    files = glob.glob(os.path.join(src_path, "*.parquet"))
+    # recursive: hive-partitioned layouts keep part files in subdirs —
+    # a flat glob would size them as 0 bytes and funnel the whole
+    # dataset through repartition(1)
+    files = glob.glob(
+        os.path.join(src_path, "**", "*.parquet"), recursive=True
+    )
     total = sum(os.path.getsize(f) for f in files)
+    if total == 0:
+        # non-local path (s3://, hdfs://) or nothing visible to the
+        # driver's filesystem: size through Hadoop's FileSystem instead
+        # of silently collapsing to one output file
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        total = fs.getContentSummary(hpath).getLength()
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(src_path)
     if sort_col is not None:

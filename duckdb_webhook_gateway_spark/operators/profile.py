@@ -54,7 +54,11 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         parts.append(
             per_value.agg(
-                F.sum("cnt").cast("bigint").alias("n_rows"),
+                # coalesce: an EMPTY table must profile as n_rows=0, not
+                # NULL (sum over zero rows is NULL)
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows"),
                 F.coalesce(
                     F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
                 )

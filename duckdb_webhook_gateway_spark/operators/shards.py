@@ -30,8 +30,13 @@ def with_shard(
     n_shards: int,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Add deterministic ``shard_id`` (0..n_shards-1) from md5(id)."""
-    h = md5_int_expr(f"CAST({id_col} AS STRING)", "spark")
+    """Add deterministic ``shard_id`` (0..n_shards-1) from md5(id).
+
+    NULL ids hash as the empty string: without the coalesce they would
+    get a NULL shard_id, land in Hive's default partition, and silently
+    drop out of the 0..n_shards-1 manifest spine — rows no worker would
+    ever stream."""
+    h = md5_int_expr(f"coalesce(CAST({id_col} AS STRING), '')", "spark")
     return df.withColumn(
         "shard_id", (F.expr(h) % n_shards).cast("int")
     )

@@ -365,3 +365,52 @@ def test_gopher_repetition_seeded_signals(spark):
     d2 = out[2]
     assert d2.dup5_chars == 0
     assert d2.top2_chars == 2  # every 2-gram once; tie -> lexicographic min
+
+
+def test_asof_join_null_right_value_yields_null(spark):
+    """r6 review fix: the most recent right row VALUE being NULL must
+    surface as NULL — per-column ignorenulls used to reach back past it
+    to a stale earlier value (and could mix columns across rows)."""
+    from duckdb_webhook_gateway_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    right = spark.createDataFrame(
+        [("k", 1, 5, "a"), ("k", 2, None, "b")],
+        "key string, ts int, v int, w string",
+    )
+    left = spark.createDataFrame([("k", 3)], "key string, ts int")
+    row = asof_join_backward(left, right, "key", "ts", ["v", "w"]).first()
+    assert row["v"] is None  # ts=2 row's v is genuinely NULL
+    assert row["w"] == "b"   # and w comes from the SAME (ts=2) row
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """r6 review fix: right/full outer would duplicate unmatched small
+    rows per salt — rejected loudly instead of silently x8 wrong."""
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators.joins import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="right")
+
+
+def test_bpe_encode_reports_empty_docs_as_zero(spark):
+    """r6 review fix: whitespace-only docs appear as (id, 0, 0) instead
+    of vanishing from the encode output."""
+    from duckdb_webhook_gateway_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, ""), (3, " ")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, num_merges=2)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_words"] == 0 and out[2]["n_bpe_tokens"] == 0
+    assert out[3]["n_words"] == 0 and out[3]["n_bpe_tokens"] == 0
+    assert out[1]["n_words"] == 3
