@@ -109,6 +109,24 @@ class ReferenceTableManager:
     def rename(self, webhook_id: str, old_name: str, new_name: str) -> None:
         """Rename drops the old physical table (reference: src/app.py:633-637)."""
         old_full = ref_table_name(webhook_id, old_name)
+        if old_full == ref_table_name(webhook_id, new_name):
+            # names that SANITIZE identically ('a b' -> 'a.b'): the
+            # upload would overwrite the very path the lazy source df
+            # reads, then drop_physical would rmtree the fresh data —
+            # only the catalog row needs to change
+            ts = now_utc()
+
+            def _relabel(rows: list[dict[str, Any]]):
+                for r in rows:
+                    if (
+                        r["webhook_id"] == webhook_id
+                        and r["table_name"] == old_name
+                    ):
+                        r["table_name"] = new_name
+                        r["updated_at"] = ts
+
+            self.store.mutate_catalog("reference_tables", _relabel)
+            return
         df = self.spark.table(old_full)
         self.upload(webhook_id, new_name, df)
         self.drop_physical(webhook_id, old_name)

@@ -100,7 +100,8 @@ def replay_hourly_counts(
     import tempfile
     import uuid
 
-    if landing_dir is None:
+    owns_landing = landing_dir is None
+    if owns_landing:
         landing_dir = tempfile.mkdtemp(prefix="stream_replay_")
     events.coalesce(4).write.mode("overwrite").json(landing_dir)
     stream = spark.readStream.schema(
@@ -123,4 +124,17 @@ def replay_hourly_counts(
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name).orderBy("window_start", "event_type")
+    # materialize the (small, window-cardinality) result so the memory
+    # sink and a caller-less landing dir can be reclaimed instead of
+    # leaking per invocation
+    result = (
+        spark.table(name)
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    if owns_landing:
+        import shutil
+
+        shutil.rmtree(landing_dir, ignore_errors=True)
+    return result

@@ -43,10 +43,17 @@ def _dedup_group(
 ) -> Iterator[pd.DataFrame]:
     seen: set = set(state.get[0]) if state.exists else set()
     (path,) = key
-    for pdf in pdfs:
+    # Concatenate the WHOLE micro-batch before the arrival-order sort: a
+    # group spanning multiple Arrow chunks sorted per-chunk would flag
+    # whichever copy happened to land in an earlier chunk as "original"
+    # — nondeterministic with chunking (same fix as _session_group).
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
         pdf = pdf.sort_values(["ingest_ts", "event_id"])
+        # null payload_json (a corrupt envelope read PERMISSIVE-ly) must
+        # not wedge the stream on None.encode(); it hashes as ""
         hashes = pdf["payload_json"].map(
-            lambda s: hashlib.md5(s.encode()).hexdigest()
+            lambda s: hashlib.md5((s or "").encode()).hexdigest()
         )
         dup_flags = []
         for h in hashes:
@@ -172,7 +179,10 @@ def _session_group(key, pdfs, state):
             elif t - cur[1] > gap_us:
                 closed.append(tuple(cur))
                 cur = [t, t, 0, 0.0]
-            cur[1] = t
+            # max: a LATE event from a later micro-batch (file source has
+            # no watermark) joins the parked session but must never move
+            # its end backwards (session_end < session_start otherwise)
+            cur[1] = max(cur[1], t)
             cur[2] += 1
             cur[3] += float(val)
     if closed:
@@ -332,11 +342,20 @@ def run_heavy_hitters_once(
     import pyspark.sql.functions as F
 
     w = Window.partitionBy("grp")
-    return (
+    result = (
         out.withColumn("mx", F.max("seq").over(w))
         .filter(F.col("seq") == F.col("mx"))
         .select("grp", "item", "est")
+        # materialize (group-cardinality summaries) so the memory-sink
+        # table and the landing copy of the input can be reclaimed —
+        # repeated invocations used to leak both for the process lifetime
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(name)
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    return result
 
 
 # ---------------------------------------------------------------------------
