@@ -38,6 +38,19 @@ def is_mock_destination(url: str) -> bool:
     return "example.com" in url or "localhost" in url
 
 
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """Match the reference client's redirect behavior: httpx defaults to
+    follow_redirects=False, so a 3xx destination records success=False
+    with the 3xx code — urllib's default auto-follow would silently
+    record the post-redirect outcome instead."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+_OPENER = urllib.request.build_opener(_NoRedirect())
+
+
 def deliver(
     destination_url: str,
     payload: dict[str, Any],
@@ -53,7 +66,7 @@ def deliver(
         method="POST",
     )
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
+        with _OPENER.open(req, timeout=timeout) as resp:
             text = resp.read().decode("utf-8", errors="replace")
             code = resp.status
             return DeliveryResult(200 <= code < 300, code, text)

@@ -29,6 +29,11 @@ def hex_to_int_expr(hex_sql: str, n: int = 8, dialect: str = "spark") -> str:
     16^(n-k) with integer literals.  Both are exact for ``n<=15`` (inside
     BIGINT), verified bit-equal in tests/test_properties.py.
     """
+    if not 1 <= n <= 15:
+        # beyond 15 nibbles the two dialects FAIL DIFFERENTLY (Spark's
+        # conv wraps negative, DuckDB's literal term overflows loudly) —
+        # reject instead of silently diverging cross-engine
+        raise ValueError(f"hex_to_int_expr supports 1 <= n <= 15, got {n}")
     if dialect == "spark":
         return f"CAST(conv(substr({hex_sql}, 1, {n}), 16, 10) AS BIGINT)"
     # CAST each nibble to BIGINT before the multiply: DuckDB rejects INT32

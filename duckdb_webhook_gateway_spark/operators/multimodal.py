@@ -265,8 +265,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                         int(d),
                         rate,
                         n,
-                        round(n / float(AUDIO_SAMPLE_RATE), 6),
-                        round(math.sqrt(ss / n), 4),
+                        # the DECODED rate, not the synth constant — a
+                        # 16 kHz upload must not report half its duration
+                        round(n / float(rate), 6) if rate else 0.0,
+                        # zero-frame WAVs are well-formed: rms 0, no
+                        # ZeroDivisionError killing the task
+                        round(math.sqrt(ss / n), 4) if n else 0.0,
                     )
                 )
             yield pd.DataFrame(

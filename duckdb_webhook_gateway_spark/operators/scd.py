@@ -56,14 +56,15 @@ def scd2_from_events(
         .filter(~F.col("_prev").eqNullSafe(F.col(state)))
         .drop("_prev")
     )
-    w2 = Window.partitionBy(key).orderBy(ts, id_col)
+    # the same (ts, id) ordering drives run detection above and the
+    # version numbering below — one spec, no chance of divergence
     return changed.select(
         key,
         state,
         F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w2).alias("valid_to"),
-        F.lead(ts).over(w2).isNull().alias("is_current"),
-        F.row_number().over(w2).alias("version"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
     )
 
 
@@ -85,6 +86,22 @@ def scd2_merge(
     together with the new events, which both extends still-current runs
     (same state → no new version) and closes out changed ones.
     """
+    from pyspark.sql import types as T
+
+    # the synthetic unroll ids below are BIGINT; a string id column would
+    # coerce them to strings and break the same-timestamp tiebreak
+    # ORDERING lexicographically ("-999999999" > "-999999998") — fail
+    # loudly instead of silently re-collapsing runs in the wrong order
+    id_type = events.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"scd2_merge requires an integral id_col for deterministic "
+            f"tie-breaking against its synthetic unroll ids; got "
+            f"{id_type.simpleString()!r} — map string event ids to a "
+            f"monotonic integer first"
+        )
     batch_keys = events.select(key).distinct()
     untouched = dim.join(F.broadcast(batch_keys), key, "left_anti")
     unrolled = dim.join(F.broadcast(batch_keys), key, "left_semi").select(

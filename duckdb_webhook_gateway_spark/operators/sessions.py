@@ -53,8 +53,11 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
-    """Per-session aggregates: length, duration, value totals."""
+    """Per-session aggregates: length, duration, value totals
+    (``value_col`` names the summed metric — parameterized like every
+    other column here, not hard-wired to 'value')."""
     s = sessionize(events, gap_minutes, user_col, ts_col, id_col)
     return (
         s.groupBy(F.col(user_col), F.col("session_seq"))
@@ -67,6 +70,6 @@ def session_stats(
                 / 1_000_000.0,
                 6,
             ).alias("duration_s"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(value_col), 2).alias("session_value"),
         )
     )
