@@ -568,7 +568,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey")
     )
-    return cust.exceptAll(orders).distinct()
+    # subtract IS distinct-EXCEPT (the exceptAll+distinct composition
+    # only matched SQL EXCEPT because custkeys happen to be unique)
+    return cust.subtract(orders)
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -851,11 +853,7 @@ def events_runtime_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return event_type.upper() + ":" + str(len(event_type))
 
     spark.udf.register("udf_workload_type_tag", type_tag, "string")
-    from ..sources.files import read_table
-
-    read_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "events_for_udf"
-    )
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_for_udf")
     return spark.sql(
         """
         SELECT udf_workload_type_tag(event_type) AS type_tag,
@@ -910,15 +908,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n_view = v.count()
-    n_click = c.count()
-    n_purchase = p.count()
-    return spark.createDataFrame(
-        [(n_view, n_click, n_purchase,
-          round(n_click / n_view, 6) if n_view else 0.0,
-          round(n_purchase / n_click, 6) if n_click else 0.0)],
-        "n_view bigint, n_click bigint, n_purchase bigint, "
-        "view_to_click double, click_to_purchase double",
+    # ONE distributed plan (tagged union + aggregate): the v subtree
+    # appears in every branch and its exchange is reused, so events scans
+    # once per stage filter instead of the old three driver .count()
+    # actions re-executing upstream stages (~6 scans).  Rates divide
+    # in-plan: BOTH engines yield NULL on a zero denominator (the old
+    # driver-side `else 0.0` guard diverged from the oracle's NULL on
+    # degenerate corpora).
+    tagged = (
+        v.select(F.lit("v").alias("stage"))
+        .unionAll(c.select(F.lit("c").alias("stage")))
+        .unionAll(p.select(F.lit("p").alias("stage")))
+    )
+    return (
+        tagged.agg(
+            F.count_if(F.col("stage") == "v").cast("bigint").alias("n_view"),
+            F.count_if(F.col("stage") == "c").cast("bigint").alias("n_click"),
+            F.count_if(F.col("stage") == "p")
+            .cast("bigint")
+            .alias("n_purchase"),
+        )
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(F.col("n_purchase") / F.col("n_click"), 6).alias(
+                "click_to_purchase"
+            ),
+        )
     )
 
 
@@ -1086,11 +1106,19 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
     )
+    # variance gate in DOUBLE with the same association order as the z
+    # denominator: the BIGINT form (n*ss - s*s) overflows near s ~ 3e9 —
+    # Spark would wrap silently while DuckDB errors, a silent cross-
+    # engine divergence at exactly the scale the docstring targets
     z = (
         hourly.join(F.broadcast(stats), "event_type")
         .filter(
             (F.col("n") > 1)
-            & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+            & (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+                > 0
+            )
         )
         .withColumn(
             "zscore",
@@ -1135,7 +1163,7 @@ z AS (
                / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
                       / (n - 1)), 6) AS zscore
   FROM hourly h JOIN stats t ON h.event_type = t.event_type
-  WHERE n > 1 AND n * ss - s * s > 0
+  WHERE n > 1 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
 )
 SELECT event_type, hour_start, n_events, zscore
 FROM z WHERE abs(zscore) >= 2.0
@@ -1167,23 +1195,29 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     pre = bloom_semi_filter(orders, cust, "o_custkey", "c_custkey", m=M, h=H)
-    n_probe = orders.count()
-    n_pass = pre.count()
+    # ONE plan: the probe/prefiltered counts are 1-row aggregate subtrees
+    # cross-joined onto the match aggregate — the old driver .count()
+    # actions rebuilt the Bloom pre-filter and rescanned orders per count
+    probe_cnt = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    pass_cnt = pre.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prefiltered")
+    )
+    match = pre.join(cust, pre.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
     return (
-        pre.join(cust, pre.o_custkey == cust.c_custkey)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_matching"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-                "revenue_cents"
-            ),
-        )
+        probe_cnt.crossJoin(pass_cnt)
+        .crossJoin(match)
         .select(
-            F.lit(n_probe).cast("bigint").alias("n_probe"),
-            F.lit(n_pass).cast("bigint").alias("n_prefiltered"),
+            "n_probe",
+            "n_prefiltered",
             "n_matching",
-            (F.lit(n_pass) - F.col("n_matching")).cast("bigint").alias(
-                "false_pos"
-            ),
+            (F.col("n_prefiltered") - F.col("n_matching"))
+            .cast("bigint")
+            .alias("false_pos"),
             "revenue_cents",
         )
     )

@@ -815,6 +815,8 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "events_hourly_gapfill", # 1-row calendar bounds
         "corpus_zipf_stats",     # 1-row corpus totals
         "lm_perplexity_filter",  # 1-row |V|
+        "bloom_prefilter_join",  # 1-row probe/prefiltered count sides
+        "events_funnel",         # 1-row stage-count aggregate chain
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():
