@@ -932,12 +932,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            F.round(F.col("n_click") / F.col("n_view"), 6).alias(
-                "view_to_click"
-            ),
-            F.round(F.col("n_purchase") / F.col("n_click"), 6).alias(
-                "click_to_purchase"
-            ),
+            # try_divide: NULL on a zero denominator in BOTH engines
+            # (ANSI Spark errors on plain /; DuckDB yields NULL)
+            F.round(
+                F.try_divide(F.col("n_click"), F.col("n_view")), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.try_divide(F.col("n_purchase"), F.col("n_click")), 6
+            ).alias("click_to_purchase"),
         )
     )
 

@@ -224,7 +224,7 @@ WHERE p.jaccard >= 0.5
 
 # ---------------------------------------------------------------------------
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steady-state ingest dedup: the 10%% of docs with doc_id % 10 == 0
+    """Steady-state ingest dedup: the 10% of docs with doc_id % 10 == 0
     play the NEW batch; the rest are the existing corpus whose band-key
     signature store is probed without re-shingling corpus text (see
     ``operators/dedup.py::incremental_minhash_dedup``)."""
@@ -1385,18 +1385,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the run via gaps-and-islands windows instead.
     """
     docs = _docs(spark, sf_dir, spread=True)
+    # single-token guard on BOTH folds: sequence(2, 1) is DESCENDING in
+    # Spark ([2, 1]), so an unguarded fold would element_at out of range
+    # and crash the whole query on any no-space document (the oracle
+    # returns a row for it — run 1, zero bigrams, NULL bigram frac)
     max_run = (
+        "IF(size(t) < 2, CAST(1 AS BIGINT), "
         "aggregate(sequence(2, size(t)), "
         "named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)), "
         "(acc, i) -> IF(element_at(t, i) = element_at(t, i - 1), "
         "named_struct('cur', acc.cur + CAST(1 AS BIGINT), "
         "'best', greatest(acc.best, acc.cur + CAST(1 AS BIGINT))), "
         "named_struct('cur', CAST(1 AS BIGINT), 'best', acc.best)), "
-        "acc -> acc.best)"
+        "acc -> acc.best))"
     )
     bigrams = (
+        "IF(size(t) < 2, array(), "
         "transform(sequence(1, size(t) - 1), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"
     )
     return (
         docs.select("doc_id", F.split("text", " ").alias("t"))
@@ -1417,9 +1423,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6
             ).alias("dup_token_frac"),
+            # try_divide: a 1-token doc has zero bigram slots — NULL frac
+            # in BOTH engines (ANSI Spark would otherwise error the query
+            # where DuckDB's x/0 yields NULL)
             F.round(
                 F.lit(1.0)
-                - F.col("n_distinct_bigrams") / (F.col("n_tokens") - 1),
+                - F.try_divide(
+                    F.col("n_distinct_bigrams"), F.col("n_tokens") - 1
+                ),
                 6,
             ).alias("dup_bigram_frac"),
         )
@@ -2729,7 +2740,10 @@ def corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     V, MIN_CO, TOPK = 40, 5, 20
     docs = read_table(spark, sf_dir, "documents")
-    n_docs = float(docs.count())
+    # footer-metadata cardinality (sub-ms, no Spark job) — the eager
+    # .count() here re-scanned the corpus at every query CONSTRUCTION
+    n = _footer_rows(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = float(docs.count() if n is None else n)
     dt = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )

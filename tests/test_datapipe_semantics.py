@@ -414,3 +414,29 @@ def test_bpe_encode_reports_empty_docs_as_zero(spark):
     assert out[2]["n_words"] == 0 and out[2]["n_bpe_tokens"] == 0
     assert out[3]["n_words"] == 0 and out[3]["n_bpe_tokens"] == 0
     assert out[1]["n_words"] == 3
+
+
+def test_text_repetition_single_token_and_empty_docs(spark, tmp_path):
+    """r6 review fix (reproduced crash): a no-space document made the
+    in-row folds evaluate sequence(2, 1) DESCENDING and element_at out
+    of range; guarded docs now match the oracle exactly — run 1, zero
+    bigram slots, NULL dup_bigram_frac (try_divide, since ANSI Spark
+    errors on /0 where DuckDB yields NULL)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        text_repetition,
+    )
+
+    rows = [
+        (0, "oneword", "en", "s"),
+        (1, "a a a b", "en", "s"),
+        (2, "", "en", "s"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in text_repetition(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out[0]["max_run"] == 1 and out[0]["dup_bigram_frac"] is None
+    assert out[2]["max_run"] == 1 and out[2]["dup_bigram_frac"] is None
+    assert out[1]["max_run"] == 3 and out[1]["dup_token_frac"] == 0.5
