@@ -772,9 +772,14 @@ def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_digit.alias("n_digit"),
         n_space.alias("n_space"),
         (n - n_alpha - n_digit - n_space).alias("n_punct"),
-        F.round(n_alpha.cast("double") / n, 6).alias("alpha_ratio"),
+        # try_divide: empty text -> NULL ratios in BOTH engines (ANSI
+        # Spark errors on /0, DuckDB's x/0 is NULL)
+        F.round(F.try_divide(n_alpha.cast("double"), n), 6).alias(
+            "alpha_ratio"
+        ),
         F.round(
-            (n - n_alpha - n_digit - n_space).cast("double") / n, 6
+            F.try_divide((n - n_alpha - n_digit - n_space).cast("double"), n),
+            6,
         ).alias("punct_ratio"),
     )
 

@@ -1,0 +1,143 @@
+"""Randomized DIFFERENTIAL fuzzing of the documents-table query family.
+
+The oracle-parity suite proves Spark == DuckDB on the driver's fixed
+synthetic corpus; every divergence the round-6 review hunt found lived
+OFF that corpus (single-token docs crashing text_repetition, zero
+denominators, degenerate repetition runs).  This harness closes that
+gap as a standing test: seeded random corpora — deliberately salted
+with empty texts, single tokens, long repeated runs, unicode and
+near-duplicate pairs — are written as documents.parquet and a battery
+of oracle-paired queries runs on BOTH engines, compared value-by-value
+(NULL-safe, float-rounded the same 1e-6 the oracles use).
+
+Determinism: corpora derive from fixed seeds, so a failure reproduces
+exactly.  Runtime: one Spark session, ~15 queries x 3 corpora.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from collections import Counter
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# documents-only queries safe to run on an arbitrary corpus
+QUERIES = [
+    "corpus_stats",
+    "doc_length_histogram",
+    "text_char_stats",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "gopher_quality_gate",
+    "gopher_repetition_report",
+    "lm_perplexity_filter",
+    "dsir_selection",
+    "substring_dup_spans",
+    "substring_dup_spans_sa",
+]
+
+VOCAB = [
+    "the", "cat", "sat", "on", "mat", "data", "spark", "duck", "row",
+    "col", "joinkey", "x1", "y2", "z3", "naïve", "über", "東京", "a",
+]
+
+
+def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        kind = rng.randrange(8)
+        if kind == 0:
+            text = ""  # empty
+        elif kind == 1:
+            text = rng.choice(VOCAB)  # single token
+        elif kind == 2:
+            text = " ".join([rng.choice(VOCAB)] * rng.randrange(2, 30))
+        elif kind == 3 and rows:
+            text = rows[rng.randrange(len(rows))][1]  # exact duplicate
+        else:
+            text = " ".join(
+                rng.choice(VOCAB) for _ in range(rng.randrange(2, 80))
+            )
+        lang = rng.choice(["en", "de", "zh"])
+        source = rng.choice(["s0", "s1"])
+        rows.append((i, text, lang, source, len(text)))
+    return rows
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+@pytest.fixture(scope="module")
+def entries():
+    from duckdb_webhook_gateway_spark.workloads import all_entries
+
+    return all_entries()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_documents_queries_match_oracle_on_random_corpora(
+    spark, tmp_path_factory, entries, seed
+):
+    d = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+    rows = _rand_corpus(seed)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+
+    failures = []
+    for name in QUERIES:
+        fn, sql = entries[name]
+        try:
+            # Counter = multiset compare (rows may contain None, which
+            # Python's tuple sort cannot order)
+            srows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in fn(spark, d).collect()
+            )
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            continue
+        try:
+            drows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in con.execute(sql).fetchall()
+            )
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            continue
+        if srows != drows:
+            diff_s = list((srows - drows).keys())[:3]
+            diff_d = list((drows - srows).keys())[:3]
+            failures.append(
+                (name, f"spark-only {diff_s} vs duck-only {diff_d}")
+            )
+    assert failures == [], failures
