@@ -141,3 +141,97 @@ def test_documents_queries_match_oracle_on_random_corpora(
                 (name, f"spark-only {diff_s} vs duck-only {diff_d}")
             )
     assert failures == [], failures
+
+
+EVENT_QUERIES = [
+    "events_type_rate",
+    "events_hourly",
+    "events_pivot_by_type",
+    "events_json_bucket",
+    "events_sessionize",
+    "events_funnel",
+    "events_markov_transitions",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_hourly_gapfill",
+    "events_rolling_features",
+    "events_multitouch_attribution",
+    "events_hopping_windows",
+    "events_profile",
+]
+
+
+def _rand_events(seed: int, n: int = 120) -> list[tuple]:
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(10)
+        if kind == 0 and rows:
+            # exact same timestamp as an earlier event (tie-break fuzz)
+            ts = rows[rng.randrange(len(rows))][1]
+        else:
+            ts = base + dt.timedelta(seconds=rng.randrange(0, 6 * 3600))
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randrange(1, 6),  # few users -> dense ties/sessions
+                rng.choice(["view", "click", "purchase", "error"]),
+                rng.randrange(0, 10000) / 100.0,
+                '{"k": %d}' % rng.randrange(100),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_events_queries_match_oracle_on_random_streams(
+    spark, tmp_path_factory, entries, seed
+):
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path_factory.mktemp(f"efuzz{seed}"))
+    rows = _rand_events(seed)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}/*.parquet')"
+    )
+
+    failures = []
+    for name in EVENT_QUERIES:
+        fn, sql = entries[name]
+        try:
+            srows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in fn(spark, d).collect()
+            )
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            continue
+        try:
+            drows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in con.execute(sql).fetchall()
+            )
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            continue
+        if srows != drows:
+            diff_s = list((srows - drows).keys())[:3]
+            diff_d = list((drows - srows).keys())[:3]
+            failures.append(
+                (name, f"spark-only {diff_s} vs duck-only {diff_d}")
+            )
+    assert failures == [], failures
