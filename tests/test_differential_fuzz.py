@@ -48,6 +48,14 @@ QUERIES = [
     "dsir_selection",
     "substring_dup_spans",
     "substring_dup_spans_sa",
+    # the round-6 rewrites, fuzzed end-to-end against their oracles
+    "doc_prefix_jaccard_join",
+    "dedup_minhash_lsh",
+    "text_tfidf_top_terms",
+    "corpus_top_bigrams",
+    "boilerplate_ratio",
+    "doc_chunk_manifest",
+    "text_pattern_scrub",
 ]
 
 VOCAB = [
