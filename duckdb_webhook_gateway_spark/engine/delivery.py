@@ -6,9 +6,18 @@ timeout; destinations on example.com / localhost are mocked successful
 the outcome recorded; failures are logged, never retried
 (src/app.py:1205-1213).
 
-This is a driver-side side effect (SURVEY §2A A10) — in the streaming
-layer it runs inside ``foreachBatch``, never as a Spark operator.  Uses
-stdlib urllib (httpx is not a dependency of this engine).
+Two execution paths call :func:`deliver` (SURVEY §2A A10):
+
+- the synchronous per-event pipeline and small streaming batches POST from
+  a bounded DRIVER thread pool (``foreachBatch`` side effect);
+- large streaming batches ship delivery INTO Spark tasks — the audit
+  write's ``mapInArrow`` pass POSTs each partition's events executor-side
+  (``streaming/webhook_source.py``), so throughput scales with the
+  cluster.  That path is at-least-once under task retry/speculation;
+  ``StreamingGateway`` warns and keeps the driver pool if the session
+  was launched with ``spark.speculation=true`` (Spark's default is off).
+
+Uses stdlib urllib (httpx is not a dependency of this engine).
 """
 
 from __future__ import annotations

@@ -867,7 +867,13 @@ def _bucket_lcp_rows(rows, out):
         out.append((did, pos, max(left, right)))
 
 
-_PA_TYPES = {"bigint": "int64", "int": "int32", "string": "string"}
+_PA_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "string": "string",
+}
 
 
 def _make_sa_lcp_fn(id_type: str):
@@ -880,11 +886,17 @@ def _make_sa_lcp_fn(id_type: str):
     grouped applyInPandas WITHOUT its per-group pandas-frame overhead
     (measured ~2 s for ~8k tiny buckets at sf0.1; the partition-stream
     form is ~10x cheaper)."""
+    if id_type not in _PA_TYPES:
+        # an unmapped id type would silently build a string array while
+        # the declared mapInArrow schema keeps the input type — fail
+        # loudly at plan-construction time instead of with an
+        # Arrow/schema mismatch mid-job
+        raise ValueError(f"unsupported doc_id type for SA dedup: {id_type}")
 
     def fn(batches):
         import pyarrow as pa
 
-        pa_id = getattr(pa, _PA_TYPES.get(id_type, "string"))()
+        pa_id = getattr(pa, _PA_TYPES[id_type])()
         schema = pa.schema(
             [
                 ("doc_id", pa_id),

@@ -195,12 +195,14 @@ def tfidf_top_terms(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    # Split-count probe via the file index (driver-side metadata, no
-    # plan-to-RDD conversion — a .rdd access here forced a full analyzer
-    # + RDD translation on every query construction).  Derived
-    # (non-file-scan) inputs report no files and get the repartition,
-    # which is the safe direction.
-    if len(docs.inputFiles()) < target:
+    # Split-estimate probe (plans/spread.py): driver-side metadata only —
+    # no plan-to-RDD conversion — and byte-aware, so a single LARGE file
+    # that already scans as many row-group splits skips the shuffle.
+    # Derived (non-file-scan) inputs report no files and get the
+    # repartition, which is the safe direction.
+    from ..plans.spread import scan_splits
+
+    if scan_splits(docs.sparkSession, docs) < target:
         base = base.repartition(target, "doc_id")
     exploded = (
         base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))

@@ -1,0 +1,91 @@
+"""Scan-parallelism probe: should a CPU-heavy map stage repartition first?
+
+CPU-heavy per-row operators (tokenize, shingle, hash) serialize on one
+core when the scan yields fewer partitions than the cluster has slots.
+The cheap driver-side probe here decides whether to pay one repartition
+shuffle of the raw rows, WITHOUT forcing plan-to-RDD conversion
+(``df.rdd.getNumPartitions()`` runs the full analyzer per call).
+
+Spark splits file scans at ``spark.sql.files.maxPartitionBytes``
+boundaries, so the effective scan parallelism of a file source is
+roughly ``max(n_files, total_bytes / maxPartitionBytes)`` — a SINGLE
+large parquet file still scans as many splits.  Counting only files
+(the previous heuristic) made every single-large-file input pay a
+full-corpus shuffle it didn't need.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_size(path: str) -> int | None:
+    """Size of a scan file if it is locally statable, else None.
+
+    ``inputFiles()`` returns URIs (``file:///...`` locally).  Remote
+    filesystems (hdfs/s3) aren't statable from here without a Hadoop
+    round-trip — callers fall back to file count for those.
+    """
+    u = urlparse(path)
+    if u.scheme not in ("", "file"):
+        return None
+    p = u.path or path
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return None
+
+
+def scan_splits(spark: SparkSession, df: DataFrame) -> int:
+    """Estimated scan parallelism for a file-sourced DataFrame.
+
+    max(file count, ceil(total_bytes / maxPartitionBytes)) when every
+    file's size is statable locally; plain file count otherwise.
+    Derived (non-file-scan) inputs report zero files -> returns 0, the
+    "unknown, assume narrow" direction — repartitioning is the safe
+    choice for a CPU-bound consumer.
+    """
+    files = df.inputFiles()
+    if not files:
+        return 0
+    sizes = [_local_size(f) for f in files]
+    if any(s is None for s in sizes):
+        return len(files)
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    total = sum(sizes)  # type: ignore[arg-type]
+    return max(len(files), -(-total // max(1, max_bytes)))
+
+
+_UNITS = {"": 1, "b": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf strings: '134217728', '128MB', '1g', '512k'."""
+    s = v.strip().lower()
+    num = s.rstrip("kmgtb")
+    suffix = s[len(num):].rstrip("b")
+    try:
+        return int(float(num)) * _UNITS.get(suffix, 1)
+    except ValueError:
+        return 128 * 2**20
+
+
+def spread(
+    spark: SparkSession, df: DataFrame, *cols: str
+) -> DataFrame:
+    """Repartition ``df`` to core count iff its scan is narrower than that.
+
+    At cluster scale inputs arrive in many splits (or one big file whose
+    byte count already yields many splits) and this is a no-op; locally a
+    small single-file scan pays one shuffle of the raw rows to unlock
+    full parallelism.  Optional ``cols`` hash-partition by those columns.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, df) >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

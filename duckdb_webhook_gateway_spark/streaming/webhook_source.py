@@ -403,6 +403,30 @@ class StreamingGateway:
         # the set of distinct payload shapes)
         self._schema_cache: dict[str, Any] = {}
         self._SCHEMA_CACHE_MAX = 1024
+        # Delivery POSTs run inside Spark tasks (the audit write's
+        # mapInArrow pass and the large-batch _resolve_deliveries job); a
+        # speculative duplicate task double-POSTs with NO failure having
+        # occurred.  spark.speculation is a launch-time core conf (not
+        # runtime-settable), so the engine can't just turn it off here —
+        # it warns loudly and keeps the driver pool for the resolvable
+        # path.  Spark's default is false.
+        if (
+            self.spark.sparkContext.getConf()
+            .get("spark.speculation", "false")
+            .lower()
+            == "true"
+        ):
+            import warnings
+
+            warnings.warn(
+                "spark.speculation=true: speculative tasks can duplicate "
+                "webhook delivery POSTs (at-least-once widens beyond "
+                "failure-retry). Launch the streaming session with "
+                "speculation off for delivery workloads.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self.DISTRIBUTED_DELIVERY_THRESHOLD = 2**63 - 1
 
     # -- producer side (driver/HTTP shell) --------------------------------
     def ingest(self, path: str, payload: dict | list) -> str:
@@ -494,9 +518,12 @@ class StreamingGateway:
         replays it.  Delivery is at-least-once: a crash-replay re-POSTs
         the recovered batch, and — with delivery running inside the audit
         write's tasks since round 6 — a task-level retry re-POSTs that
-        task's partition.  Both are the same contract the reference's
-        non-retrying, non-deduplicating sink offers under recovery; the
-        audit rows themselves stay exactly-once via the staged overwrite.
+        task's partition, and ``spark.speculation`` (off by default; the
+        constructor warns if a deployment enables it) would duplicate
+        POSTs even without a failure.  Both are the same contract the
+        reference's non-retrying, non-deduplicating sink offers under
+        recovery; the audit rows themselves stay exactly-once via the
+        staged overwrite.
         """
         if batch_id <= self._last_committed_batch():
             return  # replay of an already-committed batch: audits exist
@@ -540,7 +567,7 @@ class StreamingGateway:
                     webhooks[path] = self.gateway.catalog.get_by_path(path)
 
             tr_rows: list[dict[str, Any]] = []
-            result_dfs: list[DataFrame] = []
+            result_groups: list[tuple[str, Optional[str], DataFrame]] = []
             group_cleanups: list[tuple[str, DataFrame]] = []
             fallback: list[tuple[str, Optional[str]]] = []
             for (path, fp), event_ids in sorted(
@@ -561,7 +588,7 @@ class StreamingGateway:
                         webhook, grp, event_ids, fp, cleanups=group_cleanups
                     )
                     if audit_df is not None:
-                        result_dfs.append(audit_df)
+                        result_groups.append((path, fp, audit_df))
                     tr_rows.extend(drv_rows)
                 except Exception:
                     fallback.append((path, fp))
@@ -569,37 +596,9 @@ class StreamingGateway:
             # exotic/failed tail: the ONLY payload-bearing collects, each
             # bounded to its own group
             for path, fp in fallback:
-                webhook = webhooks[path]
-                self.gateway.udfs.load_webhook_udfs(webhook["id"])
-                cond = F.col("source_path") == path
-                cond = cond & (
-                    F.col("fp").isNull() if fp is None else F.col("fp") == fp
+                tr_rows.extend(
+                    self._per_event_rows(webhooks[path], path, fp, tagged)
                 )
-                for r in (
-                    tagged.filter(cond)
-                    .select("event_id", "payload_json")
-                    .collect()
-                ):
-                    try:
-                        payload = json.loads(r["payload_json"])
-                    except Exception:
-                        tr_rows.append(
-                            {
-                                "id": new_id(),
-                                "raw_event_id": r["event_id"],
-                                "webhook_id": webhook["id"],
-                                "timestamp": now_utc(),
-                                "destination_url": webhook["destination_url"],
-                                "transformed_payload": json.dumps({}),
-                                "success": False,
-                                "response_code": None,
-                                "response_body": "Error: malformed payload JSON",
-                            }
-                        )
-                        continue
-                    tr_rows.append(
-                        self._process_one(webhook, r["event_id"], payload)
-                    )
 
             try:
                 self._resolve_deliveries(tr_rows)
@@ -607,13 +606,47 @@ class StreamingGateway:
                 # shape+deliver+audit pass on the executors — the shaped
                 # bodies never exist on the driver.  Union keeps it ONE
                 # idempotent staged write for the whole batch.
-                if result_dfs:
-                    res_union = result_dfs[0]
-                    for extra in result_dfs[1:]:
+                if result_groups:
+                    res_union = result_groups[0][2]
+                    for _, _, extra in result_groups[1:]:
                         res_union = res_union.unionByName(extra)
-                    store.append_events_df(
-                        "transformed_events", res_union, file_key=file_key
-                    )
+                    try:
+                        store.append_events_df(
+                            "transformed_events", res_union, file_key=file_key
+                        )
+                    except Exception:
+                        # The per-group try above only catches ANALYSIS-time
+                        # errors — the transforms EXECUTE here.  One group's
+                        # runtime failure (UDF exception, ANSI divide/cast on
+                        # a specific payload) must not poison the batch: the
+                        # replay is deterministic, so rethrowing would wedge
+                        # ingestion permanently.  Isolate instead — drop the
+                        # partial output, re-run each group as its own
+                        # idempotent keyed write, and route the group(s) that
+                        # still fail through the per-event path, which audits
+                        # "Error: ..." rows per event and keeps going (the
+                        # reference's contract, src/app.py:1232-1244).
+                        # Delivery stays at-least-once: tasks that POSTed
+                        # before the failure re-POST on the re-run.
+                        store.drop_batch_files("transformed_events", file_key)
+                        late_rows: list[dict[str, Any]] = []
+                        for gi, (path, fp, audit_df) in enumerate(
+                            result_groups
+                        ):
+                            try:
+                                store.append_events_df(
+                                    "transformed_events",
+                                    audit_df,
+                                    file_key=f"{file_key}-g{gi:04d}",
+                                )
+                            except Exception:
+                                late_rows.extend(
+                                    self._per_event_rows(
+                                        webhooks[path], path, fp, tagged
+                                    )
+                                )
+                        self._resolve_deliveries(late_rows)
+                        tr_rows.extend(late_rows)
                 if tr_rows:
                     store.append_events(
                         "transformed_events", tr_rows, file_key=file_key
@@ -655,6 +688,48 @@ class StreamingGateway:
                 )
 
         return batch_df.mapInPandas(tag, TAGGED_SCHEMA)
+
+    def _per_event_rows(
+        self,
+        webhook: dict[str, Any],
+        path: str,
+        fp: Optional[str],
+        tagged: DataFrame,
+    ) -> list[dict[str, Any]]:
+        """Per-event fallback for one (path, fp) group: collects THAT
+        group's payloads (bounded to the group) and runs each event through
+        the single-event executor, which converts any failure into an
+        "Error: ..." audit row instead of an exception.  Used for exotic
+        shapes (fp=None), analysis-time transform failures, and groups
+        whose distributed run failed at runtime."""
+        self.gateway.udfs.load_webhook_udfs(webhook["id"])
+        cond = F.col("source_path") == path
+        cond = cond & (
+            F.col("fp").isNull() if fp is None else F.col("fp") == fp
+        )
+        rows: list[dict[str, Any]] = []
+        for r in (
+            tagged.filter(cond).select("event_id", "payload_json").collect()
+        ):
+            try:
+                payload = json.loads(r["payload_json"])
+            except Exception:
+                rows.append(
+                    {
+                        "id": new_id(),
+                        "raw_event_id": r["event_id"],
+                        "webhook_id": webhook["id"],
+                        "timestamp": now_utc(),
+                        "destination_url": webhook["destination_url"],
+                        "transformed_payload": json.dumps({}),
+                        "success": False,
+                        "response_code": None,
+                        "response_body": "Error: malformed payload JSON",
+                    }
+                )
+                continue
+            rows.append(self._process_one(webhook, r["event_id"], payload))
+        return rows
 
     # -- delivery fan-out --------------------------------------------------
     def _resolve_deliveries(self, tr_rows: list[dict[str, Any]]) -> None:

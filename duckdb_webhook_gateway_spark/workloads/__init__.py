@@ -21,14 +21,67 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-6 _CHECK_FIRST = the 26 queries last green in r3 (they hit
-# the staleness limit this round) + the 24 r5-green entries with the
-# OLDEST prior history (last green in r2 before r5).  The 50 r4-green
-# entries sit unlisted in the middle (due r7, rotate in next round); the
-# remaining 26 r5-green entries — including the three r5 additions, whose
-# history is youngest — rotate to _CHECK_LAST (due r8).
+# round.  Round-7 _CHECK_FIRST = exactly the 50 queries last driver-green
+# in round 4 (they hit the staleness limit this round).  The 26 r5-green
+# entries sit unlisted in the middle (due r8, rotate in next round along
+# with any round-7 additions); the 50 r6-green entries rotate to
+# _CHECK_LAST (due r9).
 _CHECK_FIRST = (
-    # last driver-green in round 3 (staleness limit this round):
+    # last driver-green in round 4 (staleness limit this round):
+    "events_cohort_retention",
+    "events_anomaly_zscore",
+    "bloom_prefilter_join",
+    "customer_scd2_snapshot",
+    "value_quantile_sketch",
+    "brand_top_parts",
+    "part_basket_pairs",
+    "part_pagerank",
+    "part_name_fuzzy_pairs",
+    "orderkey_hll_distinct",
+    "q10_returned_revenue",
+    "region_status_grouping_sets",
+    "monthly_revenue_incremental",
+    "events_markov_transitions",
+    "nation_trade_matrix",
+    "events_hopping_windows",
+    "customer_functional_deps",
+    "events_hourly_gapfill",
+    "dedup_incremental",
+    "events_sessionize",
+    "events_asof_attribution",
+    "training_order_manifest",
+    "vocab_oov_rate",
+    "cross_source_overlap",
+    "ensemble_near_dup",
+    "source_lang_mix",
+    "passage_savings",
+    "events_rolling_features",
+    "distinct_kmv_sketch",
+    "events_range_join",
+    "corpus_pmi_pairs",
+    "embedding_label_quality",
+    "multimodal_video_features",
+    "source_temperature_mixture",
+    "source_quality_deciles",
+    "multimodal_image_resize",
+    "corpus_zipf_stats",
+    "streaming_hourly_counts",
+    "semantic_dedup",
+    "lm_perplexity_filter",
+    "dsir_selection",
+    "substring_dup_spans",
+    "events_profile",
+    "token_heavy_hitters",
+    "weighted_sample_topk",
+    "source_overlap_kmv",
+    "events_multitouch_attribution",
+    "token_freq_cm_sketch",
+    "embedding_dim_stats",
+    "doc_prefix_jaccard_join",
+)
+# Queries checked last round (r6) — rotate to the unchecked tail; the
+# parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "join_key_skew",
     "salted_join_orders",
     "embedding_near_dup_lsh",
@@ -55,7 +108,6 @@ _CHECK_FIRST = (
     "mixture_resample",
     "split_ngram_decontamination",
     "leakage_safe_split",
-    # r5-green with the oldest prior history (r2 before r5):
     "order_priority_rate",
     "dedup_exact",
     "events_recent_topk",
@@ -80,36 +132,6 @@ _CHECK_FIRST = (
     "lineitem_distinct_counts",
     "top_orders_by_value",
     "cube_order_status",
-)
-# Freshest r5-green queries (checked last round) — rotate to the
-# unchecked tail; the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "customers_without_orders",
-    "part_size_class",
-    "orders_per_month",
-    "customers_with_urgent_orders",
-    "parts_never_ordered",
-    "events_hourly",
-    "orders_value_quartiles",
-    "supplier_revenue_having",
-    "lineitem_price_quantiles",
-    "part_avg_qty_subquery",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "events_runtime_udf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_token_stats",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "multimodal_features",
-    "ann_ivf_topk",
-    "text_tfidf_top_terms",
-    "substring_dup_spans_sa",
-    "gopher_quality_gate",
-    "gopher_repetition_report",
 )
 
 

@@ -1553,8 +1553,9 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the in-row basket expansion is CPU-heavy per input row; a
     # single-file scan (one partition locally) would serialize that map
     # stage on one core — same spread rule as the datapipe operators
-    if len(li.inputFiles()) < spark.sparkContext.defaultParallelism:
-        li = li.repartition(spark.sparkContext.defaultParallelism)
+    from ..plans.spread import spread as _spread_impl
+
+    li = _spread_impl(spark, li)
     op = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     )

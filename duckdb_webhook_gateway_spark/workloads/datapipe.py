@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import epoch_us
 from ..functions.hashing import hex_to_int_expr, md5_int_expr
+from ..plans.spread import spread as _spread_impl
 from ..sources.files import read_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -31,15 +32,12 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     many splits and this is a no-op; locally it costs one shuffle of the
     raw rows (a few MB) to unlock full parallelism.
     """
-    target = spark.sparkContext.defaultParallelism
-    # File-count probe instead of .rdd.getNumPartitions(): the .rdd
-    # access forces plan-to-RDD conversion (full analysis) on every
-    # query construction.  inputFiles() reads the already-cached file
-    # index; single- or few-file scans (the local testdata shape) get
-    # the spread, many-split cluster inputs skip it.
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    # Split-estimate probe (file count AND bytes/maxPartitionBytes, see
+    # plans/spread.py) instead of .rdd.getNumPartitions(): no plan-to-RDD
+    # conversion per query construction, and a single LARGE parquet file
+    # — which Spark already scans as many row-group splits — skips the
+    # shuffle too.
+    return _spread_impl(spark, df)
 
 
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:

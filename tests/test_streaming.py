@@ -302,6 +302,87 @@ def test_exotic_shape_fallback_still_processes(gateway, spark):
     assert tr[ids[1]] == {"a": 6}
 
 
+def test_runtime_transform_failure_does_not_poison_batch(gateway, spark):
+    """A transform that ANALYZES fine but fails at RUNTIME on one payload
+    (here: a UDF raising on a specific value) must not wedge the batch.
+    The distributed union write fails when the plan executes; the engine
+    must isolate the failure — healthy groups still audit via their own
+    keyed writes, the poisoned group reprocesses per-event, and the
+    failing event gets an "Error: ..." row (the reference's contract,
+    src/app.py:1232-1244) — then commit the batch so ingestion continues."""
+    from duckdb_webhook_gateway_spark.engine.udfs import udf_full_name
+
+    rec = gateway.register_webhook(
+        WebhookConfig(
+            source_path="/boom",
+            destination_url="http://example.com/sink",
+            transform_query="SELECT v FROM {{payload}}",
+        )
+    )
+    wid = rec["id"]
+    gateway.udfs.register(
+        wid,
+        "boom",
+        "def boom(x: int) -> int:\n"
+        "    if x == 13:\n"
+        "        raise ValueError('unlucky payload')\n"
+        "    return x * 10\n",
+    )
+    fn = udf_full_name(wid, "boom")
+    gateway.catalog.update(
+        wid,
+        WebhookConfig(
+            source_path="/boom",
+            destination_url="http://example.com/sink",
+            transform_query=f"SELECT {fn}(v) AS out FROM {{{{payload}}}}",
+        ),
+    )
+    # healthy sibling group in the same batch
+    gateway.register_webhook(
+        WebhookConfig(
+            source_path="/fine",
+            destination_url="http://example.com/sink",
+            transform_query="SELECT a AS kept FROM {{payload}}",
+        )
+    )
+    sg = StreamingGateway(gateway)
+    ids = [
+        sg.ingest("/boom", {"v": 1}),
+        sg.ingest("/boom", {"v": 13}),  # raises inside the UDF at runtime
+        sg.ingest("/boom", {"v": 2}),
+        sg.ingest("/fine", {"a": 7}),
+    ]
+    sg.run_available()
+
+    tr = {
+        r.raw_event_id: r
+        for r in spark.sql("SELECT * FROM transformed_events").collect()
+    }
+    assert set(tr) == set(ids)  # every event audited exactly once
+    assert json.loads(tr[ids[0]].transformed_payload) == {"out": 10}
+    assert json.loads(tr[ids[2]].transformed_payload) == {"out": 20}
+    assert json.loads(tr[ids[3]].transformed_payload) == {"kept": 7}
+    bad = tr[ids[1]]
+    assert bad.success is False
+    assert bad.response_body is not None and bad.response_body.startswith(
+        "Error:"
+    )
+    # batch committed: a re-drain must not duplicate or reprocess
+    sg.run_available()
+    n = spark.sql(
+        "SELECT count(*) AS n FROM transformed_events"
+    ).first().n
+    assert n == 4
+    # ingestion is not wedged: new events still flow
+    new_id_ = sg.ingest("/fine", {"a": 8})
+    sg.run_available()
+    tr2 = {
+        r.raw_event_id: json.loads(r.transformed_payload)
+        for r in spark.sql("SELECT * FROM transformed_events").collect()
+    }
+    assert tr2[new_id_] == {"kept": 8}
+
+
 def test_schema_from_fingerprint_matches_real_inference(spark):
     """The fingerprint-derived StructType must equal what spark.read.json
     actually infers for payloads of that shape — bit-for-bit, or the
