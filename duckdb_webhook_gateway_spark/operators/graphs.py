@@ -83,7 +83,14 @@ def basket_pairs(
 
 
 def undirect(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
-    """Materialize an undirected edge list as both directed arcs."""
+    """Materialize an undirected edge list as both directed arcs.
+
+    The union's two branches each re-execute ``edges``' lineage (Catalyst
+    does not share subplans across DataFrame references).  For DERIVED
+    edge lists whose lineage is expensive (e.g. :func:`basket_pairs` over
+    a fact table), ``localCheckpoint(eager=False)`` the edge relation
+    first — it is edge-cardinality, cheap to hold, and halves the
+    upstream work here and in every downstream iteration."""
     fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     rev = edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     return fwd.unionByName(rev)
@@ -113,7 +120,9 @@ def pagerank_micro(
     oracle needs, and the property that makes the operator's output stable
     under AQE re-planning at scale.
 
-    Sharing strategy: NOTHING is cached or checkpointed.  The whole
+    Sharing strategy: NOTHING is cached or checkpointed INSIDE the
+    iteration (callers with an expensive DERIVED arc lineage should
+    materialize it once first — see :func:`undirect`).  The whole
     fixed-iteration recursion is ONE lazy plan in which ``arcs_d`` and
     ``nodes`` are the same DataFrame objects in every iteration, so
     their shuffle exchanges canonicalize identically and Spark's

@@ -81,7 +81,11 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, k: int, total: int | None = None
+    df: DataFrame,
+    col: str,
+    k: int,
+    total: int | None = None,
+    include_total: bool = False,
 ) -> DataFrame:
     """All items with frequency strictly greater than n/k, with exact
     counts — computed in two map-side passes (MG candidates + recount of
@@ -94,7 +98,11 @@ def heavy_hitters(
     job — the earlier default hid a second full scan of ``df``.  The
     tiny (candidates + 1 per partition)-row summary is checkpointed so
     the candidate list and the total both read one materialized pass.
-    Output columns: ``[col, cnt]``, deterministic for any partitioning.
+    ``include_total=True`` adds the stream length as a ``total`` column —
+    callers needing it (e.g. for a frequency-share column) then avoid
+    their OWN extra counting pass over the corpus.
+    Output columns: ``[col, cnt]`` (+ ``total``), deterministic for any
+    partitioning.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -107,7 +115,12 @@ def heavy_hitters(
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        return counts.filter(F.col("cnt") * k > n_col).select(col, "cnt")
+        out = counts.filter(F.col("cnt") * k > n_col).select(col, "cnt")
+        return (
+            out.withColumn("total", n_col.cast("long"))
+            if include_total
+            else out
+        )
 
     if total is not None:
         cand = misra_gries_candidates(df, col, k).distinct()
@@ -131,11 +144,25 @@ def heavy_hitters(
     summary = (
         df.select(col)
         .mapInPandas(mg, schema=f"{col} {col_type}, pn bigint")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand = summary.filter(F.col(col).isNotNull()).select(col).distinct()
-    n_total = summary.agg(F.sum("pn")).collect()[0][0] or 0  # one long
-    return recount_above(cand, F.lit(int(n_total)))
+    # The stream total stays IN-PLAN as a broadcast 1-row relation — no
+    # driver collect, no extra blocking job round: the lazy checkpoint
+    # materializes once (when the candidate broadcast builds) and both
+    # the candidate list and the total read it.
+    tot = summary.agg(F.sum("pn").cast("long").alias("__hh_total"))
+    counts = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("cnt") * k > F.col("__hh_total")
+    )
+    if include_total:
+        return out.select(col, "cnt", F.col("__hh_total").alias("total"))
+    return out.select(col, "cnt")
 
 
 def grouped_topk(

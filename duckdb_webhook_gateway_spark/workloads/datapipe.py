@@ -3553,12 +3553,15 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir, spread=True).select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    n_toks = toks.count()
-    hh = SK.heavy_hitters(toks, "token", K, total=n_toks)
+    # include_total: the stream length rides along from the MG pass's
+    # per-partition counts — a separate toks.count() here was a THIRD
+    # full pass over the token explode (measured ~0.35 s of the query's
+    # 1.0 s at sf0.1; at 100 TB a whole wasted corpus scan).
+    hh = SK.heavy_hitters(toks, "token", K, include_total=True)
     return hh.select(
         "token",
         "cnt",
-        F.round(F.col("cnt") / F.lit(n_toks), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
     ).orderBy(F.desc("cnt"), "token")
 
 

@@ -817,6 +817,7 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "lm_perplexity_filter",  # 1-row |V|
         "bloom_prefilter_join",  # 1-row probe/prefiltered count sides
         "events_funnel",         # 1-row stage-count aggregate chain
+        "token_heavy_hitters",   # 1-row stream total from the MG pass
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():
