@@ -176,6 +176,50 @@ def _make_handler(srv: GatewayHTTPServer):
                 raise ValueError("JSON object required")
             return data
 
+        def _form_fields(self) -> tuple[dict, dict]:
+            """(fields, files) from a multipart/form-data or urlencoded
+            body — the reference's /query, /upload_table and /register_udf
+            take Form()/File() params (src/app.py:947-1032), so the wire
+            contract is multipart; the JSON bodies these handlers also
+            accept are this engine's convenience extension.  Stdlib-only:
+            the body is reparsed as a MIME message.  Raises ValueError on
+            anything that isn't form-shaped."""
+            ctype = self.headers.get("Content-Type", "")
+            body = self._body()
+            if ctype.startswith("multipart/form-data"):
+                from email.parser import BytesParser
+                from email.policy import HTTP
+
+                head = (
+                    f"Content-Type: {ctype}\r\nMIME-Version: 1.0\r\n\r\n"
+                ).encode()
+                msg = BytesParser(policy=HTTP).parsebytes(head + body)
+                if not msg.is_multipart():
+                    raise ValueError("malformed multipart body")
+                fields: dict = {}
+                files: dict = {}
+                for part in msg.iter_parts():
+                    name = part.get_param(
+                        "name", header="content-disposition"
+                    )
+                    if not name:
+                        continue
+                    payload = part.get_payload(decode=True) or b""
+                    fname = part.get_filename()
+                    if fname:
+                        files[name] = (fname, payload)
+                    else:
+                        fields[name] = payload.decode("utf-8", "replace")
+                return fields, files
+            # urlencoded form
+            return (
+                {
+                    k: v[0]
+                    for k, v in parse_qs(body.decode("utf-8", "replace")).items()
+                },
+                {},
+            )
+
         def _auth(self) -> bool:
             """403 when the key is missing, 401 when it is wrong
             (reference: src/app.py:878-892)."""
@@ -230,6 +274,31 @@ def _make_handler(srv: GatewayHTTPServer):
                 detail = gw.event_detail(m.group(1))
                 if detail is None:
                     return self._send(404, {"detail": "Event not found"})
+                # reference wire shape (src/app.py:1503-1563): flat raw
+                # fields + a single `transformed` object — emitted as a
+                # superset of the engine's {raw_event, transformed_events}
+                raw = detail.get("raw_event") or {}
+                trs = detail.get("transformed_events") or []
+                t = trs[0] if trs else None
+                detail = {
+                    **detail,
+                    "id": raw.get("id"),
+                    "timestamp": raw.get("timestamp"),
+                    "source_path": raw.get("source_path"),
+                    "raw_payload": raw.get("payload"),
+                    "transformed": {
+                        "id": t.get("id"),
+                        "webhook_id": t.get("webhook_id"),
+                        "timestamp": t.get("timestamp"),
+                        "payload": t.get("transformed_payload"),
+                        "destination_url": t.get("destination_url"),
+                        "success": t.get("success"),
+                        "response_code": t.get("response_code"),
+                        "response_body": t.get("response_body"),
+                    }
+                    if t
+                    else None,
+                }
                 return self._send(200, detail)
             return self._send(404, {"detail": "Not found"})
 
@@ -338,16 +407,20 @@ def _make_handler(srv: GatewayHTTPServer):
             return self._send(200, rec)
 
         def _query(self):
-            raw = self._body().decode()
             ctype = self.headers.get("Content-Type", "")
             if "json" in ctype:
                 try:
-                    q = json.loads(raw).get("query", "")
+                    q = self._json_dict().get("query", "")
                 except ValueError:
                     return self._send(400, {"detail": "Invalid JSON"})
             else:
-                # form field `query` (reference: src/app.py:955-957)
-                q = (parse_qs(raw).get("query") or [""])[0]
+                # form field `query`, multipart or urlencoded
+                # (reference: src/app.py:955-957 takes Form(...))
+                try:
+                    fields, _ = self._form_fields()
+                except ValueError as e:
+                    return self._send(400, {"detail": str(e)})
+                q = fields.get("query", "")
             try:
                 return self._send(200, run_adhoc_query(gw.spark, q))
             except ReadOnlyViolation as e:
@@ -356,15 +429,36 @@ def _make_handler(srv: GatewayHTTPServer):
                 return self._send(400, {"detail": f"Query error: {e}"})
 
         def _upload_table(self):
-            """JSON body: {webhook_id, table_name, description?, format:
-            'csv'|'json', content: '<text>'} — the stdlib stand-in for the
-            reference's multipart upload (src/app.py:993-1032)."""
+            """Multipart form (webhook_id, table_name, description?, file) —
+            the reference's upload contract (src/app.py:993-1032), with the
+            format inferred from the uploaded file's extension.  A JSON body
+            {webhook_id, table_name, description?, format, content} is also
+            accepted as this engine's convenience extension."""
             import tempfile
 
-            try:
-                data = self._json_dict()
-            except ValueError:
-                return self._send(400, {"detail": "Invalid JSON"})
+            ctype = self.headers.get("Content-Type", "")
+            if not ctype.startswith("application/json"):
+                try:
+                    fields, files = self._form_fields()
+                except ValueError as e:
+                    return self._send(400, {"detail": str(e)})
+                fname, content = files.get("file") or ("", b"")
+                if not fname:
+                    return self._send(400, {"detail": "file part required"})
+                data = {
+                    "webhook_id": fields.get("webhook_id", ""),
+                    "table_name": fields.get("table_name", ""),
+                    "description": fields.get("description"),
+                    "format": fname.rsplit(".", 1)[-1].lower()
+                    if "." in fname
+                    else "csv",
+                    "content": content.decode("utf-8", "replace"),
+                }
+            else:
+                try:
+                    data = self._json_dict()
+                except ValueError:
+                    return self._send(400, {"detail": "Invalid JSON"})
             fmt = (data.get("format") or "csv").lower()
             if fmt not in ("csv", "json"):
                 return self._send(400, {"detail": f"Unsupported format: {fmt}"})
@@ -390,10 +484,25 @@ def _make_handler(srv: GatewayHTTPServer):
             return self._send(200, {"id": rid, "status": "success"})
 
         def _register_udf(self):
-            try:
-                data = self._json_dict()
-            except ValueError:
-                return self._send(400, {"detail": "Invalid JSON"})
+            """Multipart form (webhook_id, function_name, function_code) —
+            the reference's contract (src/app.py:673-690 takes Form(...));
+            JSON bodies with the same keys are also accepted."""
+            ctype = self.headers.get("Content-Type", "")
+            if not ctype.startswith("application/json"):
+                try:
+                    data, files = self._form_fields()
+                except ValueError as e:
+                    return self._send(400, {"detail": str(e)})
+                # a function_code sent as a file part also counts
+                if "function_code" not in data and "function_code" in files:
+                    data["function_code"] = files["function_code"][1].decode(
+                        "utf-8", "replace"
+                    )
+            else:
+                try:
+                    data = self._json_dict()
+                except ValueError:
+                    return self._send(400, {"detail": "Invalid JSON"})
             if not gw.catalog.get_by_id(data.get("webhook_id", "")):
                 return self._send(404, {"detail": "Webhook not found"})
             try:

@@ -245,3 +245,79 @@ def test_non_dict_json_body_and_bad_limit_return_400(server):
     assert _req(server, "POST", "/register_udf", "5")[0] == 400
     assert _req(server, "PUT", "/webhook/some-id", "[]")[0] == 400
     assert _req(server, "GET", "/events?limit=abc")[0] == 400
+
+
+def _multipart(fields, files=None):
+    """Encode a multipart/form-data body like the reference UI's FormData
+    posts (axios), so these tests exercise the true wire contract."""
+    boundary = "testboundary123456"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n"
+        )
+    for k, (fname, content) in (files or {}).items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; '
+            f'filename="{fname}"\r\nContent-Type: text/csv\r\n\r\n{content}\r\n'
+        )
+    body = "".join(parts) + f"--{boundary}--\r\n"
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_multipart_form_contract(server, spark):
+    """The reference's /query, /upload_table and /register_udf take
+    FastAPI Form()/File() params (src/app.py:947-1032) — i.e. multipart
+    bodies, which its React UI sends via FormData.  The stdlib server must
+    accept the same wire format."""
+    _, rec = _req(server, "POST", "/register", WEBHOOK)
+    wid = rec["id"]
+
+    body, ctype = _multipart(
+        {"webhook_id": wid, "table_name": "prices", "description": "d"},
+        files={"file": ("prices.csv", "sku,price\nA,1\nB,2\n")},
+    )
+    code, res = _req(server, "POST", "/upload_table", body, ctype=ctype)
+    assert code == 200 and res["status"] == "success"
+
+    body, ctype = _multipart(
+        {
+            "webhook_id": wid,
+            "function_name": "up",
+            "function_code": "def up(s: str) -> str:\n    return s.upper()\n",
+        }
+    )
+    code, res = _req(server, "POST", "/register_udf", body, ctype=ctype)
+    assert code == 200 and res["status"] == "success"
+
+    widu = wid.replace("-", "_")
+    body, ctype = _multipart(
+        {"query": f"SELECT * FROM ref_{widu}_prices ORDER BY sku"}
+    )
+    code, res = _req(server, "POST", "/query", body, ctype=ctype)
+    assert code == 200
+    assert res["columns"] == ["sku", "price"]
+    assert res["result"] == [["A", 1], ["B", 2]]
+
+
+def test_transformed_event_reference_wire_shape(server):
+    """/event/{id}/transformed must expose the reference's flat shape
+    (src/app.py:1503-1563): id/timestamp/source_path/raw_payload at the
+    top level plus a single `transformed` object with a parsed payload —
+    emitted alongside this engine's {raw_event, transformed_events}."""
+    _req(server, "POST", "/register", WEBHOOK)
+    code, ack = _req(
+        server, "POST", "/api-test", {"field1": "x", "field2": "y"}, key=None
+    )
+    assert code == 200
+    server.wait_idle()
+    code, d = _req(server, "GET", f"/event/{ack['event_id']}/transformed")
+    assert code == 200
+    assert d["id"] == ack["event_id"]
+    assert d["source_path"] == "/api-test"
+    assert d["raw_payload"] == {"field1": "x", "field2": "y"}
+    t = d["transformed"]
+    assert t["payload"] == {"field1": "x", "field2": "y"}
+    assert t["destination_url"] == "http://example.com/recv"
+    assert t["success"] is True
