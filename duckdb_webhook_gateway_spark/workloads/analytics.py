@@ -1559,16 +1559,18 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     )
-    # Materialize the edge relation ONCE before undirect(): the union's
-    # two branches would otherwise each re-execute the pair-mining
-    # lineage (the dominant cost — the edge list itself is tiny relative
-    # to the lineitem scan it derives from).  Lazy localCheckpoint =
-    # edge-cardinality executor-local blocks, the standard input
-    # materialization for iterative graph algorithms; measured 3.2 s ->
-    # 1.4 s at sf0.1.
-    edges = basket_pairs(op).filter(F.col("n_baskets") >= 2).localCheckpoint(
-        eager=False
-    )
+    # Materialize the edge relation ONCE before undirect() when AQE is
+    # on: under AQE the union's two branches each re-execute the
+    # pair-mining lineage (AQE stage planning does not share the
+    # exchange across the branches — measured 3.2 s -> 1.4 s at sf0.1
+    # with the lazy localCheckpoint).  With AQE off, ReuseExchange
+    # already computes the lineage once and the checkpoint's blocking
+    # materialization is pure overhead (interleaved A/B: ~6% slower), so
+    # it is skipped.  The checkpoint is edge-cardinality — the standard
+    # input materialization for iterative graph algorithms.
+    edges = basket_pairs(op).filter(F.col("n_baskets") >= 2)
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        edges = edges.localCheckpoint(eager=False)
     ranks = pagerank_micro(undirect(edges), iterations=3)
     return (
         ranks.select(
