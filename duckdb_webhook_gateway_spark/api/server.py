@@ -98,7 +98,18 @@ class GatewayHTTPServer:
         if streaming:
             from ..streaming import StreamingGateway
 
-            self.streaming_gateway = StreamingGateway(gateway)
+            # ThreadingHTTPServer handles requests concurrently, so
+            # group commit coalesces a burst of ingest POSTs into one
+            # landing file (~20 ms added ack latency; the file source's
+            # per-file cost is what caps drain throughput).  Tunable via
+            # WEBHOOK_GATEWAY_GROUP_COMMIT_MS; 0 disables.
+            gc_ms = float(
+                os.environ.get("WEBHOOK_GATEWAY_GROUP_COMMIT_MS", "20")
+            )
+            self.streaming_gateway = StreamingGateway(
+                gateway,
+                group_commit_window=(gc_ms / 1000.0) if gc_ms > 0 else None,
+            )
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]

@@ -383,6 +383,61 @@ def test_runtime_transform_failure_does_not_poison_batch(gateway, spark):
     assert tr2[new_id_] == {"kept": 8}
 
 
+def test_ingest_many_bulk_file(gateway, spark):
+    """ingest_many lands N events as ONE json-lines file with the same
+    processing semantics — the bulk path that sidesteps the file source's
+    per-file fixed cost (measured ~200 ev/s as one-event files vs ~550
+    as 500-event files for the same 5k drain)."""
+    import os
+
+    _register(gateway)
+    sg = StreamingGateway(gateway)
+    ids = sg.ingest_many(
+        "/stream", [{"kind": f"k{i}", "value": i} for i in range(8)]
+    )
+    assert len(ids) == len(set(ids)) == 8
+    files = [f for f in os.listdir(sg.landing_dir) if not f.startswith(".")]
+    assert len(files) == 1  # one landing file for the whole batch
+    sg.run_available()
+    tr = {
+        r.raw_event_id: json.loads(r.transformed_payload)
+        for r in spark.sql("SELECT * FROM transformed_events").collect()
+    }
+    assert set(tr) == set(ids)
+    assert tr[ids[3]] == {"kind": "k3", "doubled": 6}
+    assert sg.ingest_many("/stream", []) == []  # empty batch: no file
+
+
+def test_group_commit_coalesces_concurrent_ingests(gateway, spark):
+    """With group_commit_window set, concurrent ingests share landing
+    files (WAL group commit): every event is durable at ack time, all
+    process exactly once, and the drain sees far fewer files than
+    events."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    _register(gateway)
+    sg = StreamingGateway(gateway, group_commit_window=0.02)
+    N = 96
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        ids = list(
+            pool.map(
+                lambda i: sg.ingest("/stream", {"kind": f"k{i}", "value": i}),
+                range(N),
+            )
+        )
+    assert len(set(ids)) == N
+    files = [f for f in os.listdir(sg.landing_dir) if not f.startswith(".")]
+    assert 0 < len(files) < N  # coalesced: fewer files than events
+    sg.run_available()
+    tr = {
+        r.raw_event_id: json.loads(r.transformed_payload)
+        for r in spark.sql("SELECT * FROM transformed_events").collect()
+    }
+    assert set(tr) == set(ids)
+    assert tr[ids[10]] == {"kind": "k10", "doubled": 20}
+
+
 def test_schema_from_fingerprint_matches_real_inference(spark):
     """The fingerprint-derived StructType must equal what spark.read.json
     actually infers for payloads of that shape — bit-for-bit, or the

@@ -47,9 +47,22 @@ def main() -> None:
             )
         )
         sg = StreamingGateway(gw)
+        mode = sys.argv[2] if len(sys.argv) > 2 else "files"
         t0 = time.perf_counter()
-        for i in range(n):
-            sg.ingest("/stream", {"kind": f"k{i % 7}", "value": i})
+        if mode == "bulk":
+            # ingest_many: one landing file per 500 events — the path a
+            # bulk producer or buffering HTTP shell takes
+            for start in range(0, n, 500):
+                sg.ingest_many(
+                    "/stream",
+                    [
+                        {"kind": f"k{i % 7}", "value": i}
+                        for i in range(start, min(start + 500, n))
+                    ],
+                )
+        else:
+            for i in range(n):
+                sg.ingest("/stream", {"kind": f"k{i % 7}", "value": i})
         t1 = time.perf_counter()
         sg.run_available()
         t2 = time.perf_counter()
@@ -58,7 +71,8 @@ def main() -> None:
             "FROM transformed_events"
         ).first()
         print(
-            f"N={n} ingest {t1 - t0:.2f}s process {t2 - t1:.2f}s "
+            f"N={n} mode={mode} ingest {t1 - t0:.2f}s "
+            f"process {t2 - t1:.2f}s "
             f"ev/s={n / (t2 - t1):.0f} audited={rows['n']} "
             f"delivered_ok={rows['ok']}"
         )
