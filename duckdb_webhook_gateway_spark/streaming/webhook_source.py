@@ -386,10 +386,18 @@ class _GroupCommit:
         self._lines: list[str] = []
         self._buf_gen = 0  # generation of the buffer now accepting lines
         self._done_gen = -1  # highest generation durable on disk
+        # generation -> exception for failed flushes: waiters of a failed
+        # batch must get the write error (their event is NOT durable), not
+        # a success ack, and must not hang on a generation that will never
+        # become durable
+        self._errors: dict[int, Exception] = {}
         self._flusher_active = False
 
     def submit(self, line: str) -> None:
-        """Add one envelope line; returns once its file is renamed in."""
+        """Add one envelope line; returns once its file is renamed in.
+        Raises the flush's I/O error if the shared write failed — the
+        caller's event did not land, same contract as a failed
+        single-file ingest."""
         with self._lock:
             self._lines.append(line)
             my_gen = self._buf_gen
@@ -400,32 +408,52 @@ class _GroupCommit:
                 i_flush = False
         if not i_flush:
             with self._flushed:
-                while self._done_gen < my_gen:
+                while (
+                    self._done_gen < my_gen and my_gen not in self._errors
+                ):
                     self._flushed.wait(timeout=1.0)
+                err = self._errors.get(my_gen)
+            if err is not None:
+                raise err
             return
         # flusher role: batch the window, write, repeat while backlog
         import time as _time
 
+        my_err: Optional[Exception] = None
         while True:
             _time.sleep(self.window)
             with self._lock:
                 lines, self._lines = self._lines, []
                 gen = self._buf_gen
                 self._buf_gen += 1
+            flush_err: Optional[Exception] = None
             if lines:
-                fkey = uuid.uuid4().hex
-                tmp = os.path.join(self.dir, f".{fkey}.json.tmp")
-                with open(tmp, "w") as f:
-                    f.write("\n".join(lines) + "\n")
-                os.rename(tmp, os.path.join(self.dir, f"{fkey}.json"))
+                try:
+                    fkey = uuid.uuid4().hex
+                    tmp = os.path.join(self.dir, f".{fkey}.json.tmp")
+                    with open(tmp, "w") as f:
+                        f.write("\n".join(lines) + "\n")
+                    os.rename(tmp, os.path.join(self.dir, f"{fkey}.json"))
+                except Exception as e:  # noqa: BLE001 - propagated to waiters
+                    flush_err = e
             with self._flushed:
-                self._done_gen = gen
+                if flush_err is not None:
+                    self._errors[gen] = flush_err
+                    if len(self._errors) > 1024:  # bounded bookkeeping
+                        for g in sorted(self._errors)[:-512]:
+                            del self._errors[g]
+                    if gen == my_gen:
+                        my_err = flush_err
+                else:
+                    self._done_gen = gen
                 self._flushed.notify_all()
                 if not self._lines:
                     self._flusher_active = False
-                    return
+                    break
                 # lines arrived while writing: keep the flusher role so
                 # their acks aren't orphaned, loop for the next batch
+        if my_err is not None:
+            raise my_err
 
 
 class StreamingGateway:

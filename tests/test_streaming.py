@@ -438,6 +438,40 @@ def test_group_commit_coalesces_concurrent_ingests(gateway, spark):
     assert tr[ids[10]] == {"kind": "k10", "doubled": 20}
 
 
+def test_group_commit_flush_failure_propagates_and_recovers(gateway):
+    """A failed shared-file write must raise in every waiter of that
+    batch (their events are NOT durable — acking success would lie) and
+    must not wedge the buffer: later ingests flush normally."""
+    import os as _os
+
+    from duckdb_webhook_gateway_spark.streaming.webhook_source import (
+        _GroupCommit,
+    )
+
+    gc = _GroupCommit(gateway.workdir + "/landing-gc", window_s=0.01)
+    _os.makedirs(gc.dir, exist_ok=True)
+    real_rename = _os.rename
+    boom = {"on": True}
+
+    def flaky_rename(src, dst):
+        if boom["on"] and gc.dir in str(dst):
+            raise OSError("disk full")
+        return real_rename(src, dst)
+
+    _os.rename = flaky_rename
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError):
+            gc.submit('{"event_id": "a"}')
+        boom["on"] = False
+        gc.submit('{"event_id": "b"}')  # buffer recovered
+    finally:
+        _os.rename = real_rename
+    files = [f for f in _os.listdir(gc.dir) if not f.startswith(".")]
+    assert len(files) == 1
+
+
 def test_schema_from_fingerprint_matches_real_inference(spark):
     """The fingerprint-derived StructType must equal what spark.read.json
     actually infers for payloads of that shape — bit-for-bit, or the
