@@ -56,6 +56,8 @@ QUERIES = [
     "boilerplate_ratio",
     "doc_chunk_manifest",
     "text_pattern_scrub",
+    # round-7 rewrite (in-pass stream total riding the MG summary)
+    "token_heavy_hitters",
 ]
 
 VOCAB = [
@@ -224,6 +226,75 @@ def test_events_queries_match_oracle_on_random_streams(
             srows = Counter(
                 tuple(_norm(v) for v in r)
                 for r in fn(spark, d).collect()
+            )
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            continue
+        try:
+            drows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in con.execute(sql).fetchall()
+            )
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            continue
+        if srows != drows:
+            diff_s = list((srows - drows).keys())[:3]
+            diff_d = list((drows - srows).keys())[:3]
+            failures.append(
+                (name, f"spark-only {diff_s} vs duck-only {diff_d}")
+            )
+    assert failures == [], failures
+
+
+# ---------------------------------------------------------------------------
+# basket/graph family: random co-occurrence structure for the pair-mining
+# and integer-PageRank queries, salted with a single-item basket (zero
+# pairs), an in-basket duplicate (collect_set/DISTINCT dedup on both
+# engines), and a DEGENERATE >MAX_BASKET_ITEMS basket that exercises the
+# 1024-item truncation cap and its row_number oracle mirror.
+
+BASKET_QUERIES = ["part_basket_pairs", "part_pagerank"]
+
+
+def _rand_lineitem(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    for ok in range(1, 61):
+        k = rng.randint(1, 8)
+        for pk in rng.sample(range(1, 41), k):
+            rows.append((ok, pk))
+    rows.append((1, rows[0][1]))  # duplicate (basket, item) row
+    rows.append((9001, 7))  # single-item basket: contributes no pairs
+    # degenerate basket past the truncation cap (keeps smallest 1024)
+    for pk in range(1, 1101):
+        rows.append((9999, pk))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_basket_graph_queries_match_oracle_on_random_inputs(
+    spark, tmp_path_factory, entries, seed
+):
+    d = str(tmp_path_factory.mktemp(f"bfuzz{seed}"))
+    spark.createDataFrame(
+        _rand_lineitem(seed), "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'lineitem.parquet')}/*.parquet')"
+    )
+
+    failures = []
+    for name in BASKET_QUERIES:
+        fn, sql = entries[name]
+        try:
+            srows = Counter(
+                tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
             )
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
