@@ -43,6 +43,7 @@ from typing import Any, Optional
 from urllib.parse import parse_qs, urlparse
 
 from ..engine.catalog import ValidationError, WebhookConfig
+from ..engine.store import now_utc
 from ..engine.pipeline import Gateway
 from ..engine.query_gateway import ReadOnlyViolation, run_adhoc_query
 
@@ -248,16 +249,45 @@ def _make_handler(srv: GatewayHTTPServer):
             path = urlparse(self.path).path
             qs = parse_qs(urlparse(self.path).query)
             if path == "/":
-                return self._send(200, {"status": "ok"})
+                return self._send(
+                    200,
+                    {"status": "ok", "message": "Webhook Gateway is running"},
+                )
             if not self._is_api_get(path):
                 # SPA catch-all comes last, exactly like the reference.
                 return self._serve_spa(path)
             if not self._auth():
                 return
             if path == "/stats":
-                return self._send(200, gw.stats())
+                # reference wire shape (src/app.py:1246-1294, pinned by its
+                # test suite): status + *_count keys + webhook_success_rates
+                # rows — emitted as a superset of the engine's stats dict
+                s = gw.stats()
+                rates = [
+                    {
+                        "webhook_id": r["webhook_id"],
+                        "total_events": r["total"],
+                        "success_count": r["successes"],
+                        "success_rate": r["success_rate"],
+                    }
+                    for r in s.get("per_webhook", [])
+                ]
+                return self._send(
+                    200,
+                    {
+                        **s,
+                        "status": "success",
+                        "webhook_count": s["webhooks"],
+                        "raw_event_count": s["raw_events"],
+                        "transformed_event_count": s["transformed_events"],
+                        "webhook_success_rates": rates,
+                    },
+                )
             if path == "/webhooks":
-                return self._send(200, {"webhooks": gw.catalog.list()})
+                return self._send(
+                    200,
+                    {"status": "success", "webhooks": gw.catalog.list()},
+                )
             m = re.fullmatch(r"/webhook/([^/]+)", path)
             if m:
                 row = gw.catalog.get_by_id(m.group(1))
@@ -268,10 +298,18 @@ def _make_handler(srv: GatewayHTTPServer):
                 return self._send(200, row)
             if path == "/reference_tables":
                 wid = (qs.get("webhook_id") or [None])[0]
-                return self._send(200, {"reference_tables": gw.ref_tables.list(wid)})
+                return self._send(
+                    200,
+                    {
+                        "status": "success",
+                        "reference_tables": gw.ref_tables.list(wid),
+                    },
+                )
             if path == "/udfs":
                 wid = (qs.get("webhook_id") or [None])[0]
-                return self._send(200, {"udfs": gw.udfs.list(wid)})
+                return self._send(
+                    200, {"status": "success", "udfs": gw.udfs.list(wid)}
+                )
             if path == "/events":
                 try:
                     limit = int((qs.get("limit") or ["50"])[0])
@@ -279,7 +317,10 @@ def _make_handler(srv: GatewayHTTPServer):
                     return self._send(
                         400, {"detail": "limit must be an integer"}
                     )
-                return self._send(200, {"events": gw.recent_events(limit)})
+                return self._send(
+                    200,
+                    {"status": "success", "events": gw.recent_events(limit)},
+                )
             m = re.fullmatch(r"/event/([^/]+)/transformed", path)
             if m:
                 detail = gw.event_detail(m.group(1))
@@ -374,10 +415,24 @@ def _make_handler(srv: GatewayHTTPServer):
         def do_POST(self):
             path = urlparse(self.path).path
             if path == "/echo-webhook":
+                # authenticated, unlike ingestion (reference:
+                # src/app.py:1674-1703 takes the api_key dependency)
+                if not self._auth():
+                    return
                 try:
-                    return self._send(200, {"received": self._json()})
+                    payload = self._json()
                 except ValueError:
                     return self._send(400, {"detail": "Invalid JSON"})
+                return self._send(
+                    200,
+                    {
+                        "status": "success",
+                        "message": "Echo webhook received your payload",
+                        "received_at": now_utc().isoformat(),
+                        "payload": payload,
+                        "received": payload,  # legacy key
+                    },
+                )
             if path == "/register":
                 if not self._auth():
                     return
@@ -415,7 +470,12 @@ def _make_handler(srv: GatewayHTTPServer):
             except ValidationError as e:
                 return self._send(422, {"detail": str(e)})
             rec = gw.register_webhook(cfg)
-            return self._send(200, rec)
+            # reference wire shape (src/app.py:950, pinned by its tests):
+            # {"status": "success", "webhook": {...}} — flat record kept
+            # as a superset for clients reading fields directly
+            return self._send(
+                200, {**rec, "status": "success", "webhook": rec}
+            )
 
         def _query(self):
             ctype = self.headers.get("Content-Type", "")
@@ -492,7 +552,16 @@ def _make_handler(srv: GatewayHTTPServer):
                 return self._send(400, {"detail": str(e)})
             finally:
                 os.unlink(tmp)
-            return self._send(200, {"id": rid, "status": "success"})
+            # reference keys (src/app.py:1029) + legacy "id"
+            return self._send(
+                200,
+                {
+                    "id": rid,
+                    "table_id": rid,
+                    "table_name": data["table_name"],
+                    "status": "success",
+                },
+            )
 
         def _register_udf(self):
             """Multipart form (webhook_id, function_name, function_code) —
@@ -524,7 +593,24 @@ def _make_handler(srv: GatewayHTTPServer):
                 )
             except Exception as e:
                 return self._send(400, {"detail": f"Invalid function: {e}"})
-            return self._send(200, {"id": rid, "status": "success"})
+            from ..engine.udfs import udf_full_name
+
+            # reference keys (src/app.py:1058-1063) + legacy "id"; the
+            # "duckdb_function_name" KEY is the reference's wire contract —
+            # the VALUE is the name this engine registers the UDF under,
+            # which is what a client pastes into SQL either way
+            return self._send(
+                200,
+                {
+                    "id": rid,
+                    "udf_id": rid,
+                    "status": "success",
+                    "function_name": data["function_name"],
+                    "duckdb_function_name": udf_full_name(
+                        data["webhook_id"], data["function_name"]
+                    ),
+                },
+            )
 
         def _ingest(self, path: str):
             webhook = gw.catalog.get_by_path(path)
@@ -599,7 +685,19 @@ def _make_handler(srv: GatewayHTTPServer):
             outcome = gw.delete_webhook(m.group(1))
             if outcome is None:
                 return self._send(404, {"detail": "Webhook not found"})
-            return self._send(200, {"status": outcome})
+            # reference shape (src/app.py:1753-1760, pinned by its tests:
+            # status == "success"); the outcome key keeps the
+            # deleted-vs-deactivated distinction observable
+            return self._send(
+                200,
+                {
+                    "status": "success",
+                    "outcome": outcome,
+                    "message": "Webhook deleted"
+                    if outcome == "deleted"
+                    else "Webhook marked as inactive (has event history)",
+                },
+            )
 
     return Handler
 

@@ -64,9 +64,19 @@ export const udfApi = {
 export const eventApi = {
   getStats: async () => {
     const d = await request("GET", "/stats");
-    return d && d.status === "success"
-      ? d
-      : { received: 0, processed: 0, success_rate: 0, recent_events: [] };
+    if (!d || d.status !== "success") {
+      return { received: 0, processed: 0, success_rate: 0, recent_events: [] };
+    }
+    // derive the dashboard's fields from the gateway's stats shape
+    const rates = d.webhook_success_rates || [];
+    const total = rates.reduce((a, r) => a + (r.total_events || 0), 0);
+    const ok = rates.reduce((a, r) => a + (r.success_count || 0), 0);
+    return {
+      ...d,
+      received: d.raw_event_count ?? 0,
+      processed: d.transformed_event_count ?? 0,
+      success_rate: total ? ok / total : 0,
+    };
   },
   getRecentEvents: async (limit = 10) =>
     (await request("GET", `/events?limit=${limit}`))?.events || [],

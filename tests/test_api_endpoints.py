@@ -168,15 +168,23 @@ def test_stats_and_lifecycle(server):
     assert row["source_path"] == f"/inactive_{wid}"
 
     code, res = _req(server, "DELETE", f"/webhooks/{wid}")
-    assert code == 200 and res["status"] == "deleted"  # no event history
+    # reference shape: status == "success" (its test suite pins this);
+    # the outcome key keeps deleted-vs-deactivated observable
+    assert code == 200 and res["status"] == "success"
+    assert res["outcome"] == "deleted"  # no event history
 
     code, _ = _req(server, "GET", f"/webhook/{wid}")
     assert code == 404
 
 
 def test_echo_webhook(server):
-    code, body = _req(server, "POST", "/echo-webhook", {"ping": 1}, key=None)
-    assert code == 200 and body["received"] == {"ping": 1}
+    # authenticated, unlike ingestion (reference: src/app.py:1674-1703)
+    code, _ = _req(server, "POST", "/echo-webhook", {"ping": 1}, key=None)
+    assert code == 403
+    code, body = _req(server, "POST", "/echo-webhook", {"ping": 1})
+    assert code == 200 and body["payload"] == {"ping": 1}
+    assert body["status"] == "success" and "received_at" in body
+    assert body["received"] == {"ping": 1}  # legacy key kept
 
 
 def test_streaming_mode_end_to_end(gateway, spark):
@@ -321,3 +329,54 @@ def test_transformed_event_reference_wire_shape(server):
     assert t["payload"] == {"field1": "x", "field2": "y"}
     assert t["destination_url"] == "http://example.com/recv"
     assert t["success"] is True
+
+
+def test_reference_response_envelopes(server):
+    """The reference's OWN test suite pins response envelopes
+    (tests/test_api_endpoints.py:91,168,209,232,266,286,317): status +
+    payload-key wrappers on /register, /webhooks, /query, /stats,
+    /reference_tables, /udfs and upload/UDF registration keys.  Emitted
+    here as supersets of this engine's legacy keys."""
+    code, body = _req(server, "GET", "/", key=None)
+    assert body["status"] == "ok" and "message" in body
+
+    code, rec = _req(server, "POST", "/register", WEBHOOK)
+    assert rec["status"] == "success"
+    assert rec["webhook"]["source_path"] == "/api-test"
+    wid = rec["webhook"]["id"]
+    assert rec["id"] == wid  # legacy flat record kept
+
+    code, listing = _req(server, "GET", "/webhooks")
+    assert listing["status"] == "success" and listing["webhooks"]
+
+    code, up = _req(
+        server, "POST", "/upload_table",
+        {"webhook_id": wid, "table_name": "t1", "format": "csv",
+         "content": "a,b\n1,2\n"},
+    )
+    assert up["status"] == "success"
+    assert up["table_id"] == up["id"] and up["table_name"] == "t1"
+
+    code, udf = _req(
+        server, "POST", "/register_udf",
+        {"webhook_id": wid, "function_name": "fx",
+         "function_code": "def fx(x: str) -> str:\n    return x\n"},
+    )
+    assert udf["status"] == "success" and udf["udf_id"] == udf["id"]
+    assert udf["function_name"] == "fx"
+    assert udf["duckdb_function_name"].endswith("_fx")
+
+    for path, key in [
+        ("/reference_tables", "reference_tables"),
+        ("/udfs", "udfs"),
+        ("/events", "events"),
+    ]:
+        code, body = _req(server, "GET", path)
+        assert body["status"] == "success" and key in body
+
+    code, stats = _req(server, "GET", "/stats")
+    assert stats["status"] == "success"
+    assert stats["webhook_count"] == 1
+    assert "raw_event_count" in stats and "transformed_event_count" in stats
+    assert isinstance(stats["webhook_success_rates"], list)
+    assert stats["webhooks"] == 1  # legacy keys kept
