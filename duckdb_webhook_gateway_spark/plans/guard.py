@@ -1,13 +1,16 @@
 """Read-only guard for the ad-hoc query gateway.
 
 The reference guards ``/query`` with a naive uppercase-substring denylist
-on DROP/DELETE/TRUNCATE/INSERT/UPDATE (src/app.py:971-973).  For parity
-the same denylist is applied first; on top of it, a parser-based check
-(SURVEY §4.2's "stronger variant") rejects any statement whose *parsed
-logical plan* is a command/DML node rather than a query — idiomatic Spark
-and immune to the substring check's false negatives (lowercase ``drop``)
-and false positives (a column literally named ``UPDATED_AT`` is fine
-because the denylist only matches whole words here).
+on DROP/DELETE/TRUNCATE/INSERT/UPDATE (src/app.py:971-973).  This guard
+strengthens it two ways (SURVEY §4.2's "stronger variant") while staying
+purely lexical: the denylist matches WHOLE WORDS case-insensitively
+(catching lowercase ``drop`` and piggybacked second statements, without
+the reference's "SELECT updated_at" false positive), and a
+command-prefix check rejects every statement FORM that isn't a query —
+CREATE/ALTER/SET/CACHE/..., plus Spark 4's indirect-execution forms
+(EXECUTE IMMEDIATE, DECLARE, BEGIN...END scripting, CALL), which could
+otherwise smuggle a write inside a string expression that no keyword
+scan can see.  Commands the reference's five-word list never covered.
 """
 
 from __future__ import annotations
@@ -21,10 +24,14 @@ _DENY_WORDS = ("DROP", "DELETE", "TRUNCATE", "INSERT", "UPDATE")
 _DENY_RE = re.compile(r"\b(" + "|".join(_DENY_WORDS) + r")\b", re.IGNORECASE)
 
 # Command keywords that start non-query statements in Spark SQL.
+# EXECUTE (IMMEDIATE), DECLARE, BEGIN and CALL matter most: they can run
+# SQL built from string EXPRESSIONS ('dr' || 'op ...'), which neither the
+# word denylist nor any keyword scan of the outer text could catch.
 _COMMAND_PREFIX_RE = re.compile(
     r"^\s*(DROP|DELETE|TRUNCATE|INSERT|UPDATE|MERGE|CREATE|ALTER|REPLACE|"
     r"SET|RESET|ADD|REFRESH|CACHE|UNCACHE|ANALYZE|GRANT|REVOKE|LOAD|"
-    r"IMPORT|EXPORT|MSCK|USE)\b",
+    r"IMPORT|EXPORT|MSCK|USE|COMMENT|CALL|EXECUTE|DECLARE|BEGIN|"
+    r"OPTIMIZE|VACUUM)\b",
     re.IGNORECASE,
 )
 

@@ -52,6 +52,13 @@ def test_datetime_iso_serialization(gateway, spark):
         "TRUNCATE TABLE raw_events",
         "CREATE TABLE t AS SELECT 1",
         "SELECT 1; DROP TABLE webhooks",
+        # indirect-execution forms: the inner SQL is a string EXPRESSION
+        # no keyword scan of the outer text can see through
+        "EXECUTE IMMEDIATE 'dr' || 'op table webhooks'",
+        "DECLARE v STRING",
+        "BEGIN SELECT 1; END",
+        "CALL some_proc(1)",
+        "COMMENT ON TABLE webhooks IS 'x'",
     ],
 )
 def test_writes_rejected(spark, bad):
