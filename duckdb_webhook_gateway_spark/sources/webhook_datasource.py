@@ -1,7 +1,8 @@
 """`format("webhook")` — a Spark 4 Python Data Source over the landing dir.
 
 The streaming pipeline's landing directory (streaming/webhook_source.py:
-one immutable JSON envelope file per ingested event) exposed as a
+immutable json-lines envelope files — one event per file from plain
+``ingest()``, many from ``ingest_many()``/group commit) exposed as a
 first-class Spark source, so the ingest path reads idiomatically:
 
     spark.dataSource.register(WebhookDataSource)
@@ -70,15 +71,29 @@ def _list_envelopes(path: str) -> list[str]:
     return sorted(n for n in names if n.endswith(".json"))
 
 
-def _parse(path: str, name: str) -> Tuple:
+def _parse(path: str, name: str) -> list[Tuple]:
+    """Every envelope in one landing file.
+
+    Single-event ingest writes one line per file, but ``ingest_many``
+    and group commit (round 7) write json-lines BATCH files — reading
+    only the first line would silently drop the rest of the batch.
+    """
+    rows: list[Tuple] = []
     with open(os.path.join(path, name)) as f:
-        env = json.loads(f.readline())
-    return (
-        env["event_id"],
-        env["source_path"],
-        env["payload_json"],
-        datetime.fromisoformat(env["ingest_ts"]),
-    )
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            env = json.loads(line)
+            rows.append(
+                (
+                    env["event_id"],
+                    env["source_path"],
+                    env["payload_json"],
+                    datetime.fromisoformat(env["ingest_ts"]),
+                )
+            )
+    return rows
 
 
 class _FileChunk(InputPartition):
@@ -102,7 +117,7 @@ class WebhookBatchReader(DataSourceReader):
 
     def read(self, partition: _FileChunk) -> Iterator[Tuple]:
         for name in partition.names:
-            yield _parse(partition.path, name)
+            yield from _parse(partition.path, name)
 
 
 class WebhookStreamReader(SimpleDataSourceStreamReader):
@@ -127,7 +142,9 @@ class WebhookStreamReader(SimpleDataSourceStreamReader):
         # A materialized list, not a generator: the streaming runtime's
         # prefetch cache copy.copy()s the returned iterator to allow
         # re-reads, and generators aren't copyable.
-        return [_parse(self.path, name) for name in names]
+        return [
+            row for name in names for row in _parse(self.path, name)
+        ]
 
 
 class WebhookDataSource(DataSource):

@@ -37,6 +37,29 @@ def _write_envelope(landing: str, path: str = "/orders", n: int = 1) -> list[str
     return ids
 
 
+def _write_batch_file(landing: str, path: str = "/bulk", n: int = 3) -> list[str]:
+    """One json-lines file holding n envelopes — the shape ingest_many /
+    group commit produce (streaming/webhook_source.py batch writer)."""
+    os.makedirs(landing, exist_ok=True)
+    ids = []
+    lines = []
+    for i in range(n):
+        event_id = uuid.uuid4().hex
+        lines.append(json.dumps({
+            "event_id": event_id,
+            "source_path": path,
+            "payload_json": json.dumps({"i": i}),
+            "ingest_ts": datetime.now(timezone.utc).isoformat(),
+        }))
+        ids.append(event_id)
+    fname = os.path.join(landing, f"batch-{uuid.uuid4().hex}.json")
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, fname)
+    return ids
+
+
 @pytest.fixture()
 def registered(spark):
     spark.dataSource.register(WebhookDataSource)
@@ -73,6 +96,29 @@ def test_batch_read_partitions_cover_all_files(registered, tmp_path):
     )
     assert df.count() == 23
     assert df.select("event_id").distinct().count() == 23
+
+
+def test_batch_read_json_lines_batch_files(registered, tmp_path):
+    """ingest_many / group commit write many envelopes per file; every
+    line must surface, mixed freely with single-event files."""
+    landing = str(tmp_path / "landing")
+    singles = _write_envelope(landing, n=2)
+    bulk = _write_batch_file(landing, n=5)
+    df = registered.read.format("webhook").load(landing)
+    rows = df.collect()
+    assert sorted(r.event_id for r in rows) == sorted(singles + bulk)
+    assert {r.source_path for r in rows} == {"/orders", "/bulk"}
+
+
+def test_stream_reader_reads_all_lines_of_batch_files(tmp_path):
+    landing = str(tmp_path / "landing")
+    bulk = _write_batch_file(landing, n=4)
+    r = WebhookStreamReader({"path": landing})
+    rows, off = r.read(r.initialOffset())
+    assert sorted(t[0] for t in rows) == sorted(bulk)
+    more = _write_batch_file(landing, n=3)
+    rows2, off2 = r.read(off)
+    assert sorted(t[0] for t in rows2) == sorted(more)
 
 
 def test_stream_reader_offsets_are_incremental_and_replayable(tmp_path):
