@@ -91,6 +91,14 @@ EXTENDED2_QUERIES = [
     "gopher_repetition_report",
 ]
 
+# Fourth suite: round-7 additions (BM25 retrieval, n-gram novelty, RRF
+# hybrid retrieval), same protocol.
+EXTENDED3_QUERIES = [
+    "doc_bm25_topk",
+    "source_ngram_novelty",
+    "hybrid_rank_fusion",
+]
+
 
 def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -175,6 +183,9 @@ def main() -> None:
     ext2_timings, ext2_total = run_suite(
         [n for n in EXTENDED2_QUERIES if n in entries]
     )
+    ext3_timings, ext3_total = run_suite(
+        [n for n in EXTENDED3_QUERIES if n in entries]
+    )
 
     print(
         json.dumps(
@@ -191,6 +202,10 @@ def main() -> None:
                 "extended2": {
                     "value": round(ext2_total, 3),
                     "queries": ext2_timings,
+                },
+                "extended3": {
+                    "value": round(ext3_total, 3),
+                    "queries": ext3_timings,
                 },
             }
         )

@@ -640,3 +640,187 @@ def gopher_repetition_signals(
         + carry_schema
         + ", total_chars bigint, top2_chars bigint, dup5_chars bigint",
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009): score every
+    document against a fixed bag of query terms, return the top-k.
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene non-negative
+    variant); per-term scores are scaled to INTEGER nano-units before the
+    per-document sum, so the reduction is exact BIGINT addition — immune
+    to FP sum-order drift across partitionings and engines (the same
+    micro-unit trick as pagerank_micro).
+
+    Plan shape: the corpus token explode is filtered to the query terms
+    IN THE SAME CODEGEN STAGE it is produced (an In predicate over a
+    literal list), so only term-matched rows — a |terms|-bounded fraction
+    of the stream — ever reach the (doc_id, token) tf shuffle, and dl
+    rides the explode in-row (size(t)): no document-length join.  df
+    attaches as a count WINDOW over (token) on the tf relation (the
+    tfidf trick) — no df aggregate, no join back, no second run of the
+    explode lineage.  N and avgdl are ONE 1-row broadcast stats subtree
+    (a second corpus pass of in-row lengths, partial-agg combined
+    map-side — 2 corpus passes and 2 Spark jobs total).  Top-k is
+    orderBy+limit = TakeOrderedAndProject; the rank window runs on the
+    k-row result only.  Nothing corpus-cardinality is broadcast,
+    collected, or globally sorted.
+    """
+    spark = docs.sparkSession
+    from ..plans.spread import scan_splits
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scanned = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    # The repartition feeds ONLY the explode path (its CPU-heavy map
+    # stage); the stats pass is a pure partial-agg of in-row lengths —
+    # routing it through the repartition would shuffle the corpus just
+    # to average a column.
+    base = scanned
+    if scan_splits(spark, docs) < target:
+        base = scanned.repartition(target, "doc_id")
+    lens = scanned.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("token"),
+        )
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    term_scores = (
+        tf.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1e9)
+                * F.log(
+                    (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("score_nano"),
+        )
+    )
+    scored = term_scores.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("score_nano").cast("bigint").alias("score_nano"),
+    )
+    topk = scored.orderBy(F.col("score_nano").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score_nano").desc(), "doc_id")
+    return topk.select(
+        "doc_id",
+        "n_terms",
+        F.round(F.col("score_nano") / 1e9, 6).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group n-gram novelty: of each document's DISTINCT n-grams, the
+    share that occur in NO other document corpus-wide (doc frequency 1) —
+    a memorization/diversity signal for corpus curation (high novelty =
+    fresh text; low = templated/boilerplate-heavy sources).
+
+    All aggregation is integer counting; the single division happens once
+    per output row — no FP reductions anywhere, so the result is
+    bit-identical under any partitioning and across engines.
+
+    Plan shape: n-grams are built IN-ROW from the split array (transform
+    over sequence — no position join, the token stream never carries
+    offsets), then ONE distinct shuffle on (doc, group, ngram) — the
+    widest exchange, of id+ngram-width rows.  Doc frequency attaches as
+    a count WINDOW over (ngram) — no df relation, no join back — and
+    the two groupBys that follow reduce doc-cardinality then
+    group-cardinality rows.  Nothing is broadcast or collected; docs
+    shorter than n tokens contribute no n-grams and drop out, exactly
+    as the oracle's position join emits none.
+    """
+    parts = ", ' ', ".join(f"element_at(t, i + {j})" for j in range(n))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    ngrams = base.filter(F.size("t") >= n).select(
+        "doc_id",
+        "grp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), i -> "
+                f"concat({parts}))"
+            )
+        ).alias("ngram"),
+    )
+    distinct = ngrams.select("doc_id", "grp", "ngram").distinct()
+    per_doc = (
+        distinct.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("ngram"))
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("doc_freq") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("novel").cast("bigint").alias("novel_ngrams"),
+            F.sum("n_ngrams").cast("bigint").alias("total_ngrams"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "novel_ngrams",
+            "total_ngrams",
+            F.round(
+                F.col("novel_ngrams") / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

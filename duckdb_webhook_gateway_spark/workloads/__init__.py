@@ -23,9 +23,11 @@ from . import analytics, datapipe  # noqa: E402
 # Rotation policy: every query is driver-re-verified at least every third
 # round.  Round-7 _CHECK_FIRST = exactly the 50 queries last driver-green
 # in round 4 (they hit the staleness limit this round).  The 26 r5-green
-# entries sit unlisted in the middle (due r8, rotate in next round along
-# with any round-7 additions); the 50 r6-green entries rotate to
-# _CHECK_LAST (due r9).
+# entries sit unlisted in the middle (due r8), as do the THREE round-7
+# additions (doc_bm25_topk, source_ngram_novelty, hybrid_rank_fusion —
+# sf0.01+sf0.1 oracle-parity-verified and fuzz-covered in-repo this
+# round; rotate them into _CHECK_FIRST next round); the 50 r6-green
+# entries rotate to _CHECK_LAST (due r9).
 _CHECK_FIRST = (
     # last driver-green in round 4 (staleness limit this round):
     "events_cohort_retention",

@@ -4283,3 +4283,248 @@ ENTRIES["gopher_repetition_report"] = (
     gopher_repetition_report,
     GOPHER_REPETITION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# terms present in BOTH the driver corpus and the fuzz-harness vocab,
+# spanning idf regimes (high-df "the" exercises the non-negative idf floor)
+_BM25_TERMS = ("data", "spark", "the")
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a fixed query-term bag —
+    the lexical half of a training-data search/retrieval stack.  Integer
+    nano-unit scoring (order-independent sums); the corpus token stream
+    is filtered to the query terms inside the explode's codegen stage,
+    so only matched rows shuffle.  No spread: the operator repartitions
+    by doc_id itself (tfidf pattern) — spreading here would double-shuffle.
+    """
+    return X.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+
+
+DOC_BM25_TOPK_SQL = f"""
+WITH
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens),
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+tok AS (SELECT doc_id, t[i] AS token FROM toks JOIN nums ON i <= len(t)),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN {_BM25_TERMS!r}
+  GROUP BY doc_id, token
+),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(round(1e9 *
+           ln((CAST(s.n AS DOUBLE) - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl))
+         ) AS BIGINT) AS score_nano
+  FROM tf JOIN dfr ON tf.token = dfr.token
+          JOIN lens l ON tf.doc_id = l.doc_id, stats s
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(score_nano) AS BIGINT) AS score_nano
+  FROM term_scores GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, n_terms, score_nano,
+         CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, n_terms, round(score_nano / 1e9, 6) AS score, rank
+FROM topk WHERE rank <= 20
+"""
+
+
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram novelty (share of a doc's distinct trigrams
+    with corpus doc-frequency 1) — a diversity/memorization signal for
+    source-level curation.  Pure integer counting; one distinct shuffle
+    + one count window, no joins."""
+    return X.ngram_novelty(_docs(spark, sf_dir, spread=True), n=3)
+
+
+SOURCE_NGRAM_NOVELTY_SQL = """
+WITH
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+big AS (SELECT DISTINCT doc_id, source,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ngram
+        FROM toks JOIN nums ON i <= len(t) - 2),
+perdoc AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel
+  FROM (SELECT doc_id, source, ngram,
+               count(*) OVER (PARTITION BY ngram) AS df FROM big)
+  GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(novel) AS BIGINT) AS novel_ngrams,
+       CAST(sum(n_ngrams) AS BIGINT) AS total_ngrams,
+       round(sum(novel) / CAST(sum(n_ngrams) AS DOUBLE), 6) AS novelty
+FROM perdoc GROUP BY source
+"""
+
+ENTRIES["doc_bm25_topk"] = (doc_bm25_topk, DOC_BM25_TOPK_SQL)
+ENTRIES["source_ngram_novelty"] = (
+    source_ngram_novelty,
+    SOURCE_NGRAM_NOVELTY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse a dense ranking (embedding cosine) with a lexical ranking
+    (token-set Jaccard against the query document's text) as
+    rrf = 1/(60+r_dense) + 1/(60+r_lex) over the two top-50 lists, and
+    keep the fused top-10 per query.
+
+    Scale shape: the 5-query set is broadcast against the partitioned
+    corpus on BOTH arms (the cosine arm is ``S.cosine_topk``; the lexical
+    arm is the same broadcast-crossJoin + per-query rank-window pattern
+    with in-row array_intersect/size — zero-overlap pairs are dropped
+    before the window, mirroring the oracle's token equi-join).  The
+    fusion full-outer join runs on two k-bounded lists (≤ 50·|queries|
+    rows each).  All ranks are integers, so the fused score is a fixed
+    two-term double expression — deterministic across engines and
+    partitionings.
+    """
+    emb = _emb(spark, sf_dir)
+    cos = (
+        S.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=50)
+        .select("query_id", "neighbor_id", F.col("rank").alias("cos_rank"))
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    q = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("ts").alias("qt")
+    )
+    c = toks.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("ts").alias("ct")
+    )
+    inter = F.size(F.array_intersect("qt", "ct"))
+    jac_scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            inter.cast("bigint").alias("inter"),
+            (F.size("qt") + F.size("ct")).cast("bigint").alias("sz_sum"),
+        )
+        .filter(F.col("inter") >= 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_sum") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jac"),
+        )
+    )
+    wj = Window.partitionBy("query_id").orderBy(
+        F.desc("jac"), F.asc("neighbor_id")
+    )
+    jac = (
+        jac_scored.withColumn("jac_rank", F.row_number().over(wj).cast("int"))
+        .filter(F.col("jac_rank") <= 50)
+        .select("query_id", "neighbor_id", "jac_rank")
+    )
+    fused = cos.join(jac, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+        F.col("jac_rank").cast("int").alias("jac_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("jac_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_raw"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_rank",
+            "jac_rank",
+            F.round(F.col("rrf_raw"), 6).alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+HYBRID_RANK_FUSION_SQL = f"""
+WITH
+cos_scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round({_ORACLE_COS.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+cos_top AS (
+  SELECT qid, nid, cos_rank FROM (
+    SELECT qid, nid,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) AS INTEGER) AS cos_rank
+    FROM cos_scored
+  ) WHERE cos_rank <= 50
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nums AS (SELECT i FROM range(1, 4001) r(i)),
+dtok AS (SELECT DISTINCT doc_id, t[i] AS token
+         FROM toks JOIN nums ON i <= len(t)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS qid, c.doc_id AS nid, CAST(count(*) AS BIGINT) AS inter
+  FROM dtok q JOIN dtok c ON q.token = c.token AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < 5
+  GROUP BY 1, 2
+),
+jac_scored AS (
+  SELECT i.qid, i.nid,
+         round(i.inter / CAST(sq.sz + sc.sz - i.inter AS DOUBLE), 6) AS jac
+  FROM inter i JOIN sizes sq ON i.qid = sq.doc_id
+               JOIN sizes sc ON i.nid = sc.doc_id
+),
+jac_top AS (
+  SELECT qid, nid, jac_rank FROM (
+    SELECT qid, nid,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY jac DESC, nid) AS INTEGER) AS jac_rank
+    FROM jac_scored
+  ) WHERE jac_rank <= 50
+),
+fused AS (
+  SELECT COALESCE(c.qid, j.qid) AS query_id,
+         COALESCE(c.nid, j.nid) AS neighbor_id,
+         c.cos_rank, j.jac_rank,
+         COALESCE(1e0 / (60 + c.cos_rank), 0e0)
+           + COALESCE(1e0 / (60 + j.jac_rank), 0e0) AS rrf_raw
+  FROM cos_top c FULL OUTER JOIN jac_top j
+    ON c.qid = j.qid AND c.nid = j.nid
+)
+SELECT query_id, neighbor_id, cos_rank, jac_rank,
+       round(rrf_raw, 6) AS rrf, fused_rank
+FROM (
+  SELECT query_id, neighbor_id, cos_rank, jac_rank, rrf_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_raw DESC, neighbor_id) AS INTEGER) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+"""
+
+ENTRIES["hybrid_rank_fusion"] = (hybrid_rank_fusion, HYBRID_RANK_FUSION_SQL)

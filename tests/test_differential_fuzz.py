@@ -58,6 +58,9 @@ QUERIES = [
     "text_pattern_scrub",
     # round-7 rewrite (in-pass stream total riding the MG summary)
     "token_heavy_hitters",
+    # round-7 additions (BM25 terms overlap VOCAB by design)
+    "doc_bm25_topk",
+    "source_ngram_novelty",
 ]
 
 VOCAB = [

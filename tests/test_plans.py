@@ -795,6 +795,69 @@ def test_gopher_repetition_single_arrow_pass(spark):
     assert len(scans) == 1, scans
 
 
+
+def test_bm25_single_explode_window_df_no_joins(spark):
+    """BM25: the query-term filter runs in the explode's own stage (only
+    matched rows reach the tf shuffle), the explode lineage runs ONCE
+    (df attaches as a count window over (token) — no df aggregate, no
+    join back), the only join is the 1-row stats cross pairing, and
+    top-k compiles to TakeOrderedAndProject (no global sort)."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import doc_bm25_topk
+
+    plan = _plan(doc_bm25_topk(spark, sf_dir()))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # one corpus explode + one stats pass = exactly 2 parquet scans
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    # the term filter sits in the Generate's stage, before any exchange
+    assert "Condition : token#" in plan
+
+
+def test_ngram_novelty_join_free_single_distinct_shuffle(spark):
+    """Novelty: doc-frequency attaches as a count WINDOW (no df relation,
+    no join); the only corpus-width exchanges are the spread, the
+    (doc, grp, ngram) distinct, the window re-key, and the per-doc
+    regroup."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        source_ngram_novelty,
+    )
+
+    plan = _plan(source_ngram_novelty(spark, sf_dir()))
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+
+
+def test_hybrid_fusion_query_side_broadcast_only(spark):
+    """RRF hybrid retrieval: every broadcast is the 5-row query set (or a
+    k-bounded rank list) — the corpus relation itself must never sit on
+    the build side, and the per-query rank windows must be fed by the
+    broadcast-probe stream, not a SortMergeJoin of corpus vs corpus."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        hybrid_rank_fusion,
+    )
+
+    plan = _plan(hybrid_rank_fusion(spark, sf_dir()))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Input" in nxt:
+                # query-set (qt/qv) or rank-list columns only — never the
+                # corpus-side token arrays / vectors (ct/cv)
+                assert "ct#" not in nxt and "cv#" not in nxt, nxt
+                break
+
+
 def test_all_queries_free_of_scale_hazard_joins(spark):
     """Global sweep: EVERY registered workload query's physical plan must
     be free of CartesianProduct, and BroadcastNestedLoopJoin may appear
@@ -818,6 +881,8 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "bloom_prefilter_join",  # 1-row probe/prefiltered count sides
         "events_funnel",         # 1-row stage-count aggregate chain
         "token_heavy_hitters",   # 1-row stream total from the MG pass
+        "doc_bm25_topk",         # 1-row (N, avgdl) corpus-stats side
+        "hybrid_rank_fusion",    # broadcast 5-query set x corpus, both arms
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():
