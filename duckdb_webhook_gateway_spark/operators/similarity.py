@@ -322,6 +322,12 @@ def ivf_topk(
     # Rounded sims + stable argsort keep ascending-centroid tie order,
     # matching the oracle's (cosine DESC, centroid_id) ranking.
     q_sims = np.round((q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6)
+    # NaN (zero-norm query or centroid: cosine undefined) -> -inf, so the
+    # stable argsort places it LAST like the oracle's NULLS-LAST rank; an
+    # all-NaN row degrades to the lowest centroid ids (= the oracle's
+    # NULL-tie centroid_id order).  Leaving NaN in would let it poison
+    # the ordering (NaN compares as maximal in numpy reductions).
+    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
     probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
     probed_by_centroid: dict[int, "np.ndarray"] = {}
     for ci in np.unique(probe_order.ravel()):
@@ -343,6 +349,9 @@ def ivf_topk(
             a_sims = np.round(
                 (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
             )
+            # same NULLS-LAST mirror as the probe map: one zero-norm
+            # centroid must not claim every vector via NaN-as-max argmax
+            a_sims = np.where(np.isnan(a_sims), -np.inf, a_sims)
             assigned = b_cids[np.argmax(a_sims, axis=1)]
             out_q, out_n, out_c = [], [], []
             for cid, qidx in b_probe.items():
@@ -576,9 +585,13 @@ _Q8_MAX_EXPR = "array_max(transform({v}, y -> abs(CAST(y AS DOUBLE))))"
 # runs — inlining it in the lambda would re-scan the array per ELEMENT
 # (higher-order lambdas are interpreted with no common-subexpression
 # elimination: O(d²) per vector)
+# try_divide: a ZERO vector has scale max 0 — its quantization is
+# undefined, and the all-NULL q vector propagates to a NULL sq/dot/score
+# that sorts after every real neighbor, exactly the oracle's x/0 -> NULL
+# path (ANSI divide would error the whole query instead).
 _Q8_EXPR = (
     "transform({v}, x -> "
-    "CAST(round(CAST(x AS DOUBLE) * 127.0 / __mx) AS BIGINT))"
+    "CAST(round(try_divide(CAST(x AS DOUBLE) * 127.0, __mx)) AS BIGINT))"
 )
 _INT_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "

@@ -2861,7 +2861,11 @@ def embedding_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = F.expr(
         "sqrt(aggregate(centroid, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
     )
-    scored = j.select("label", (dot / (vn * cn)).alias("cos"))
+    # try_divide: a zero-norm member (or degenerate centroid) has an
+    # UNDEFINED cosine — NULL, exactly DuckDB's x/0 — not an ANSI error;
+    # avg() then skips it and the margin test is NULL-false on both
+    # engines.
+    scored = j.select("label", F.try_divide(dot, vn * cn).alias("cos"))
     return (
         scored.groupBy("label")
         .agg(

@@ -317,3 +317,102 @@ def test_basket_graph_queries_match_oracle_on_random_inputs(
                 (name, f"spark-only {diff_s} vs duck-only {diff_d}")
             )
     assert failures == [], failures
+
+
+# ---------------------------------------------------------------------------
+# embeddings family: random vectors for the ANN / near-dup / cluster
+# queries, salted with a ZERO vector (cosine undefined — both engines
+# must agree on NULL-vs-rank placement), exact duplicates (cosine 1.0
+# tie-breaks), scaled duplicates (cosine 1.0 through different float
+# paths), and tiny magnitudes (float32 underflow territory).  Dim is 64
+# — several oracles hard-code it (ann_lsh_buckets' plane grid,
+# embedding_label_quality's 64 avg terms).
+
+EMB_QUERIES = [
+    "ann_cosine_topk",
+    "ann_q8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_dim_stats",
+    "embedding_label_quality",
+    "semantic_dedup",
+    "hybrid_rank_fusion",
+]
+
+
+def _rand_embeddings(seed: int, n: int = 40, dim: int = 64) -> list[tuple]:
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    for i in range(n):
+        kind = rng.randrange(10)
+        if kind == 0:
+            vec = [0.0] * dim  # zero norm: cosine undefined
+        elif kind == 1 and rows:
+            vec = list(rows[rng.randrange(len(rows))][1])  # exact dup
+        elif kind == 2 and rows:
+            # scaled duplicate: cosine exactly 1 via a different float path
+            vec = [2.5 * x for x in rows[rng.randrange(len(rows))][1]]
+        elif kind == 3:
+            vec = [
+                rng.choice([-1.0, 1.0]) * 1e-4 * rng.random()
+                for _ in range(dim)
+            ]
+        else:
+            vec = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        rows.append((i, vec, rng.randrange(1, 4)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_embedding_queries_match_oracle_on_random_vectors(
+    spark, tmp_path_factory, entries, seed
+):
+    d = str(tmp_path_factory.mktemp(f"vfuzz{seed}"))
+    spark.createDataFrame(
+        _rand_embeddings(seed),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    # hybrid_rank_fusion reads documents too
+    spark.createDataFrame(
+        _rand_corpus(seed),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, t + '.parquet')}/*.parquet')"
+        )
+
+    failures = []
+    for name in EMB_QUERIES:
+        fn, sql = entries[name]
+        try:
+            srows = Counter(
+                tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+            )
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            continue
+        try:
+            drows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in con.execute(sql).fetchall()
+            )
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            continue
+        if srows != drows:
+            diff_s = list((srows - drows).keys())[:3]
+            diff_d = list((drows - srows).keys())[:3]
+            failures.append(
+                (name, f"spark-only {diff_s} vs duck-only {diff_d}")
+            )
+    assert failures == [], failures
