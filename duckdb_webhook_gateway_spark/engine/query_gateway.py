@@ -131,7 +131,7 @@ def run_adhoc_query(
     the dict-against-``?`` conversion — see :func:`_bind_params`.
     Binding is parameterized (injection-safe), never string interpolation.
     """
-    if not is_read_only_sql(query):
+    if not is_read_only_sql(query, spark=spark):
         from ..plans.guard import READ_ONLY_MESSAGE
 
         raise ReadOnlyViolation(READ_ONLY_MESSAGE)

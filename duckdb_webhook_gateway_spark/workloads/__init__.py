@@ -21,15 +21,74 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-7 _CHECK_FIRST = exactly the 50 queries last driver-green
-# in round 4 (they hit the staleness limit this round).  The 26 r5-green
-# entries sit unlisted in the middle (due r8), as do the THREE round-7
-# additions (doc_bm25_topk, source_ngram_novelty, hybrid_rank_fusion —
-# sf0.01+sf0.1 oracle-parity-verified and fuzz-covered in-repo this
-# round; rotate them into _CHECK_FIRST next round); the 50 r6-green
-# entries rotate to _CHECK_LAST (due r9).
+# round.  Round-8 _CHECK_FIRST = the THREE round-7 additions (first
+# driver certification, promised in r7), the 26 entries last driver-green
+# in round 5 (staleness limit this round), the two r7-green queries whose
+# physical plans changed this round (lm_perplexity_filter and
+# doc_prefix_jaccard_join pick up the partial-agg doc-frequency relation
+# — re-certify after the plan change), and 19 r6-green entries promoted
+# one round early.  The remaining 29 r6-green entries sit unlisted in the
+# middle (due r9); the other 48 r7-green entries rotate to _CHECK_LAST
+# (due r10).
 _CHECK_FIRST = (
-    # last driver-green in round 4 (staleness limit this round):
+    # round-7 additions — first driver certification:
+    "doc_bm25_topk",
+    "source_ngram_novelty",
+    "hybrid_rank_fusion",
+    # last driver-green in round 5 (staleness limit this round):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "supplier_revenue_having",
+    "orders_per_month",
+    "part_avg_qty_subquery",
+    "customers_without_orders",
+    "part_size_class",
+    "events_hourly",
+    "orders_value_quartiles",
+    "lineitem_price_quantiles",
+    "parts_never_ordered",
+    "customers_with_urgent_orders",
+    "events_runtime_udf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "multimodal_features",
+    "ann_ivf_topk",
+    "text_tfidf_top_terms",
+    "substring_dup_spans_sa",
+    "gopher_quality_gate",
+    "gopher_repetition_report",
+    # r7-green but plan-changed this round (partial-agg df) — re-certify:
+    "lm_perplexity_filter",
+    "doc_prefix_jaccard_join",
+    # r6-green promoted one round early:
+    "join_key_skew",
+    "salted_join_orders",
+    "embedding_near_dup_lsh",
+    "text_char_stats",
+    "dataset_split",
+    "corpus_top_bigrams",
+    "multimodal_audio_features",
+    "multimodal_image_features",
+    "dedup_keeplist",
+    "stratified_sample",
+    "split_contamination",
+    "dedup_clusters",
+    "text_pattern_scrub",
+    "passage_dedup",
+    "split_divergence",
+    "ann_q8_topk",
+    "text_repetition",
+    "sequence_packing",
+    "source_mixture",
+)
+# Queries checked in round 7 — rotate to the unchecked tail (due r10);
+# the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "events_cohort_retention",
     "events_anomaly_zscore",
     "bloom_prefilter_join",
@@ -69,7 +128,6 @@ _CHECK_FIRST = (
     "corpus_zipf_stats",
     "streaming_hourly_counts",
     "semantic_dedup",
-    "lm_perplexity_filter",
     "dsir_selection",
     "substring_dup_spans",
     "events_profile",
@@ -79,61 +137,6 @@ _CHECK_FIRST = (
     "events_multitouch_attribution",
     "token_freq_cm_sketch",
     "embedding_dim_stats",
-    "doc_prefix_jaccard_join",
-)
-# Queries checked last round (r6) — rotate to the unchecked tail; the
-# parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "join_key_skew",
-    "salted_join_orders",
-    "embedding_near_dup_lsh",
-    "text_char_stats",
-    "dataset_split",
-    "corpus_top_bigrams",
-    "multimodal_audio_features",
-    "multimodal_image_features",
-    "dedup_keeplist",
-    "stratified_sample",
-    "split_contamination",
-    "dedup_clusters",
-    "text_pattern_scrub",
-    "passage_dedup",
-    "split_divergence",
-    "ann_q8_topk",
-    "text_repetition",
-    "sequence_packing",
-    "source_mixture",
-    "boilerplate_ratio",
-    "doc_chunk_manifest",
-    "quality_funnel",
-    "bpe_merge_candidates",
-    "mixture_resample",
-    "split_ngram_decontamination",
-    "leakage_safe_split",
-    "order_priority_rate",
-    "dedup_exact",
-    "events_recent_topk",
-    "events_pivot_by_type",
-    "text_language_id",
-    "text_quality",
-    "doc_fingerprint",
-    "ann_lsh_buckets",
-    "window_top_orders_per_customer",
-    "events_funnel",
-    "rollup_region_nation",
-    "events_json_bucket",
-    "customer_order_counts",
-    "part_filter_like_in",
-    "events_type_rate",
-    "corpus_stats",
-    "doc_length_histogram",
-    "part_projection",
-    "region_keys_union",
-    "nation_key_intersect",
-    "supplier_string_funcs",
-    "lineitem_distinct_counts",
-    "top_orders_by_value",
-    "cube_order_status",
 )
 
 

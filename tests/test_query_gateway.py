@@ -59,6 +59,17 @@ def test_datetime_iso_serialization(gateway, spark):
         "BEGIN SELECT 1; END",
         "CALL some_proc(1)",
         "COMMENT ON TABLE webhooks IS 'x'",
+        # comment-prefixed commands: Spark's lexer skips leading comments,
+        # so the prefix check must strip them before matching
+        "/**/ CREATE TABLE pwn AS SELECT 1",
+        "-- c\nEXECUTE IMMEDIATE 'dr' || 'op table webhooks'",
+        "/* a */ /* b */ MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE",
+        # nested block comment (valid in Spark) hiding a command — the
+        # parser-grade check catches it even though no deny word appears
+        "/* /* x */ */ CREATE TABLE pwn2 AS SELECT 1",
+        "--only a comment",
+        "/* unterminated comment CREATE TABLE t AS SELECT 1",
     ],
 )
 def test_writes_rejected(spark, bad):
@@ -70,6 +81,32 @@ def test_writes_rejected(spark, bad):
 def test_benign_column_names_allowed():
     # better than the reference: a column named updated_at is not a write
     assert is_read_only_sql("SELECT updated_at FROM webhooks")
+
+
+def test_parser_verdict_clears_literal_false_positives(spark):
+    """SURVEY §4.2 stronger variant: a parsed pure query overrides the
+    lexical denylist, so deny words inside string literals or used as
+    column identifiers are provably not writes."""
+    out = run_adhoc_query(spark, "SELECT 'drop' AS w")
+    assert out["result"] == [["drop"]]
+    out = run_adhoc_query(spark, "SELECT 1 AS update")
+    assert out["result"] == [[1]]
+    # comment-prefixed pure queries still pass
+    out = run_adhoc_query(spark, "-- note\n/* x */ SELECT 2 AS n")
+    assert out["result"] == [[2]]
+
+
+def test_parser_verdict_still_rejects_commands(spark):
+    # scripting / indirect-execution forms fail even via the parser path
+    assert not is_read_only_sql("BEGIN SELECT 1; END", spark=spark)
+    assert not is_read_only_sql(
+        "EXECUTE IMMEDIATE 'sel' || 'ect 1'", spark=spark
+    )
+    assert not is_read_only_sql(
+        "/* /* nested */ */ CREATE TABLE z AS SELECT 1", spark=spark
+    )
+    # lexical fallback (no session): deny words still reject
+    assert not is_read_only_sql("SELECT 1; DROP TABLE webhooks")
 
 
 def test_json_extract_shim(gateway, spark):
