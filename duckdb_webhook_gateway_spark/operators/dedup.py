@@ -1086,11 +1086,18 @@ def prefix_jaccard_join(
     decides membership, so the result is bit-identical on any engine
     (a float ceil(0.8*5) can round to 5 and silently DROP a valid pair).
 
-    Plan: ONE corpus scan total.  Token df is attached with a count
-    window over ``token`` (no separate aggregate + join back), then one
-    groupBy doc builds the sorted token arrays, and that doc-cardinality
-    relation (id + token array + lengths) is materialized ONCE with
-    ``localCheckpoint`` before fan-out.  It is consumed three times
+    Plan: token df is attached with the SKEW-SAFE partial-aggregate
+    shape (operators/frequency.py): ``groupBy(token).count()`` — map-side
+    combine collapses a hot stop-word key to one row per task — joined
+    back on token with an AQE-skew-splittable sort-merge join (an
+    earlier count-window formulation partitioned the (doc, token)
+    stream by token with NO partial aggregation and no AQE rescue — a
+    corpus-scale single task on any hot token; the count pass re-runs
+    the cheap codegen explode lineage, which the checkpoint below
+    amortizes to once per run).  One groupBy doc then builds the sorted
+    token arrays, and that doc-cardinality relation (id + token array +
+    lengths) is materialized ONCE with ``localCheckpoint`` before
+    fan-out.  It is consumed three times
     downstream (prefix explode, verify side a, verify side b) and the
     prefix relation twice (self-join): without the checkpoint Catalyst
     re-executes the corpus explode + token-df shuffle for every
@@ -1114,12 +1121,12 @@ def prefix_jaccard_join(
             )
         ).alias("token"),
     ).filter(F.col("token") != "")
-    # df via count window — (doc_id, token) is distinct, so the per-token
-    # row count IS the document frequency; one shuffle, no join back
+    # (doc_id, token) is distinct, so the per-token row count IS the
+    # document frequency; partial-agg + join-back (skew-safe, see above)
+    from .frequency import attach_group_count
+
     per_doc = (
-        tok.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
+        attach_group_count(tok, ("token",), "df")
         .groupBy("doc_id")
         .agg(
             F.expr(

@@ -176,16 +176,18 @@ def tfidf_top_terms(
     a single in-place hash aggregate with NO exchange of the raw token
     stream.  (On a well-split cluster input the repartition is skipped
     and the tf aggregate's own partial/final pair combines map-side —
-    either way the raw token stream never crosses the wire.)  The
-    distinct (doc, token, tf) stream then shuffles ONCE by token for a
-    count() window that attaches df (no separate agg, no join back), and
-    ONCE by doc_id for the top-k re-nest (in-row struct sort + slice +
-    posexplode).  Every operator here is codegen — an earlier in-row
-    run-length formulation kept one fewer exchange but paid interpreted
-    higher-order-function evaluation per token, measured slower.
+    either way the raw token stream never crosses the wire.)  df attaches
+    via the SKEW-SAFE partial-aggregate shape (operators/frequency.py):
+    ``groupBy(token).count()`` — map-side combine collapses a hot
+    stop-word key to one row per task — joined back on token with an
+    AQE-skew-splittable sort-merge join.  (An earlier count-window
+    formulation kept one fewer exchange but partitioned the distinct
+    (doc, token, tf) stream by token with NO partial aggregation and no
+    AQE rescue — a corpus-scale single task on any hot token.)  The
+    doc_id pre-partition exchange is reused across the probe and count
+    branches, and the top-k re-nest (in-row struct sort + slice +
+    posexplode) shuffles ONCE by doc_id.  Every operator is codegen.
     """
-    from pyspark.sql import Window
-
     spark = docs.sparkSession
     # size the pre-partition like every other shuffle in the session
     # (bench sessions size shuffle.partitions to the data; production
@@ -204,10 +206,15 @@ def tfidf_top_terms(
 
     if scan_splits(docs.sparkSession, docs) < target:
         base = base.repartition(target, "doc_id")
+    # Materialized ONCE: the df count branch and the join probe push
+    # different prunings into the tf aggregate, which defeats exchange
+    # reuse and would re-run the explode lineage twice (the DSIR /
+    # lm_perplexity pattern; measured −28% at sf0.1).
     exploded = (
         base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     if n_docs is None:
         # Scalar N; deterministic.  Callers that know the source (e.g. a
@@ -215,9 +222,9 @@ def tfidf_top_terms(
         # this count is a full extra Spark job (and re-runs any upstream
         # repartition) just to fetch one number.
         n_docs = docs.count()
-    scored = exploded.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    ).withColumn(
+    from .frequency import attach_group_count
+
+    scored = attach_group_count(exploded, ("token",), "df").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
@@ -257,20 +264,27 @@ def lm_perplexity(
     (sum-order FP drift is ~1e-13, so rounding makes the NTILE ordering
     engine-portable; ties break on doc_id).
 
-    Plan shape: JOIN-FREE, one job.  ONE corpus explode produces a
-    combined position stream (w1 = token at i, w2 = token at i+1, NULL
-    at document end), so unigram occurrences and bigram occurrences are
-    the SAME rows.  Both model statistics are then COUNT WINDOWS over
-    that stream — c(w1) over partition (w1), c(w1,w2) over partition
-    (w1, w2) — no count relation is ever materialized or joined back
-    (the earlier aggregate+join shape re-ran the corpus explode per
-    consumer and sort-merge-joined on the heavily skewed w1).  |V| is a
-    one-row broadcast subtree (count_distinct), the only non-window
-    statistic.  Two corpus-width exchanges total, both of a narrow
-    (id, w1, w2) stream.  The final NTILE is a single global window
-    over DOC-cardinality rows (doc_id, score) — at 100 TB replace with
-    broadcast approx-quantile cutoffs; kept exact here so the DuckDB
-    oracle can replay it bit-for-bit.
+    Plan shape: ONE corpus explode produces a combined position stream
+    (w1 = token at i, w2 = token at i+1, NULL at document end), which
+    reduces immediately into a (doc_id, w1, w2, occ) CONTINGENCY
+    relation — a map-side-combined aggregate bounded by per-doc
+    DISTINCT bigrams.  Every model statistic derives from that one
+    relation (its exchange is reused across all consumers, so the
+    explode lineage runs once): c(w1) and c(w1,w2) are partial
+    aggregates over it — map-side combine collapses hot keys, the
+    SKEW-SAFE shape (an earlier count-window formulation partitioned
+    the OCCURRENCE stream by the heavily skewed w1 with no partial agg
+    and no AQE rescue — a corpus-scale single task on any stop word) —
+    joined back on (w1, w2) then (w1) with AQE-skew-splittable
+    sort-merge joins whose build sides are vocab-cardinality (one row
+    per key).  |V| is a one-row broadcast subtree counting the c(w1)
+    relation, never the stream.  The per-doc score is the
+    occurrence-weighted mean Σ(occ·bits)/Σ(occ) — identical to the
+    per-occurrence mean, computed on contingency-cardinality rows.
+    The final NTILE is a single global window over DOC-cardinality
+    rows (doc_id, score) — at 100 TB replace with broadcast
+    approx-quantile cutoffs; kept exact here so the DuckDB oracle can
+    replay it bit-for-bit.
     """
     t = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -293,16 +307,35 @@ def lm_perplexity(
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    vocab = pos.agg(F.count_distinct("w1").cast("bigint").alias("vocab"))
+    # contingency relation: one row per (doc, w1, w2) incl. w2=NULL rows
+    # for document-final positions, so unigram counts derive from it too.
+    # Materialized ONCE: the three statistic consumers below push
+    # DIFFERENT filters/prunings into the aggregate (isnotnull(w2) for
+    # the bigram sides, none for c(w1), w1-only pruning for |V|), which
+    # defeats exchange reuse and would re-run the corpus explode per
+    # consumer — the DSIR pattern (dsir_weights) applied to bigrams.
+    doc_bg = (
+        pos.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+    c1_rel = doc_bg.groupBy("w1").agg(
+        F.sum("occ").cast("bigint").alias("c1")
+    )
+    bg_rel = (
+        doc_bg.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("occ").cast("bigint").alias("cb"))
+    )
+    vocab = c1_rel.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
     scored = (
-        pos.withColumn("c1", F.count("*").over(Window.partitionBy("w1")))
-        .withColumn(
-            "cb", F.count("*").over(Window.partitionBy("w1", "w2"))
-        )
-        .filter(F.col("w2").isNotNull())
+        doc_bg.filter(F.col("w2").isNotNull())
+        .join(bg_rel, ["w1", "w2"])
+        .join(c1_rel, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "occ",
             (
                 -F.log2(
                     (F.col("cb") + F.lit(1.0))
@@ -312,8 +345,10 @@ def lm_perplexity(
         )
     )
     doc_scores = scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(F.avg("bits"), 6).alias("bits_per_bigram"),
+        F.sum("occ").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("occ") * F.col("bits")) / F.sum("occ"), 6
+        ).alias("bits_per_bigram"),
     )
     w = Window.orderBy(F.asc("bits_per_bigram"), F.asc("doc_id"))
     return doc_scores.select(
@@ -770,12 +805,20 @@ def ngram_novelty(
     Plan shape: n-grams are built IN-ROW from the split array (transform
     over sequence — no position join, the token stream never carries
     offsets), then ONE distinct shuffle on (doc, group, ngram) — the
-    widest exchange, of id+ngram-width rows.  Doc frequency attaches as
-    a count WINDOW over (ngram) — no df relation, no join back — and
-    the two groupBys that follow reduce doc-cardinality then
-    group-cardinality rows.  Nothing is broadcast or collected; docs
-    shorter than n tokens contribute no n-grams and drop out, exactly
-    as the oracle's position join emits none.
+    widest exchange, of id+ngram-width rows, reused across both
+    consumers below.  The output needs no per-row doc frequency: a
+    novel (df = 1) n-gram belongs to exactly ONE document, hence one
+    group, so novelty counts come from a ``groupBy(ngram)`` PARTIAL
+    aggregate (count + that singleton's group; map-side combine
+    collapses hot boilerplate n-grams — the skew-safe shape; an earlier
+    count-window formulation partitioned the distinct stream by ngram
+    with no partial agg and no AQE rescue, a corpus-scale single task
+    on any hot trigram) filtered to df = 1 and re-aggregated to group
+    cardinality.  Totals come from one group-keyed aggregate of the
+    same distinct relation.  The only join pairs two GROUP-cardinality
+    relations.  Nothing is broadcast or collected; docs shorter than n
+    tokens contribute no n-grams and drop out, exactly as the oracle's
+    position join emits none.
     """
     parts = ", ' ', ".join(f"element_at(t, i + {j})" for j in range(n))
     base = docs.select(
@@ -793,34 +836,46 @@ def ngram_novelty(
             )
         ).alias("ngram"),
     )
-    distinct = ngrams.select("doc_id", "grp", "ngram").distinct()
-    per_doc = (
-        distinct.withColumn(
-            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("ngram"))
-        )
-        .groupBy("doc_id", "grp")
+    # Materialized ONCE: the totals and novelty consumers push different
+    # prunings into the distinct aggregate, defeating exchange reuse
+    # (the DSIR / lm_perplexity pattern).
+    distinct = (
+        ngrams.select("doc_id", "grp", "ngram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    totals = distinct.groupBy(F.col("grp")).agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+    )
+    # df=1 n-grams have a unique owning (doc, grp): max(grp) IS that
+    # group.  Hot n-grams collapse in the partial aggregate and are
+    # dropped by the df=1 filter before anything joins.
+    novel = (
+        distinct.groupBy("ngram")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
-            F.sum((F.col("doc_freq") == 1).cast("bigint"))
-            .cast("bigint")
-            .alias("novel"),
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.max("grp").alias("grp"),
         )
+        .filter(F.col("doc_freq") == 1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("novel_ngrams"))
     )
     return (
-        per_doc.groupBy(F.col("grp").alias(group_col))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("novel").cast("bigint").alias("novel_ngrams"),
-            F.sum("n_ngrams").cast("bigint").alias("total_ngrams"),
-        )
+        totals.join(novel, "grp", "left")
         .select(
-            group_col,
+            F.col("grp").alias(group_col),
             "n_docs",
-            "novel_ngrams",
+            F.coalesce(F.col("novel_ngrams"), F.lit(0))
+            .cast("bigint")
+            .alias("novel_ngrams"),
             "total_ngrams",
+        )
+        .withColumn(
+            "novelty",
             F.round(
                 F.col("novel_ngrams") / F.col("total_ngrams").cast("double"),
                 6,
-            ).alias("novelty"),
+            ),
         )
     )

@@ -251,6 +251,91 @@ def test_events_queries_match_oracle_on_random_streams(
 
 
 # ---------------------------------------------------------------------------
+# skewed-corpus case for the doc-frequency family (round-8 skew-hardened
+# partial-agg df shape): one stop word lands in ~50% of ALL documents and
+# one boilerplate trigram repeats across half the corpus, so the df keys
+# are maximally hot — the exact distribution where the old token-keyed
+# count windows concentrated the corpus on one task.  Results must still
+# match the oracles bit-for-bit.
+
+SKEW_QUERIES = [
+    "text_tfidf_top_terms",
+    "lm_perplexity_filter",
+    "source_ngram_novelty",
+    "doc_prefix_jaccard_join",
+    "doc_bm25_topk",
+    "dedup_ngram_jaccard",
+]
+
+
+def _skewed_corpus(seed: int, n_docs: int = 60) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        toks = []
+        if i % 2 == 0:
+            # hot stop word in 50% of docs, repeated
+            toks += ["the"] * rng.randrange(2, 12)
+        if i % 2 == 1:
+            # hot boilerplate trigram in the other 50%
+            toks += ["all", "rights", "reserved"] * rng.randrange(1, 4)
+        toks += [rng.choice(VOCAB) for _ in range(rng.randrange(3, 40))]
+        rng.shuffle(toks)
+        lang = rng.choice(["en", "de"])
+        source = rng.choice(["s0", "s1", "s2"])
+        text = " ".join(toks)
+        rows.append((i, text, lang, source, len(text)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_df_family_matches_oracle_on_skewed_corpus(
+    spark, tmp_path_factory, entries, seed
+):
+    d = str(tmp_path_factory.mktemp(f"skewfuzz{seed}"))
+    rows = _skewed_corpus(seed)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+
+    failures = []
+    for name in SKEW_QUERIES:
+        fn, sql = entries[name]
+        try:
+            srows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in fn(spark, d).collect()
+            )
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            continue
+        try:
+            drows = Counter(
+                tuple(_norm(v) for v in r)
+                for r in con.execute(sql).fetchall()
+            )
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            continue
+        if srows != drows:
+            diff_s = list((srows - drows).keys())[:3]
+            diff_d = list((drows - srows).keys())[:3]
+            failures.append(
+                (name, f"spark-only {diff_s} vs duck-only {diff_d}")
+            )
+    assert failures == [], failures
+
+
+# ---------------------------------------------------------------------------
 # basket/graph family: random co-occurrence structure for the pair-mining
 # and integer-PageRank queries, salted with a single-item basket (zero
 # pairs), an in-basket duplicate (collect_set/DISTINCT dedup on both

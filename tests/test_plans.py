@@ -677,22 +677,33 @@ def test_pagerank_no_node_cardinality_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_tfidf_join_free_no_raw_token_exchange(spark):
+def test_tfidf_skew_safe_partial_agg_df(spark):
+    """TF-IDF (round-8 shape): df comes from a PARTIAL aggregate over
+    the checkpointed tf relation — map-side combine collapses hot
+    stop-word keys — joined back, never from a count window (no
+    map-side combine, no AQE skew rescue).  The tf lineage is
+    materialized once (localCheckpoint), so the final plan reads
+    ExistingRDD blocks, and the raw token stream never feeds a
+    token-keyed window."""
+    import re
+
     from duckdb_webhook_gateway_spark.workloads.datapipe import (
         text_tfidf_top_terms,
     )
 
     plan = _plan(text_tfidf_top_terms(spark, sf_dir()))
-    # zero joins (df comes from a count window, not a join back) and
-    # nothing broadcast
-    assert "Join" not in plan
-    assert "BroadcastExchange" not in plan
-    # the raw token stream never crosses the wire: the only exchanges are
-    # the doc_id pre-partition of the DOCUMENT relation, the distinct
-    # (doc, token, tf) window shuffle, and the top-k regroup (formatted
-    # mode lists each node once in the tree and once in the detail block)
-    import re
-
+    # no count window anywhere (the skew hazard this shape replaces)
+    assert "Window" not in plan
+    # df is a partial-aggregated count relation
+    assert "partial_count" in plan
+    # tf relation materialized once — no parquet rescan in the final plan
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    # the join back is an equi-join (AQE-skew-splittable SMJ, or a BHJ
+    # of the vocab-cardinality count relation) — never a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges: df partial-count, (join re-key), top-k regroup
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
 
 
@@ -716,11 +727,15 @@ def test_dsir_single_corpus_pass_join_free_scoring(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
 
 
-def test_lm_perplexity_window_only_no_count_joins(spark):
-    """LM perplexity (round-6 shape): c(w1) and c(w1,w2) are count
-    windows over ONE combined position stream — no vocab- or
-    bigram-keyed join anywhere (the skewed w1 never drives a sort-merge
-    join).  The only join-like node is the 1-row |V| cross join."""
+def test_lm_perplexity_skew_safe_partial_agg_stats(spark):
+    """LM perplexity (round-8 shape): the position stream reduces ONCE
+    into a checkpointed (doc, w1, w2, occ) contingency relation; c(w1)
+    and c(w1,w2) are PARTIAL aggregates over it — map-side combine
+    collapses hot stop-word keys (a count window over the occurrence
+    stream had no partial agg and no AQE skew rescue) — joined back
+    with equi-joins whose build sides are vocab-cardinality.  |V|
+    counts the c(w1) relation, never the stream.  The only token-keyed
+    WINDOW is gone; the surviving window is the DOC-cardinality NTILE."""
     import re
 
     from duckdb_webhook_gateway_spark.workloads.datapipe import (
@@ -728,16 +743,19 @@ def test_lm_perplexity_window_only_no_count_joins(spark):
     )
 
     plan = _plan(lm_perplexity_filter(spark, sf_dir()))
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" not in plan
-    # corpus-width exchanges: spread repartition, the two count windows,
-    # the doc agg, the |V| aggregate's tiny exchange, the global NTILE
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 7
-    # both model statistics come from windows keyed on w1 (c(w1) and
-    # c(w1,w2) — hashpartitioning's first key), never a join
-    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
-    assert keys.count("w1") >= 2, keys
+    # no count window partitioned on token keys — the only Window node
+    # is the doc-cardinality decile NTILE (a global ORDER BY window)
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    for spec in win_specs:
+        assert "w1#" not in spec and "w2#" not in spec, spec
+    # model statistics are partial aggregates (map-side combine)
+    assert plan.count("partial_sum") >= 2 or "partial_sum" in plan
+    # contingency relation materialized once — no parquet rescan
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    # joins are equi-joins; the only nested pairing is the 1-row |V|
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
 
 
 def test_substring_sa_single_prefix_shuffle_no_joins(spark):
@@ -817,11 +835,13 @@ def test_bm25_single_explode_window_df_no_joins(spark):
     assert "Condition : token#" in plan
 
 
-def test_ngram_novelty_join_free_single_distinct_shuffle(spark):
-    """Novelty: doc-frequency attaches as a count WINDOW (no df relation,
-    no join); the only corpus-width exchanges are the spread, the
-    (doc, grp, ngram) distinct, the window re-key, and the per-doc
-    regroup."""
+def test_ngram_novelty_skew_safe_partial_agg(spark):
+    """Novelty (round-8 shape): NO window at all — novelty counts come
+    from a groupBy(ngram) PARTIAL aggregate over the checkpointed
+    distinct relation (map-side combine collapses hot boilerplate
+    n-grams; the earlier count window had no partial agg and no AQE
+    skew rescue) filtered to df = 1; the only join pairs two
+    GROUP-cardinality relations."""
     import re
 
     from duckdb_webhook_gateway_spark.workloads.datapipe import (
@@ -829,9 +849,22 @@ def test_ngram_novelty_join_free_single_distinct_shuffle(spark):
     )
 
     plan = _plan(source_ngram_novelty(spark, sf_dir()))
-    assert "Join" not in plan
-    assert "BroadcastExchange" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+    assert "Window" not in plan
+    # df=1 detection is a partial aggregate keyed on ngram
+    assert "partial_count" in plan or re.search(r"partial_\w+", plan)
+    # distinct relation materialized once — no parquet rescan
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only broadcast is a group-cardinality relation (novel counts)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            for nxt in lines[i + 1 : i + 4]:
+                if "Input" in nxt:
+                    assert "ngram#" not in nxt and "doc_id#" not in nxt, nxt
+                    break
 
 
 
