@@ -704,7 +704,13 @@ def bm25_topk(
     tfidf trick) — no df aggregate, no join back, no second run of the
     explode lineage.  N and avgdl are ONE 1-row broadcast stats subtree
     (a second corpus pass of in-row lengths, partial-agg combined
-    map-side — 2 corpus passes and 2 Spark jobs total).  Top-k is
+    map-side — 2 corpus passes total).  The r8 single-pass variant —
+    a pos-0 sentinel row per doc carrying dl through the explode, both
+    statistics from one lazily-checkpointed stream — was built, parity-
+    verified, and REJECTED on measurement: the stats pass is an
+    explode-free columnar length scan (cheap), while the sentinel
+    stream's materialization cost more than it saved (interleaved A/B
+    at sf0.1: 0.75 s two-pass vs 1.18 s folded).  Top-k is
     orderBy+limit = TakeOrderedAndProject; the rank window runs on the
     k-row result only.  Nothing corpus-cardinality is broadcast,
     collected, or globally sorted.

@@ -1335,10 +1335,15 @@ ENTRIES["customer_scd2_snapshot"] = (customer_scd2_snapshot, CUSTOMER_SCD2_SQL)
 # same result row.
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 256
+    # Materialized ONCE (lazy localCheckpoint): the stats broadcast, the
+    # binning pass and the exact-rank check all read the same (type,
+    # value) blocks instead of re-scanning events three times — the
+    # heavy_hitters r7 in-pass-stats trick.
     ev = (
         _t(spark, sf_dir, "events")
         .select("event_type", "value")
         .filter(F.col("value").isNotNull())
+        .localCheckpoint(eager=False)
     )
     stats = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"),
