@@ -13,9 +13,16 @@ Two execution paths call :func:`deliver` (SURVEY §2A A10):
 - large streaming batches ship delivery INTO Spark tasks — the audit
   write's ``mapInArrow`` pass POSTs each partition's events executor-side
   (``streaming/webhook_source.py``), so throughput scales with the
-  cluster.  That path is at-least-once under task retry/speculation;
-  ``StreamingGateway`` warns and keeps the driver pool if the session
-  was launched with ``spark.speculation=true`` (Spark's default is off).
+  cluster.  That path is at-least-once under task retry/speculation.
+  If the session was launched with ``spark.speculation=true`` (Spark's
+  default is off) ``StreamingGateway`` warns and widens the driver-pool
+  threshold for the RESOLVABLE fallback path, but the fingerprinted-group
+  main path still POSTs executor-side: routing it through the driver
+  would collect transformed payloads driver-side, the anti-pattern the
+  round-6 design removed (see
+  ``test_no_payload_bearing_collect_in_micro_batch``).  Speculative
+  duplicate POSTs on that path remain possible — run delivery workloads
+  with speculation off.
 
 Uses stdlib urllib (httpx is not a dependency of this engine).
 """

@@ -369,8 +369,10 @@ class _GroupCommit:
     trade: each ack waits up to ``window_s`` longer, and in exchange a
     burst of K concurrent producers costs one file instead of K (the
     file source's per-file fixed cost is what caps drain throughput).
-    The first submitter of a batch becomes its flusher; everyone else
-    blocks until the generation containing their line is durable.  Only
+    Flushing runs on a DEDICATED daemon thread owned by this object —
+    an earlier design drafted the first submitting producer as flusher,
+    which under sustained concurrent ingest held that one HTTP request
+    thread (and its client's ack) for the entire busy period.  Only
     worthwhile with CONCURRENT producers — a single serial producer
     would just pay the window per event, which is why this is opt-in
     (``StreamingGateway(group_commit_window=...)``).
@@ -378,20 +380,39 @@ class _GroupCommit:
 
     def __init__(self, landing_dir: str, window_s: float = 0.02):
         import threading
+        from collections import Counter
 
         self.dir = landing_dir
         self.window = window_s
         self._lock = threading.Lock()
         self._flushed = threading.Condition(self._lock)
+        self._have_lines = threading.Condition(self._lock)
         self._lines: list[str] = []
         self._buf_gen = 0  # generation of the buffer now accepting lines
         self._done_gen = -1  # highest generation durable on disk
         # generation -> exception for failed flushes: waiters of a failed
         # batch must get the write error (their event is NOT durable), not
         # a success ack, and must not hang on a generation that will never
-        # become durable
+        # become durable.  Pruned ONLY below the lowest generation any
+        # live waiter still blocks on — a size-bounded prune could delete
+        # a live waiter's error, leaving it to spin forever or, once a
+        # later generation succeeded, to exit with a FALSE success ack
+        # for a non-durable event.
         self._errors: dict[int, Exception] = {}
-        self._flusher_active = False
+        self._waiting: Counter = Counter()  # generation -> live waiters
+        self._flusher = None  # lazily-started daemon thread
+
+    def _ensure_flusher(self) -> None:
+        # caller holds self._lock
+        if self._flusher is None or not self._flusher.is_alive():
+            import threading
+
+            self._flusher = threading.Thread(
+                target=self._flush_loop,
+                name="webhook-group-commit-flusher",
+                daemon=True,
+            )
+            self._flusher.start()
 
     def submit(self, line: str) -> None:
         """Add one envelope line; returns once its file is renamed in.
@@ -401,59 +422,63 @@ class _GroupCommit:
         with self._lock:
             self._lines.append(line)
             my_gen = self._buf_gen
-            if not self._flusher_active:
-                self._flusher_active = True
-                i_flush = True
-            else:
-                i_flush = False
-        if not i_flush:
+            self._waiting[my_gen] += 1
+            self._ensure_flusher()
+            self._have_lines.notify()
+        try:
             with self._flushed:
                 while (
                     self._done_gen < my_gen and my_gen not in self._errors
                 ):
                     self._flushed.wait(timeout=1.0)
                 err = self._errors.get(my_gen)
-            if err is not None:
-                raise err
-            return
-        # flusher role: batch the window, write, repeat while backlog
+        finally:
+            with self._lock:
+                self._waiting[my_gen] -= 1
+                if not self._waiting[my_gen]:
+                    del self._waiting[my_gen]
+                if len(self._errors) > 1024:  # bounded bookkeeping
+                    floor = (
+                        min(self._waiting) if self._waiting else self._buf_gen
+                    )
+                    stale = sorted(
+                        g for g in self._errors if g < floor
+                    )[: len(self._errors) - 512]
+                    for g in stale:
+                        del self._errors[g]
+        if err is not None:
+            raise err
+
+    def _flush_loop(self) -> None:
+        """Daemon flusher: batch the window, write, repeat.  Producers
+        never flush — their only wait is for durability of their own
+        generation, bounded by window + one write."""
         import time as _time
 
-        my_err: Optional[Exception] = None
         while True:
+            with self._have_lines:
+                while not self._lines:
+                    self._have_lines.wait()
             _time.sleep(self.window)
             with self._lock:
                 lines, self._lines = self._lines, []
                 gen = self._buf_gen
                 self._buf_gen += 1
             flush_err: Optional[Exception] = None
-            if lines:
-                try:
-                    fkey = uuid.uuid4().hex
-                    tmp = os.path.join(self.dir, f".{fkey}.json.tmp")
-                    with open(tmp, "w") as f:
-                        f.write("\n".join(lines) + "\n")
-                    os.rename(tmp, os.path.join(self.dir, f"{fkey}.json"))
-                except Exception as e:  # noqa: BLE001 - propagated to waiters
-                    flush_err = e
+            try:
+                fkey = uuid.uuid4().hex
+                tmp = os.path.join(self.dir, f".{fkey}.json.tmp")
+                with open(tmp, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                os.rename(tmp, os.path.join(self.dir, f"{fkey}.json"))
+            except Exception as e:  # noqa: BLE001 - propagated to waiters
+                flush_err = e
             with self._flushed:
                 if flush_err is not None:
                     self._errors[gen] = flush_err
-                    if len(self._errors) > 1024:  # bounded bookkeeping
-                        for g in sorted(self._errors)[:-512]:
-                            del self._errors[g]
-                    if gen == my_gen:
-                        my_err = flush_err
                 else:
                     self._done_gen = gen
                 self._flushed.notify_all()
-                if not self._lines:
-                    self._flusher_active = False
-                    break
-                # lines arrived while writing: keep the flusher role so
-                # their acks aren't orphaned, loop for the next batch
-        if my_err is not None:
-            raise my_err
 
 
 class StreamingGateway:
@@ -512,8 +537,13 @@ class StreamingGateway:
         # speculative duplicate task double-POSTs with NO failure having
         # occurred.  spark.speculation is a launch-time core conf (not
         # runtime-settable), so the engine can't just turn it off here —
-        # it warns loudly and keeps the driver pool for the resolvable
-        # path.  Spark's default is false.
+        # it warns loudly and keeps the driver pool for the RESOLVABLE
+        # fallback path only.  The fingerprinted-group main path still
+        # POSTs executor-side even under speculation: routing it through
+        # the driver would collect transformed payloads driver-side — the
+        # anti-pattern the round-6 design removed (pinned by
+        # test_no_payload_bearing_collect_in_micro_batch).  Spark's
+        # default is false.
         if (
             self.spark.sparkContext.getConf()
             .get("spark.speculation", "false")
@@ -525,8 +555,10 @@ class StreamingGateway:
             warnings.warn(
                 "spark.speculation=true: speculative tasks can duplicate "
                 "webhook delivery POSTs (at-least-once widens beyond "
-                "failure-retry). Launch the streaming session with "
-                "speculation off for delivery workloads.",
+                "failure-retry). The fallback delivery path is routed to "
+                "the driver pool, but the fingerprinted-group audit path "
+                "still POSTs executor-side. Launch the streaming session "
+                "with speculation off for delivery workloads.",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -472,6 +472,48 @@ def test_group_commit_flush_failure_propagates_and_recovers(gateway):
     assert len(files) == 1
 
 
+def test_group_commit_ack_bounded_under_sustained_ingest(gateway):
+    """Flushing runs on a dedicated daemon thread: no producer's ack may
+    be held for the duration of a busy period (the earlier design
+    drafted the first submitter as flusher and kept it while the buffer
+    stayed non-empty — under sustained concurrent ingest that one HTTP
+    thread was trapped until traffic stopped)."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from duckdb_webhook_gateway_spark.streaming.webhook_source import (
+        _GroupCommit,
+    )
+
+    gc = _GroupCommit(gateway.workdir + "/landing-gc2", window_s=0.01)
+    _os.makedirs(gc.dir, exist_ok=True)
+    stop = _time.time() + 2.0
+    worst = {"lat": 0.0}
+    lock = threading.Lock()
+
+    def producer(i):
+        n = 0
+        while _time.time() < stop:
+            t0 = _time.time()
+            gc.submit('{"event_id": "%d-%d"}' % (i, n))
+            lat = _time.time() - t0
+            with lock:
+                worst["lat"] = max(worst["lat"], lat)
+            n += 1
+
+    threads = [threading.Thread(target=producer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # sustained 2 s of overlapping traffic: every single ack stayed
+    # bounded by ~window + one write (generous CI margin), nothing was
+    # trapped for the busy period
+    assert worst["lat"] < 1.0, worst
+    assert gc._flusher is not None and gc._flusher.daemon
+
+
 def test_schema_from_fingerprint_matches_real_inference(spark):
     """The fingerprint-derived StructType must equal what spark.read.json
     actually infers for payloads of that shape — bit-for-bit, or the
