@@ -99,6 +99,14 @@ EXTENDED3_QUERIES = [
     "hybrid_rank_fusion",
 ]
 
+# Fifth suite: round-8 additions (degree-oriented triangle counting,
+# containment/subset-dup join, IVF recall@5 eval), same protocol.
+EXTENDED4_QUERIES = [
+    "part_triangle_count",
+    "doc_containment_pairs",
+    "ann_ivf_recall",
+]
+
 
 def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -186,6 +194,9 @@ def main() -> None:
     ext3_timings, ext3_total = run_suite(
         [n for n in EXTENDED3_QUERIES if n in entries]
     )
+    ext4_timings, ext4_total = run_suite(
+        [n for n in EXTENDED4_QUERIES if n in entries]
+    )
 
     print(
         json.dumps(
@@ -206,6 +217,10 @@ def main() -> None:
                 "extended3": {
                     "value": round(ext3_total, 3),
                     "queries": ext3_timings,
+                },
+                "extended4": {
+                    "value": round(ext4_total, 3),
+                    "queries": ext4_timings,
                 },
             }
         )

@@ -1203,3 +1203,130 @@ def prefix_jaccard_join(
             "jaccard"
         ),
     )
+
+
+def prefix_containment_join(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """All document pairs whose 3-gram shingle intersection covers at
+    least ``num/den`` of the SMALLER set — the asymmetric containment
+    (subset / doc-in-doc) companion to :func:`prefix_jaccard_join`.
+    Jaccard misses a short document quoted verbatim inside a long one
+    (the union is dominated by the long side); containment is the
+    standard detector for that case.
+
+    Prefix filter, containment form: order each doc's shingles by
+    ascending global document frequency (rarest first, ties by key — a
+    deterministic total order).  If ``den*|a∩b| >= num*min(|a|,|b|)``
+    then the smaller doc shares >= ceil(t*|a|) shingles, so at least one
+    of its first ``|a| - ceil(t*|a|) + 1`` rarest shingles appears in
+    the other doc — candidates are (prefix of the smaller) x (FULL
+    posting list), never all pairs.  Unlike the Jaccard prefix join
+    there is NO length filter (containment permits any size ratio), so
+    the probe side must index every shingle; the join is equi-keyed and
+    AQE-skew-splittable, and prefixes hold only each doc's RAREST keys,
+    so hot-shingle posting lists are probed by few prefix rows.
+
+    Thresholds are exact integer cross-multiplication (no float decides
+    membership); ``hash_shingles`` mirrors ``ngram_jaccard_dedup`` — the
+    corpus-scale shuffles key on a 60-bit md5-derived integer instead of
+    shingle text (both engines hash identically, so the differential
+    identity is exact).
+
+    Returns ``(doc_a, doc_b, n_inter, n_min, containment)`` with
+    ``doc_a < doc_b``.
+    """
+    sarr = shingle_arrays(docs, id_col, text_col)
+    if hash_shingles:
+        from ..functions.hashing import hex_to_int_expr
+
+        h = hex_to_int_expr("h", 15, "spark")
+        sarr = sarr.withColumn(
+            "sarr",
+            F.expr(
+                f"array_distinct(transform(transform(sarr, x -> md5(x)), h -> {h}))"
+            ),
+        )
+    sh = sarr.select("doc_id", F.explode("sarr").alias("shingle"))
+    from .frequency import attach_group_count
+
+    # (doc_id, shingle) is distinct -> per-shingle row count IS the df;
+    # partial-agg + join-back (skew-safe, operators/frequency.py)
+    per_doc = (
+        attach_group_count(sh, ("shingle",), "df")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))), x -> x.shingle)"
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            # prefix_len = n - ceil(t*n) + 1, integer-exact
+            F.expr(
+                f"size(toks) - (({threshold_num} * size(toks) + {threshold_den} - 1)"
+                f" DIV {threshold_den}) + 1"
+            ).alias("plen"),
+        )
+        # materialize ONCE: consumed by prefix, full, and both verify sides
+        .localCheckpoint(eager=True)
+    )
+    prefix = per_doc.select(
+        "doc_id", "n", F.explode(F.expr("slice(toks, 1, plen)")).alias("shingle")
+    )
+    full = per_doc.select(
+        "doc_id", "n", F.explode("toks").alias("shingle")
+    )
+    # x is the min side (its prefix bound is the one that holds); equal
+    # sizes generate from both sides and the distinct collapses them.
+    cand = (
+        prefix.alias("x")
+        .join(full.alias("y"), "shingle")
+        .filter(
+            (F.col("x.n") < F.col("y.n"))
+            | (
+                (F.col("x.n") == F.col("y.n"))
+                & (F.col("x.doc_id") != F.col("y.doc_id"))
+            )
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("n_min", F.least("na", "nb"))
+        .filter(
+            F.col("n_inter") * threshold_den >= F.col("n_min") * threshold_num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_min",
+            F.round(
+                F.col("n_inter") / F.col("n_min").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

@@ -1,5 +1,6 @@
 """Graph operators over co-occurrence relations: market-basket pair
-mining and fixed-iteration integer PageRank.
+mining, fixed-iteration integer PageRank, and degree-oriented triangle
+counting.
 
 Both operators are built for the billion-edge case:
 
@@ -103,6 +104,83 @@ def undirect(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     rev = edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     return fwd.unionByName(rev)
+
+
+def triangle_counts(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph.
+
+    ``edges`` is a deduplicated canonical edge list with ``a < b``.
+    Returns ``(node, n_triangles, degree)`` for every node that closes at
+    least one triangle.
+
+    Degree-oriented wedge counting (the Cohen MapReduce triangle
+    schedule / Ortmann-Brandes orientation — public algorithms): every
+    edge is oriented from its endpoint of smaller ``(degree, id)`` to the
+    larger, wedges are generated at the smaller endpoint, and each wedge
+    closes against the oriented edge set.  Each triangle is produced
+    EXACTLY once (its unique lowest-order corner anchors it), so no
+    post-hoc dedup shuffle, and the per-source wedge fan-out is bounded
+    by the oriented out-degree, which is O(sqrt(m)) for any graph — the
+    property that makes the wedge stage survive power-law hubs at scale:
+    an id-oriented variant lets one hub generate O(deg^2) wedges from a
+    single task, degree orientation cannot.
+
+    Plan: degree via ``groupBy(node).count()`` over the arc endpoints
+    (map-side partial combine — NOT a count window, which would pin a
+    hub's arc set on one task), two id-keyed joins to attach endpoint
+    degrees, one self-join on the wedge anchor, one (v, w)-keyed closure
+    join, then an explode + partial-agg count of the three corners.
+    Triangle identity is pure integer/id arithmetic — bit-exact on any
+    engine and partitioning.
+    """
+    arcs = undirect(edges, a, b)
+    deg = arcs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ed = (
+        edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+        .join(deg.select(F.col("node").alias("ea"), F.col("deg").alias("da")), "ea")
+        .join(deg.select(F.col("node").alias("eb"), F.col("deg").alias("db")), "eb")
+    )
+    lo_first = F.struct(F.col("da"), F.col("ea")) < F.struct(
+        F.col("db"), F.col("eb")
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+        F.when(lo_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    # Wedge at the anchor: two out-arcs of src, canonicalized by the SAME
+    # (degree, id) total order so the closing arc — which is oriented by
+    # that order too — is probed in exactly one direction.
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(
+            F.struct(F.col("x.dd"), F.col("x.dst"))
+            < F.struct(F.col("y.dd"), F.col("y.dst"))
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return per_node.join(deg, "node").select("node", "n_triangles", "deg")
 
 
 def pagerank_micro(

@@ -21,16 +21,20 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-8 _CHECK_FIRST = the THREE round-7 additions (first
-# driver certification, promised in r7), the 26 entries last driver-green
-# in round 5 (staleness limit this round), the two r7-green queries whose
-# physical plans changed this round (lm_perplexity_filter and
-# doc_prefix_jaccard_join pick up the partial-agg doc-frequency relation
-# — re-certify after the plan change), and 19 r6-green entries promoted
-# one round early.  The remaining 29 r6-green entries sit unlisted in the
-# middle (due r9); the other 48 r7-green entries rotate to _CHECK_LAST
-# (due r10).
+# round.  Round-8 _CHECK_FIRST = the THREE round-8 additions and the
+# THREE round-7 additions (first driver certification), the 26 entries
+# last driver-green in round 5 (staleness limit this round), the two
+# r7-green queries whose physical plans changed this round
+# (lm_perplexity_filter and doc_prefix_jaccard_join pick up the
+# partial-agg doc-frequency relation — re-certify after the plan change),
+# and 16 r6-green entries promoted one round early.  The remaining
+# r6-green entries sit unlisted in the middle (due r9); the other 48
+# r7-green entries rotate to _CHECK_LAST (due r10).
 _CHECK_FIRST = (
+    # round-8 additions — first driver certification:
+    "part_triangle_count",
+    "doc_containment_pairs",
+    "ann_ivf_recall",
     # round-7 additions — first driver certification:
     "doc_bm25_topk",
     "source_ngram_novelty",
@@ -82,9 +86,6 @@ _CHECK_FIRST = (
     "passage_dedup",
     "split_divergence",
     "ann_q8_topk",
-    "text_repetition",
-    "sequence_packing",
-    "source_mixture",
 )
 # Queries checked in round 7 — rotate to the unchecked tail (due r10);
 # the parity suite still covers them at sf0.1 every round.

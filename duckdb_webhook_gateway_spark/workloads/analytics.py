@@ -1629,6 +1629,91 @@ ENTRIES["part_pagerank"] = (part_pagerank, PART_PAGERANK_SQL)
 
 
 # ---------------------------------------------------------------------------
+# part_triangle_count — per-part triangle participation in the co-purchase
+# graph (edges = part pairs sharing >= 1 order), plus the local clustering
+# coefficient in integer micro-units.  Spark counts wedges under the
+# DEGREE orientation (operators/graphs.py::triangle_counts — oriented
+# out-degree is O(sqrt(m)), so hub nodes cannot explode a task); the
+# oracle enumerates triangles naively as id-ordered a<b<c edge triples.
+# The triangle SET is orientation-independent, so the two agreeing IS the
+# orientation argument checked differentially.  All arithmetic is
+# integer (micro-unit coefficient), bit-exact on both engines.
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import basket_pairs, triangle_counts
+    from ..plans.spread import scan_splits
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    # Same pre-partition + AQE-gated edge materialization as
+    # part_pagerank (and for the same measured reasons): the basket
+    # groupBy's distribution is satisfied by a hash(basket) repartition,
+    # and under AQE the edge lineage would re-execute once per consumer
+    # branch (degree, orientation joins, wedge self-join, closure).
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if scan_splits(spark, li) < target:
+        op = op.repartition(target, "basket")
+    edges = basket_pairs(op).select("a", "b")
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        edges = edges.localCheckpoint(eager=False)
+    t = triangle_counts(edges)
+    return (
+        t.select(
+            F.col("node").alias("part_key"),
+            "n_triangles",
+            F.col("deg").alias("degree"),
+            # local clustering coefficient = 2T / (d(d-1)), micro-units;
+            # every node here closes a triangle, so degree >= 2
+            F.expr(
+                "(2000000 * n_triangles) DIV (deg * (deg - 1))"
+            ).alias("clus_micro"),
+        )
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(20)
+    )
+
+
+PART_TRIANGLE_COUNT_SQL = """
+WITH op AS (
+  SELECT ok, pk FROM (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= 1024),
+e AS (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS pk FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+t AS (SELECT pk, COUNT(*) AS n_triangles FROM corners GROUP BY 1),
+deg AS (
+  SELECT pk, COUNT(*) AS d
+  FROM (SELECT a AS pk FROM e UNION ALL SELECT b FROM e)
+  GROUP BY 1)
+SELECT t.pk AS part_key,
+       t.n_triangles,
+       deg.d AS degree,
+       CAST((2000000 * t.n_triangles) // (deg.d * (deg.d - 1)) AS BIGINT)
+         AS clus_micro
+FROM t JOIN deg ON t.pk = deg.pk
+ORDER BY n_triangles DESC, part_key
+LIMIT 20
+"""
+
+ENTRIES["part_triangle_count"] = (part_triangle_count, PART_TRIANGLE_COUNT_SQL)
+
+
+# ---------------------------------------------------------------------------
 # part_name_fuzzy_pairs — blocked fuzzy entity resolution.  Collapse the
 # corpus to DISTINCT names first (corpus-cardinality -> vocab-cardinality
 # before anything quadratic), block on the first token, and run

@@ -4114,6 +4114,158 @@ ENTRIES["doc_prefix_jaccard_join"] = (
 
 
 # ---------------------------------------------------------------------------
+# doc_containment_pairs — asymmetric containment (doc-in-doc) join over
+# 3-gram shingle sets (operators/dedup.py::prefix_containment_join): pairs
+# where the SMALLER set is >= 4/5 covered by the intersection.  Jaccard
+# misses a short doc quoted inside a long one; containment is the
+# standard subset-dup detector.  The oracle generates candidates naively
+# (pairs sharing ANY shingle) and applies the same integer-exact
+# threshold — equality with the prefix-filtered Spark plan IS the
+# containment prefix bound's no-false-negative guarantee, checked
+# differentially.  Shingles are md5-hashed to 60-bit ints on BOTH sides
+# (identical keys, exact identity; 8-byte shuffle keys at scale).
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    return (
+        D.prefix_containment_join(docs, threshold_num=4, threshold_den=5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DOC_CONTAINMENT_SQL = f"""
+WITH {_ORACLE_SHINGLES.strip()},
+shh AS (SELECT DISTINCT doc_id,
+               {hex_to_int_expr("md5(shingle)", 15, "duckdb")} AS shingle
+        FROM sh),
+counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS INT) AS n_inter,
+       CAST(LEAST(ca.n, cb.n) AS INT) AS n_min,
+       ROUND(i.i / CAST(LEAST(ca.n, cb.n) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN counts ca ON i.doc_a = ca.doc_id
+JOIN counts cb ON i.doc_b = cb.doc_id
+WHERE 5 * i.i >= 4 * LEAST(ca.n, cb.n)
+ORDER BY doc_a, doc_b
+"""
+
+ENTRIES["doc_containment_pairs"] = (doc_containment_pairs, DOC_CONTAINMENT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall — ANN quality harness: per-query recall@5 of the IVF
+# index against the brute-force cosine ground truth, composed from the
+# same two operators the standalone queries use (same quantizer, nprobe,
+# tie-breaks).  The eval join is id-width (10 queries x 5 ranks per arm);
+# each arm keeps its own scale posture (broadcast queries + WindowGroupLimit
+# top-k; centroid-cardinality assignment).  recall is n_hits/5 with both
+# values emitted — n_hits integer-exact, recall rounded 1e-6.
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(
+        qs, emb, num_centroids=16, nprobe=2, k=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    univ = exact.select("query_id").distinct()
+    return (
+        univ.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+WITH exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_ORACLE_COS.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM exact_scored
+  ) WHERE rn <= 5
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_ORACLE_COS.format(a='e.embedding', b='c.cv')}, 6) AS c_cos
+  FROM embeddings e, cent c
+),
+lists AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT vec_id AS query_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0 WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+  WHERE p.query_id <> l.vec_id
+),
+ivf_scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_ORACLE_COS.format(a='q.embedding', b='n.embedding')}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ivf_ranked AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ivf_scored
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact_ranked e
+  JOIN ivf_ranked v
+    ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM exact_ranked)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+ENTRIES["ann_ivf_recall"] = (ann_ivf_recall, ANN_IVF_RECALL_SQL)
+
+
+# ---------------------------------------------------------------------------
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set gating report (Rae et al. 2021 §A1.1) per source:
     document pass counts plus per-rule failure counts

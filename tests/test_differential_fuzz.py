@@ -61,6 +61,9 @@ QUERIES = [
     # round-7 additions (BM25 terms overlap VOCAB by design)
     "doc_bm25_topk",
     "source_ngram_novelty",
+    # round-8 addition: containment prefix bound fuzzed against the
+    # naive-candidate oracle (subset docs planted via kind==3 dups)
+    "doc_containment_pairs",
 ]
 
 VOCAB = [
@@ -405,6 +408,53 @@ def test_basket_graph_queries_match_oracle_on_random_inputs(
 
 
 # ---------------------------------------------------------------------------
+# triangle family: separate corpus from BASKET_QUERIES — that one plants
+# a 1024-item degenerate basket (the truncation-cap case), which as a
+# CLIQUE holds C(1024,3) ~ 1.8e8 triangles and would swamp both engines.
+# Here the degenerate case is a 30-item clique basket (4,060 triangles)
+# plus random small baskets, exercising the same orientation/count logic.
+
+
+def _rand_lineitem_tri(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    for ok in range(1, 51):
+        k = rng.randint(1, 7)
+        for pk in rng.sample(range(1, 36), k):
+            rows.append((ok, pk))
+    rows.append((1, rows[0][1]))  # duplicate (basket, item) row
+    rows.append((8001, 3))  # single-item basket: no pairs, no triangles
+    for pk in range(100, 130):  # 30-clique basket
+        rows.append((8999, pk))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_triangle_query_matches_oracle_on_random_inputs(
+    spark, tmp_path_factory, entries, seed
+):
+    d = str(tmp_path_factory.mktemp(f"tfuzz{seed}"))
+    spark.createDataFrame(
+        _rand_lineitem_tri(seed), "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'lineitem.parquet')}/*.parquet')"
+    )
+    fn, sql = entries["part_triangle_count"]
+    srows = Counter(
+        tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+    )
+    drows = Counter(
+        tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+    )
+    assert srows == drows
+
+
+# ---------------------------------------------------------------------------
 # embeddings family: random vectors for the ANN / near-dup / cluster
 # queries, salted with a ZERO vector (cosine undefined — both engines
 # must agree on NULL-vs-rank placement), exact duplicates (cosine 1.0
@@ -424,6 +474,8 @@ EMB_QUERIES = [
     "embedding_label_quality",
     "semantic_dedup",
     "hybrid_rank_fusion",
+    # round-8 addition: recall@5 eval join of the ivf arm vs brute force
+    "ann_ivf_recall",
 ]
 
 

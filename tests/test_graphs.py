@@ -1,4 +1,5 @@
-"""Graph operators: basket-pair mining and integer PageRank.
+"""Graph operators: basket-pair mining, integer PageRank, and
+degree-oriented triangle counting.
 
 Contracts under test (operators/graphs.py):
 
@@ -10,6 +11,10 @@ Contracts under test (operators/graphs.py):
   micro-units: no float summation-order drift), conserves rank mass the
   way the truncating formula predicts, and matches a plain-Python
   reference implementation of the same integer recurrence.
+- ``triangle_counts`` equals a brute-force itertools enumeration on
+  random graphs and known closed forms (cliques, stars, cycles), for
+  any partitioning — each triangle counted once at all three corners
+  regardless of the degree orientation chosen inside.
 """
 
 from __future__ import annotations
@@ -143,6 +148,58 @@ def test_pagerank_interleaved_calls_bit_exact(spark):
     # silently recomputed-from-nothing after a later call
     assert {r["node"]: r["r"] for r in rb.collect()} == want_b
     assert {r["node"]: r["r"] for r in ra.collect()} == want_a
+
+
+def _py_triangles(edges):
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    per_node = Counter()
+    nodes = sorted(adj)
+    for u, v, w in combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            per_node[u] += 1
+            per_node[v] += 1
+            per_node[w] += 1
+    return {n: (per_node[n], len(adj[n])) for n in per_node}
+
+
+def _tri_result(spark, edges, partitions=None):
+    edf = spark.createDataFrame(edges, "a bigint, b bigint")
+    if partitions:
+        edf = edf.repartition(partitions)
+    return {
+        r["node"]: (r["n_triangles"], r["deg"])
+        for r in G.triangle_counts(edf).collect()
+    }
+
+
+@pytest.mark.parametrize("partitions", [None, 1, 7])
+def test_triangles_match_bruteforce_random(spark, partitions):
+    import random
+
+    rng = random.Random(42)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(1, 25), 2))) for _ in range(90)}
+    )
+    assert _tri_result(spark, edges, partitions) == _py_triangles(edges)
+
+
+def test_triangles_clique_and_star(spark):
+    # K5: every node is in C(4,2)=6 triangles at degree 4.  A star hub
+    # (the degree-orientation worst case for id-ordering) closes none.
+    k5 = list(combinations(range(1, 6), 2))
+    assert _tri_result(spark, k5) == {n: (6, 4) for n in range(1, 6)}
+    star = [(100, i) for i in range(1, 30)]
+    assert _tri_result(spark, star) == {}
+
+
+def test_triangles_cycle_plus_chord(spark):
+    # 4-cycle has no triangle; one chord creates exactly two
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    assert _tri_result(spark, edges) == _py_triangles(edges)
 
 
 def test_pagerank_digraph_keeps_sourceless_in_nodes(spark):

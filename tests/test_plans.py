@@ -891,6 +891,60 @@ def test_hybrid_fusion_query_side_broadcast_only(spark):
                 break
 
 
+def test_triangle_count_partial_agg_no_window(spark):
+    """Triangle counting (round 8): degree and per-corner triangle counts
+    are PARTIAL aggregates (map-side combine — a count window keyed on a
+    hub node would pin its whole arc set on one task), wedges close via
+    equi-joins under the degree orientation, and the top-20 compiles to
+    TakeOrderedAndProject (no global sort)."""
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        part_triangle_count,
+    )
+
+    plan = _plan(part_triangle_count(spark, sf_dir()))
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_checkpoint_two_explodes_no_window(spark):
+    """Containment join (round 8): the df-ordered shingle-array relation
+    is materialized ONCE (localCheckpoint) before the fan-out — the
+    final plan reads ExistingRDD blocks, never rescans parquet — and
+    exactly two Generates explode it (prefix and full posting list);
+    candidate + verify stages are equi-joins, no windows anywhere (df
+    attaches via the skew-safe partial-agg shape inside the
+    checkpointed lineage)."""
+    import re
+
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        prefix_containment_join,
+    )
+
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    plan = _plan(prefix_containment_join(docs))
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) \*?\s?Generate", plan)) == 2
+
+
+def test_ivf_recall_topk_windows_group_limited(spark):
+    """ANN recall eval (round 8): both retrieval arms keep their top-k
+    rank windows behind WindowGroupLimit (partial top-k before the
+    shuffle — the property that makes rank<=k scale-safe), and the eval
+    join itself is an equi-join on (query_id, neighbor_id)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_ivf_recall
+
+    plan = _plan(ann_ivf_recall(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_all_queries_free_of_scale_hazard_joins(spark):
     """Global sweep: EVERY registered workload query's physical plan must
     be free of CartesianProduct, and BroadcastNestedLoopJoin may appear
@@ -916,6 +970,7 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "token_heavy_hitters",   # 1-row stream total from the MG pass
         "doc_bm25_topk",         # 1-row (N, avgdl) corpus-stats side
         "hybrid_rank_fusion",    # broadcast 5-query set x corpus, both arms
+        "ann_ivf_recall",        # broadcast 10-query set x corpus (exact arm)
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():

@@ -42,7 +42,11 @@ def main() -> None:
         "paired",
         **{
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": "8",
+            # 8 is the sf0.1 sizing (see bench.py); sf1 runs size up via
+            # the same partitions-sized-to-data rule.
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
+            ),
             "spark.ui.showConsoleProgress": "false",
         },
     )
