@@ -136,6 +136,15 @@ def main() -> None:
             "spark.sql.shuffle.partitions": os.environ.get(
                 "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
             ),
+            # The local datasets are ONE parquet file per table, so the
+            # default 128 MB split size scans even the sf1 fact tables
+            # 1-2 wide; 16 MB restores scan/parse parallelism (bounded
+            # below by parquet row-group granularity).  This is the
+            # files-sized-to-data rule from the same sizing pass —
+            # production multi-file layouts keep the default.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1121,6 +1121,12 @@ def prefix_jaccard_join(
             )
         ).alias("token"),
     ).filter(F.col("token") != "")
+    # Materialized ONCE (lazy — rides the per_doc checkpoint job): the
+    # df count branch and the join probe are DIFFERENT plans above the
+    # explode (partial agg vs raw stream), so ReuseExchange cannot share
+    # them and the split+explode lineage would execute twice (the tfidf
+    # pattern, operators/text.py — measured −35% on the base stage).
+    tok = tok.localCheckpoint(eager=False)
     # (doc_id, token) is distinct, so the per-token row count IS the
     # document frequency; partial-agg + join-back (skew-safe, see above)
     from .frequency import attach_group_count
@@ -1230,7 +1236,11 @@ def prefix_containment_join(
     there is NO length filter (containment permits any size ratio), so
     the probe side must index every shingle; the join is equi-keyed and
     AQE-skew-splittable, and prefixes hold only each doc's RAREST keys,
-    so hot-shingle posting lists are probed by few prefix rows.
+    so hot-shingle posting lists are probed by few prefix rows.  The
+    PPJoin POSITIONAL filter still applies (see the inline proof): a
+    generating event at sorted positions (px, py) is pruned when the
+    remaining suffixes cannot cover ``ceil(t*n_min)``, which cuts the
+    candidate distinct before the verify joins.
 
     Thresholds are exact integer cross-multiplication (no float decides
     membership); ``hash_shingles`` mirrors ``ngram_jaccard_dedup`` — the
@@ -1253,6 +1263,11 @@ def prefix_containment_join(
             ),
         )
     sh = sarr.select("doc_id", F.explode("sarr").alias("shingle"))
+    # Materialized ONCE (lazy — rides the per_doc checkpoint job): df
+    # count branch and join probe are different plans above the explode,
+    # so the shingle+md5 lineage would otherwise execute twice (same
+    # fix as prefix_jaccard_join / tfidf; measured −35% on this stage).
+    sh = sh.localCheckpoint(eager=False)
     from .frequency import attach_group_count
 
     # (doc_id, shingle) is distinct -> per-shingle row count IS the df;
@@ -1279,13 +1294,29 @@ def prefix_containment_join(
         .localCheckpoint(eager=True)
     )
     prefix = per_doc.select(
-        "doc_id", "n", F.explode(F.expr("slice(toks, 1, plen)")).alias("shingle")
+        "doc_id",
+        "n",
+        F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos", "shingle"),
     )
     full = per_doc.select(
-        "doc_id", "n", F.explode("toks").alias("shingle")
+        "doc_id", "n", F.posexplode("toks").alias("pos", "shingle")
     )
     # x is the min side (its prefix bound is the one that holds); equal
     # sizes generate from both sides and the distinct collapses them.
+    #
+    # POSITIONAL filter (Xiao et al. 2008 §3.2, containment form): both
+    # arrays share ONE global (df, shingle) sort order, so for the
+    # FIRST shared shingle of a pair — at 0-based positions (px, py) —
+    # nothing earlier on either side is shared, hence
+    # |a∩b| <= min(nx-px, ny-py).  Containment >= num/den needs
+    # |a∩b| >= ceil(num*nx/den) (x = min side), so prune generating
+    # events where den*min(nx-px, ny-py) < num*nx.  Every valid pair
+    # still survives via its first shared shingle (which pigeonhole
+    # places inside x's prefix), and the filter runs BEFORE the pair
+    # distinct — it prunes the one unbounded candidate class the plain
+    # prefix bound admits: a min-side doc sharing one rare shingle with
+    # a vastly larger doc whose posting-list tail can no longer cover
+    # 4/5 of the min side.
     cand = (
         prefix.alias("x")
         .join(full.alias("y"), "shingle")
@@ -1295,6 +1326,13 @@ def prefix_containment_join(
                 (F.col("x.n") == F.col("y.n"))
                 & (F.col("x.doc_id") != F.col("y.doc_id"))
             )
+        )
+        .filter(
+            F.least(
+                F.col("x.n") - F.col("x.pos"), F.col("y.n") - F.col("y.pos")
+            )
+            * threshold_den
+            >= threshold_num * F.col("x.n")
         )
         .select(
             F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),

@@ -112,7 +112,7 @@ def triangle_counts(
     """Per-node triangle participation over an undirected graph.
 
     ``edges`` is a deduplicated canonical edge list with ``a < b``.
-    Returns ``(node, n_triangles, degree)`` for every node that closes at
+    Returns ``(node, n_triangles, deg)`` for every node that closes at
     least one triangle.
 
     Degree-oriented wedge counting (the Cohen MapReduce triangle
@@ -152,6 +152,13 @@ def triangle_counts(
         F.when(lo_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
     )
+    # The oriented-arc relation is consumed three times (both wedge
+    # sides and the closing probe).  x/y share one src-keyed exchange
+    # via ReuseExchange, but the closing side shuffles on (v, w) — a
+    # different key — so without truncation its two degree-attach joins
+    # re-execute.  The relation is edge-cardinality; a lazy
+    # localCheckpoint materializes it exactly once on first action.
+    oriented = oriented.localCheckpoint(eager=False)
     # Wedge at the anchor: two out-arcs of src, canonicalized by the SAME
     # (degree, id) total order so the closing arc — which is oriented by
     # that order too — is probed in exactly one direction.
@@ -172,10 +179,15 @@ def triangle_counts(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
     tri = wedges.join(closing, ["v", "w"])
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("v").alias("node")))
-        .unionByName(tri.select(F.col("w").alias("node")))
+    # ONE consumer of the closure join: explode the three corners
+    # in-row (narrow), then partial-agg count.  The earlier 3-way union
+    # of projections re-executed the wedge+closure join once per branch
+    # (the join probe is not an exchange, so ReuseExchange cannot share
+    # it) and shuffled 3x the triangle count as raw corner rows; the
+    # explode keeps a single join execution and map-side combine
+    # reduces the corner stream before its only shuffle.
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     per_node = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")

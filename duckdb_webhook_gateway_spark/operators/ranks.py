@@ -1,0 +1,109 @@
+"""Scale-safe EXACT global ranking: ntile over a total order without a
+single-task window.
+
+``F.ntile(n).over(Window.orderBy(...))`` (no partitionBy) compiles to a
+physical plan with ONE partition: the entire relation is shuffled onto a
+single task, sorted there, and numbered — the canonical 100 TB
+scale-killer.  DuckDB parallelizes the same SQL with a morsel-driven
+shared sort, so the semantics are portable; only Spark's window
+execution makes the naive form unscalable.
+
+``global_ntile`` computes the identical assignment (SQL ntile semantics:
+``n`` buckets over the total order, the first ``N mod n`` buckets one
+row larger) from a composition that never materializes the total order
+on one task:
+
+1. ``repartitionByRange`` on the sort key — contiguous, disjoint key
+   ranges per partition (a sampled range partitioner; sampling only
+   moves partition BOUNDARIES, never the total order itself).
+2. A per-partition ``row_number`` window keyed on
+   ``spark_partition_id()`` — each task sorts only its own range.
+3. The ranked relation is materialized ONCE (``localCheckpoint``).
+   This is load-bearing for correctness, not just speed: the range
+   partitioner's reservoir sample is seeded per-RDD, so two separate
+   actions over the same lineage may pick DIFFERENT boundaries — the
+   per-partition counts and the main pass must read the same physical
+   partitioning or the offsets silently misalign.
+4. Per-partition row counts, collected to the driver.  This collect is
+   PARTITION-cardinality (== spark.sql.shuffle.partitions), not data
+   cardinality — the same bounded-collect class as the repo's
+   convergence checks.
+5. global rank = (cumulative offset of the row's partition) + local
+   rank, attached with a broadcast join on the partition id; the tile
+   follows from the exact integer ntile formula (DIV arithmetic — no
+   float ever decides a bucket).
+
+Two shuffles of the projected relation (range, then pid-hash for the
+window) replace the one-task global sort; every stage is bounded by
+partition size, so the shape survives any scale-up.  The pid-hash
+shuffle could be elided with an RDD ``zipWithIndex`` but that drops to
+row-at-a-time Python; both shuffles stay whole-stage-codegen JVM.
+
+Determinism: callers must pass a TOTAL order (unique tie-break key,
+house rule), which makes rank — and therefore the tile — independent of
+partitioning and of the range partitioner's sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_ntile(
+    rel: DataFrame,
+    n_tiles: int,
+    order: Sequence[Column],
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Attach SQL-exact ``ntile(n_tiles)`` over the global ``order``.
+
+    ``order`` must be a total order (include a unique tie-break).
+    Returns ``rel`` plus ``tile_col`` (int); row identity is preserved.
+    """
+    spark = rel.sparkSession
+    num = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = rel.repartitionByRange(num, *order).withColumn(
+        "_gnt_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_gnt_lrank",
+        F.row_number().over(
+            Window.partitionBy("_gnt_pid").orderBy(*order)
+        ),
+    ).localCheckpoint(eager=True)  # pin ONE range sampling (see module doc)
+    counts = sorted(
+        (r["_gnt_pid"], r["n"])
+        for r in local.groupBy("_gnt_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:  # empty input: preserve schema, no rows
+        return rel.withColumn(tile_col, F.lit(None).cast("int"))
+    offsets = []
+    acc = 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_gnt_pid int, _gnt_off bigint")
+    q, r = divmod(total, n_tiles)
+    # SQL ntile: first r tiles have q+1 rows, the rest q.  All-integer
+    # DIV arithmetic; the ELSE divisor q is only reachable when q > 0
+    # (rank > r*(q+1) implies total > r*(q+1), i.e. q >= 1) — max(q, 1)
+    # keeps the unreachable branch from ever evaluating 0 as a divisor.
+    big = r * (q + 1)
+    rank = "(_gnt_off + _gnt_lrank)"
+    tile = (
+        f"CAST(CASE WHEN {rank} <= {big} "
+        f"THEN ({rank} - 1) DIV {q + 1} + 1 "
+        f"ELSE {r} + ({rank} - {big} - 1) DIV {max(q, 1)} + 1 "
+        f"END AS INT)"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_gnt_pid")
+        .withColumn(tile_col, F.expr(tile))
+        .drop("_gnt_pid", "_gnt_lrank", "_gnt_off")
+    )

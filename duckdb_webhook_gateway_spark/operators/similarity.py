@@ -257,14 +257,14 @@ def ivf_assign(
 
 
 def ivf_topk(
-    queries: DataFrame,
+    queries,
     corpus: DataFrame,
     num_centroids: int = 16,
     nprobe: int = 2,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors — fused single-pass plan.
 
@@ -295,20 +295,39 @@ def ivf_topk(
         centroids = corpus.filter(F.col(id_col) < num_centroids).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col)
         )
-    cent_pd = (
-        centroids.select("centroid_id", F.col(vec_col).alias("cv"))
-        .orderBy("centroid_id")
-        .toPandas()
-    )
+    # Both driver-side collects accept an ALREADY-collected pandas frame
+    # (columns (centroid_id, vec_col) / (id_col, vec_col)) — callers that
+    # derive queries and centroids from one tiny relation (e.g. the
+    # ann_ivf_recall harness: both are id-prefixes of the corpus) collect
+    # it once and slice locally instead of paying one Spark job per
+    # toPandas here.  Semantics are identical; the sort below enforces
+    # the same deterministic order either way.
+    if isinstance(centroids, pd.DataFrame):
+        cent_pd = centroids.rename(columns={vec_col: "cv"})[
+            ["centroid_id", "cv"]
+        ].sort_values("centroid_id")
+    else:
+        cent_pd = (
+            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
+            .orderBy("centroid_id")
+            .toPandas()
+        )
     c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
     c_norm = np.linalg.norm(c_mat, axis=1)
 
-    q_pd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .orderBy("query_id")
-        .toPandas()
-    )
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(
+            columns={id_col: "query_id", vec_col: "qv"}
+        )[["query_id", "qv"]].sort_values("query_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            .orderBy("query_id")
+            .toPandas()
+        )
     q_ids = q_pd["query_id"].to_numpy(dtype="int64")
     q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["qv"].values])
     q_norm = np.linalg.norm(q_mat, axis=1)

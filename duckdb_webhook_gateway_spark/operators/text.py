@@ -247,13 +247,19 @@ def tfidf_top_terms(
     )
 
 
-def lm_perplexity(
+def lm_doc_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_tokens: int = 4000,
 ) -> DataFrame:
-    """CCNet-style LM quality filter (Wenzek et al. 2020, arXiv:1911.00359):
+    """Per-document bigram-LM scores — the model-statistics stage of
+    :func:`lm_perplexity`, exposed separately so its plan (partial-agg
+    model stats over the checkpointed contingency relation) stays
+    directly inspectable: the decile stage checkpoints, which truncates
+    the visible lineage.  Returns (doc_id, n_bigrams, bits_per_bigram).
+
+    CCNet-style LM quality filter (Wenzek et al. 2020, arXiv:1911.00359):
     score every document by the cross-entropy of an add-one-smoothed
     bigram LM trained on the corpus itself, then decile-bucket so the
     high-perplexity tail (gibberish, boilerplate, OCR noise) can be
@@ -281,10 +287,10 @@ def lm_perplexity(
     relation, never the stream.  The per-doc score is the
     occurrence-weighted mean Σ(occ·bits)/Σ(occ) — identical to the
     per-occurrence mean, computed on contingency-cardinality rows.
-    The final NTILE is a single global window over DOC-cardinality
-    rows (doc_id, score) — at 100 TB replace with broadcast
-    approx-quantile cutoffs; kept exact here so the DuckDB oracle can
-    replay it bit-for-bit.
+    The final NTILE is exact but NOT a single global window: it runs
+    through operators/ranks.py::global_ntile (range-partitioned rank
+    composition), so the decile assignment both scales and replays
+    bit-for-bit on the DuckDB oracle.
     """
     t = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -344,19 +350,36 @@ def lm_perplexity(
             ).alias("bits"),
         )
     )
-    doc_scores = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("occ").cast("bigint").alias("n_bigrams"),
         F.round(
             F.sum(F.col("occ") * F.col("bits")) / F.sum("occ"), 6
         ).alias("bits_per_bigram"),
     )
-    w = Window.orderBy(F.asc("bits_per_bigram"), F.asc("doc_id"))
-    return doc_scores.select(
-        "doc_id",
-        "n_bigrams",
-        "bits_per_bigram",
-        F.ntile(10).over(w).cast("int").alias("ppl_decile"),
-    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 4000,
+) -> DataFrame:
+    """:func:`lm_doc_scores` plus the exact perplexity decile.
+
+    The decile is EXACT but NOT a single-task global window (the naive
+    ``ntile(10).over(Window.orderBy(...))`` funnels every doc score
+    through one task): global_ntile (operators/ranks.py) range-
+    partitions the total order, so the shape holds at any corpus size
+    while staying bit-replayable by the DuckDB oracle.
+    """
+    from .ranks import global_ntile
+
+    return global_ntile(
+        lm_doc_scores(docs, id_col, text_col, max_tokens),
+        10,
+        [F.asc("bits_per_bigram"), F.asc("doc_id")],
+        tile_col="ppl_decile",
+    ).select("doc_id", "n_bigrams", "bits_per_bigram", "ppl_decile")
 
 
 def dsir_weights(

@@ -89,3 +89,21 @@ def spread(
     if scan_splits(spark, df) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total statable bytes behind a file-sourced DataFrame.
+
+    None when the input is derived (no files) or any file is remote —
+    callers treating None as "unknown" should fall back to the
+    splits-only heuristic.  Used to gate repartitions that only pay for
+    themselves past a work floor: a narrow scan of a tiny file should
+    NOT buy a shuffle just because splits < slots.
+    """
+    files = df.inputFiles()
+    if not files:
+        return None
+    sizes = [_local_size(f) for f in files]
+    if any(s is None for s in sizes):
+        return None
+    return sum(sizes)  # type: ignore[arg-type]

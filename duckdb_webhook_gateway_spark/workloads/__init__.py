@@ -21,25 +21,73 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-8 _CHECK_FIRST = the THREE round-8 additions and the
-# THREE round-7 additions (first driver certification), the 26 entries
-# last driver-green in round 5 (staleness limit this round), the two
-# r7-green queries whose physical plans changed this round
-# (lm_perplexity_filter and doc_prefix_jaccard_join pick up the
-# partial-agg doc-frequency relation — re-certify after the plan change),
-# and 16 r6-green entries promoted one round early.  The remaining
-# r6-green entries sit unlisted in the middle (due r9); the other 48
-# r7-green entries rotate to _CHECK_LAST (due r10).
+# round.  Round-9 _CHECK_FIRST = the THREE r8-green queries whose physical
+# plans changed this round (part_triangle_count: corner union -> single
+# explode + oriented checkpoint; doc_containment_pairs: positional
+# candidate filter; ann_ivf_recall: shared one-collect head feeding both
+# arms — re-certify after the plan change), the 34 entries last
+# driver-green in round 6 (staleness limit this round), and 13 r7-green
+# entries promoted one round early.  The remaining 35 r7-green entries
+# sit unlisted in the middle (due r10); the 47 r8-green entries rotate
+# to _CHECK_LAST (due r11).
 _CHECK_FIRST = (
-    # round-8 additions — first driver certification:
     "part_triangle_count",
     "doc_containment_pairs",
     "ann_ivf_recall",
-    # round-7 additions — first driver certification:
+    "top_orders_by_value",
+    "part_projection",
+    "part_filter_like_in",
+    "customer_order_counts",
+    "order_priority_rate",
+    "events_json_bucket",
+    "events_recent_topk",
+    "events_type_rate",
+    "window_top_orders_per_customer",
+    "region_keys_union",
+    "lineitem_distinct_counts",
+    "rollup_region_nation",
+    "supplier_string_funcs",
+    "nation_key_intersect",
+    "cube_order_status",
+    "events_funnel",
+    "dedup_exact",
+    "text_language_id",
+    "text_quality",
+    "doc_fingerprint",
+    "ann_lsh_buckets",
+    "events_pivot_by_type",
+    "corpus_stats",
+    "doc_length_histogram",
+    "text_repetition",
+    "sequence_packing",
+    "source_mixture",
+    "boilerplate_ratio",
+    "doc_chunk_manifest",
+    "quality_funnel",
+    "bpe_merge_candidates",
+    "mixture_resample",
+    "split_ngram_decontamination",
+    "leakage_safe_split",
+    "events_cohort_retention",
+    "events_anomaly_zscore",
+    "bloom_prefilter_join",
+    "customer_scd2_snapshot",
+    "value_quantile_sketch",
+    "brand_top_parts",
+    "part_basket_pairs",
+    "part_pagerank",
+    "part_name_fuzzy_pairs",
+    "orderkey_hll_distinct",
+    "q10_returned_revenue",
+    "region_status_grouping_sets",
+    "monthly_revenue_incremental",
+)
+# Queries checked in round 8 — rotate to the unchecked tail (due r11);
+# the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "doc_bm25_topk",
     "source_ngram_novelty",
     "hybrid_rank_fusion",
-    # last driver-green in round 5 (staleness limit this round):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -66,10 +114,8 @@ _CHECK_FIRST = (
     "substring_dup_spans_sa",
     "gopher_quality_gate",
     "gopher_repetition_report",
-    # r7-green but plan-changed this round (partial-agg df) — re-certify:
     "lm_perplexity_filter",
     "doc_prefix_jaccard_join",
-    # r6-green promoted one round early:
     "join_key_skew",
     "salted_join_orders",
     "embedding_near_dup_lsh",
@@ -87,59 +133,6 @@ _CHECK_FIRST = (
     "split_divergence",
     "ann_q8_topk",
 )
-# Queries checked in round 7 — rotate to the unchecked tail (due r10);
-# the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "events_cohort_retention",
-    "events_anomaly_zscore",
-    "bloom_prefilter_join",
-    "customer_scd2_snapshot",
-    "value_quantile_sketch",
-    "brand_top_parts",
-    "part_basket_pairs",
-    "part_pagerank",
-    "part_name_fuzzy_pairs",
-    "orderkey_hll_distinct",
-    "q10_returned_revenue",
-    "region_status_grouping_sets",
-    "monthly_revenue_incremental",
-    "events_markov_transitions",
-    "nation_trade_matrix",
-    "events_hopping_windows",
-    "customer_functional_deps",
-    "events_hourly_gapfill",
-    "dedup_incremental",
-    "events_sessionize",
-    "events_asof_attribution",
-    "training_order_manifest",
-    "vocab_oov_rate",
-    "cross_source_overlap",
-    "ensemble_near_dup",
-    "source_lang_mix",
-    "passage_savings",
-    "events_rolling_features",
-    "distinct_kmv_sketch",
-    "events_range_join",
-    "corpus_pmi_pairs",
-    "embedding_label_quality",
-    "multimodal_video_features",
-    "source_temperature_mixture",
-    "source_quality_deciles",
-    "multimodal_image_resize",
-    "corpus_zipf_stats",
-    "streaming_hourly_counts",
-    "semantic_dedup",
-    "dsir_selection",
-    "substring_dup_spans",
-    "events_profile",
-    "token_heavy_hitters",
-    "weighted_sample_topk",
-    "source_overlap_kmv",
-    "events_multitouch_attribution",
-    "token_freq_cm_sketch",
-    "embedding_dim_stats",
-)
-
 
 def all_entries() -> dict[str, Entry]:
     entries: dict[str, Entry] = {}

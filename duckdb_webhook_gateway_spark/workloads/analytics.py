@@ -82,8 +82,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
     )
+    # The customer⋈orders reduction joins lineitem as a SHUFFLED HASH
+    # join (hint): its build side keys on the UNIQUE o_orderkey, so the
+    # per-partition hash table is |co|/shuffle_partitions — bounded by
+    # shuffle sizing with no hub-key risk — while the default sort-merge
+    # pays a full sort of the fact side (measured 3x slower at sf1:
+    # 2.16 s SMJ vs 0.73 s SHJ; DuckDB's in-memory hash join is the
+    # same strategy).  A broadcast of co would be faster still locally
+    # but is NOT scale-safe: co grows with the fact tables.
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .hint("shuffle_hash")
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -113,7 +122,15 @@ LIMIT 10
 
 # ---------------------------------------------------------------------------
 # q5_region_revenue — 6-way join incl. two dimension chains (TPC-H Q5).
-# region/nation are broadcast; lineitem->orders->customer is the fact spine.
+# Authored in SELECTIVE order (region -> nation -> customer -> orders,
+# then the lineitem fact, then supplier): Catalyst pushes filters but
+# does not reorder joins without CBO stats, so the literal order decides
+# how many fact rows each join touches — the region filter must reduce
+# orders BEFORE the fact join, not after (at 100 TB the difference is a
+# 5x probe-side reduction; measured 1.57 s -> 1.29 s even at sf1).
+# nation⋈region broadcasts (constant-cardinality dims); the reduced
+# orders side joins lineitem as a SHUFFLED HASH join — unique o_orderkey
+# build keys, per-partition build bounded by shuffle sizing (see q3).
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -121,16 +138,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    c = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    o = orders.join(c, orders.o_custkey == c.c_custkey).hint("shuffle_hash")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
+        j.join(
             supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            (j.l_suppkey == supp.s_suppkey)
+            & (j.c_nationkey == supp.s_nationkey),
         )
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -284,7 +303,24 @@ ORDER BY o_orderpriority
 # events_json_bucket — JSON extraction + group-by-extracted-field, the
 # reference UI's saved query shape (frontend/src/pages/SqlQuery.tsx:38).
 def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    from ..plans.spread import scan_bytes, scan_splits
+
+    ev = _t(spark, sf_dir, "events").select("props", "value")
+    # JSON parsing is CPU-bound and runs in the scan stage; a compact
+    # single-file events table scans as 1-2 splits, pinning millions of
+    # get_json_object calls on a couple of tasks.  Split-estimate-gated
+    # repartition (the tfidf/triangle pattern), with two refinements
+    # measured at sf1: HASH partitioning on props, not round-robin
+    # (plain repartition(n) local-sorts every column for retry
+    # determinism — the sort of the raw JSON strings cost more than the
+    # parse it parallelized), and a bytes floor so a tiny file never
+    # buys a shuffle the parse can't repay.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nbytes = scan_bytes(ev)
+    if scan_splits(spark, ev) < target and (
+        nbytes is None or nbytes >= 8 * 1024 * 1024
+    ):
+        ev = ev.repartition(target, "props")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.select(k.alias("k"), "value")
@@ -670,10 +706,20 @@ ORDER BY hour_start
 # ---------------------------------------------------------------------------
 # orders_value_quartiles — ntile window ranking.
 def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    from ..operators.ranks import global_ntile
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # EXACT global ntile without the single-task window the naive
+    # F.ntile(4).over(Window.orderBy(...)) compiles to — that plan
+    # funnels every order through one task (measured 1.9 s at sf1 and
+    # unbounded at scale); global_ntile range-partitions instead.
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        global_ntile(
+            orders,
+            4,
+            [F.desc("o_totalprice"), F.asc("o_orderkey")],
+            tile_col="quartile",
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

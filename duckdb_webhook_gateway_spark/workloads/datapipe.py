@@ -4166,10 +4166,23 @@ ENTRIES["doc_containment_pairs"] = (doc_containment_pairs, DOC_CONTAINMENT_SQL)
 # values emitted — n_hits integer-exact, recall rounded 1e-6.
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    qs = emb.filter(F.col("vec_id") < 10)
+    # Queries (vec_id < 10) and the quantizer's centroids (vec_id < 16)
+    # are both id-prefixes of the corpus: collect the 16-row head ONCE
+    # (pushed-filter parquet scan) and slice it locally, instead of each
+    # arm re-collecting its own copy (was: one toPandas job for queries
+    # + one for centroids inside ivf_topk, plus a broadcast re-scan in
+    # cosine_topk — three driver jobs re-deriving the same 16 rows).
+    head = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qs_pd = head[head["vec_id"] < 10]
+    qs = spark.createDataFrame(qs_pd)  # local relation — no scan job
+    cent_pd = head.rename(columns={"vec_id": "centroid_id"})
     exact = S.cosine_topk(qs, emb, k=5).select("query_id", "neighbor_id")
     approx = S.ivf_topk(
-        qs, emb, num_centroids=16, nprobe=2, k=5
+        qs_pd, emb, num_centroids=16, nprobe=2, k=5, centroids=cent_pd
     ).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])

@@ -62,7 +62,10 @@ QUERIES = [
     "doc_bm25_topk",
     "source_ngram_novelty",
     # round-8 addition: containment prefix bound fuzzed against the
-    # naive-candidate oracle (subset docs planted via kind==3 dups)
+    # naive-candidate oracle.  kind==3 plants EXACT duplicates (the
+    # x.n == y.n path); kind==4 plants PROPER-SUBSET docs (a contiguous
+    # token slice of an earlier long doc — the asymmetric x.n < y.n
+    # prefix-bound path containment exists for).
     "doc_containment_pairs",
 ]
 
@@ -85,6 +88,16 @@ def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
             text = " ".join([rng.choice(VOCAB)] * rng.randrange(2, 30))
         elif kind == 3 and rows:
             text = rows[rng.randrange(len(rows))][1]  # exact duplicate
+        elif kind == 4 and any(len(r[1].split()) >= 10 for r in rows):
+            # proper-subset doc: a contiguous token slice of an earlier
+            # long doc.  Its 3-gram shingle set is a strict subset of
+            # the source doc's, so containment = 1.0 with n_min < n_max
+            # — the asymmetric short-doc-quoted-in-long-doc path.
+            cands = [r[1].split() for r in rows if len(r[1].split()) >= 10]
+            toks = cands[rng.randrange(len(cands))]
+            start = rng.randrange(0, len(toks) - 6)
+            span = rng.randrange(5, len(toks) - start + 1)
+            text = " ".join(toks[start : start + span])
         else:
             text = " ".join(
                 rng.choice(VOCAB) for _ in range(rng.randrange(2, 80))

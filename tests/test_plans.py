@@ -728,34 +728,48 @@ def test_dsir_single_corpus_pass_join_free_scoring(spark):
 
 
 def test_lm_perplexity_skew_safe_partial_agg_stats(spark):
-    """LM perplexity (round-8 shape): the position stream reduces ONCE
-    into a checkpointed (doc, w1, w2, occ) contingency relation; c(w1)
-    and c(w1,w2) are PARTIAL aggregates over it — map-side combine
-    collapses hot stop-word keys (a count window over the occurrence
-    stream had no partial agg and no AQE skew rescue) — joined back
-    with equi-joins whose build sides are vocab-cardinality.  |V|
-    counts the c(w1) relation, never the stream.  The only token-keyed
-    WINDOW is gone; the surviving window is the DOC-cardinality NTILE."""
+    """LM perplexity (round-8 shape, round-9 decile): the position
+    stream reduces ONCE into a checkpointed (doc, w1, w2, occ)
+    contingency relation; c(w1) and c(w1,w2) are PARTIAL aggregates
+    over it — map-side combine collapses hot stop-word keys (a count
+    window over the occurrence stream had no partial agg and no AQE
+    skew rescue) — joined back with equi-joins whose build sides are
+    vocab-cardinality.  |V| counts the c(w1) relation, never the
+    stream.  The decile stage checkpoints (global_ntile pins one range
+    sampling), which truncates the end-to-end lineage — so the model
+    stage is asserted on lm_doc_scores and the decile stage on the
+    final plan: no single-task GLOBAL window anywhere (the round-8
+    shape ended in ntile(10) over an unpartitioned orderBy — one task
+    sorting every doc score), and the offsets attach via broadcast."""
     import re
 
+    from duckdb_webhook_gateway_spark.operators.text import lm_doc_scores
     from duckdb_webhook_gateway_spark.workloads.datapipe import (
         lm_perplexity_filter,
     )
 
-    plan = _plan(lm_perplexity_filter(spark, sf_dir()))
-    # no count window partitioned on token keys — the only Window node
-    # is the doc-cardinality decile NTILE (a global ORDER BY window)
-    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    docs = spark.read.parquet(sf_dir() + "/documents.parquet")
+    model = _plan(lm_doc_scores(docs))
+    # no count window partitioned on token keys
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", model)
     for spec in win_specs:
         assert "w1#" not in spec and "w2#" not in spec, spec
     # model statistics are partial aggregates (map-side combine)
-    assert plan.count("partial_sum") >= 2 or "partial_sum" in plan
+    assert "partial_sum" in model
     # contingency relation materialized once — no parquet rescan
-    assert "Scan ExistingRDD" in plan
-    assert "Location: InMemoryFileIndex" not in plan
+    assert "Scan ExistingRDD" in model
+    assert "Location: InMemoryFileIndex" not in model
     # joins are equi-joins; the only nested pairing is the 1-row |V|
+    assert "CartesianProduct" not in model
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", model)) <= 1
+
+    plan = _plan(lm_perplexity_filter(spark, sf_dir()))
+    # every window is keyed (global_ntile's local rank keys on the
+    # partition id) — an EMPTY partition spec would be the one-task
+    # global sort the rewrite removed
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_gnt_pid" in spec or spec.count("#") >= 2, spec
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
 
 
 def test_substring_sa_single_prefix_shuffle_no_joins(spark):

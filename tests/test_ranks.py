@@ -1,0 +1,87 @@
+"""global_ntile (operators/ranks.py) == F.ntile over a single-task
+global window, on corpora designed to stress the composition:
+
+- random values with duplicates (the tie-break key decides),
+- n not divisible by n_tiles (first r tiles one row larger),
+- n < n_tiles (every tile size 0/1),
+- heavy duplication of the primary sort key (the range partitioner can
+  only balance because the tie-break makes the composite key unique),
+- stability under different partition counts (rank must be independent
+  of the physical layout).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_webhook_gateway_spark.operators.ranks import global_ntile
+
+
+def _reference(spark, rows, n_tiles):
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    return {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+
+
+def _composed(spark, rows, n_tiles, shuffle=None):
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    if shuffle is not None:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            out = global_ntile(
+                df, n_tiles, [F.desc("v"), F.asc("id")], "t"
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    else:
+        out = global_ntile(
+            df, n_tiles, [F.desc("v"), F.asc("id")], "t"
+        ).collect()
+    return {r["id"]: r["t"] for r in out}
+
+
+@pytest.mark.parametrize("seed,n,n_tiles", [
+    (7, 200, 4),
+    (11, 199, 4),     # not divisible: first 3 tiles one larger
+    (13, 1000, 10),
+    (17, 3, 10),      # n < tiles
+    (19, 1, 4),
+    (23, 500, 7),
+])
+def test_global_ntile_matches_window_ntile(spark, seed, n, n_tiles):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.random() * 10, 1)) for i in range(n)]  # dups in v
+    assert _composed(spark, rows, n_tiles) == _reference(
+        spark, rows, n_tiles
+    )
+
+
+def test_global_ntile_constant_key_balanced_by_tiebreak(spark):
+    # every v identical: the composite (v, id) order is still total, so
+    # the range partitioner splits on id and no task sorts everything
+    rows = [(i, 1.0) for i in range(400)]
+    assert _composed(spark, rows, 4) == _reference(spark, rows, 4)
+
+
+@pytest.mark.parametrize("shuffle", [1, 3, 16])
+def test_global_ntile_partitioning_invariant(spark, shuffle):
+    rng = random.Random(31)
+    rows = [(i, round(rng.random() * 5, 1)) for i in range(137)]
+    assert _composed(spark, rows, 4, shuffle=shuffle) == _reference(
+        spark, rows, 4
+    )
+
+
+def test_global_ntile_empty(spark):
+    df = spark.createDataFrame([], "id bigint, v double")
+    out = global_ntile(df, 4, [F.desc("v"), F.asc("id")], "t")
+    assert out.count() == 0
+    assert out.schema["t"].dataType.typeName() == "integer"

@@ -47,6 +47,13 @@ def main() -> None:
             "spark.sql.shuffle.partitions": os.environ.get(
                 "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
             ),
+            # single-file-per-table local data: see bench.py — without
+            # this the sf1 fact scans run 1-2 tasks wide while DuckDB
+            # reads row groups on all 32 threads, and the pairing
+            # measures scan-split policy instead of plan quality.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"
+            ),
             "spark.ui.showConsoleProgress": "false",
         },
     )
