@@ -112,7 +112,15 @@ class GatewayHTTPServer:
                 group_commit_window=(gc_ms / 1000.0) if gc_ms > 0 else None,
             )
         handler = _make_handler(self)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        # socketserver's default listen backlog is 5: a burst of
+        # concurrent ingest connections (each client POST is a fresh
+        # TCP connect) overflows it and the kernel RESETS the excess —
+        # dropped ingest acks under exactly the load group commit
+        # exists for.  128 rides the kernel somaxconn cap.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -159,6 +167,13 @@ def _make_handler(srv: GatewayHTTPServer):
     gw = srv.gateway
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: sustained ingest producers hold ONE
+        # connection (and the server one handler thread) for a stream
+        # of POSTs instead of a connect + thread-spawn per event — the
+        # per-request setup dominated ingest throughput before (every
+        # response path sets Content-Length, the 1.1 requirement).
+        protocol_version = "HTTP/1.1"
+
         # -- plumbing -----------------------------------------------------
         def log_message(self, fmt, *args):  # quiet
             pass

@@ -51,19 +51,40 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Below this SOURCE size the one-task window is not a hazard (a single
+# task routinely processes a 128 MB scan split) and the range
+# composition's fixed cost (checkpoint + counts job + two shuffles,
+# ~0.6 s locally) buys nothing — route to the plain window.  Same
+# metadata-driven auto-routing contract as similarity.py's
+# EXACT_NEAR_DUP_CEILING: callers pass what they cheaply know
+# (parquet footer/file bytes); unknown means assume big, the safe
+# direction at scale.
+SMALL_INPUT_CEILING = 16 * 1024 * 1024
+
 
 def global_ntile(
     rel: DataFrame,
     n_tiles: int,
     order: Sequence[Column],
     tile_col: str = "tile",
+    input_bytes: int | None = None,
+    small_input_ceiling: int = SMALL_INPUT_CEILING,
 ) -> DataFrame:
     """Attach SQL-exact ``ntile(n_tiles)`` over the global ``order``.
 
     ``order`` must be a total order (include a unique tie-break).
     Returns ``rel`` plus ``tile_col`` (int); row identity is preserved.
+    ``input_bytes`` (optional): statable size of the SOURCE feeding
+    ``rel`` (``plans/spread.py::scan_bytes``) — at or under
+    ``small_input_ceiling`` the plain single-task window runs instead
+    (identical result; the assignment is order-determined either way).
     """
     spark = rel.sparkSession
+    if input_bytes is not None and input_bytes <= small_input_ceiling:
+        w = Window.orderBy(*order)
+        return rel.withColumn(
+            tile_col, F.ntile(n_tiles).over(w).cast("int")
+        )
     num = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = rel.repartitionByRange(num, *order).withColumn(
         "_gnt_pid", F.spark_partition_id()

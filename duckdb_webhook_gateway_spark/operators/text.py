@@ -366,12 +366,15 @@ def lm_perplexity(
 ) -> DataFrame:
     """:func:`lm_doc_scores` plus the exact perplexity decile.
 
-    The decile is EXACT but NOT a single-task global window (the naive
-    ``ntile(10).over(Window.orderBy(...))`` funnels every doc score
-    through one task): global_ntile (operators/ranks.py) range-
-    partitions the total order, so the shape holds at any corpus size
-    while staying bit-replayable by the DuckDB oracle.
+    The decile is EXACT but NOT a single-task global window at corpus
+    scale (the naive ``ntile(10).over(Window.orderBy(...))`` funnels
+    every doc score through one task): global_ntile (operators/ranks.py)
+    range-partitions the total order, auto-routing to the plain window
+    while the source corpus's statable bytes say the doc-cardinality
+    score relation is one-task safe.  Both paths are bit-replayable by
+    the DuckDB oracle.
     """
+    from ..plans.spread import scan_bytes
     from .ranks import global_ntile
 
     return global_ntile(
@@ -379,6 +382,7 @@ def lm_perplexity(
         10,
         [F.asc("bits_per_bigram"), F.asc("doc_id")],
         tile_col="ppl_decile",
+        input_bytes=scan_bytes(docs),
     ).select("doc_id", "n_bigrams", "bits_per_bigram", "ppl_decile")
 
 

@@ -21,16 +21,27 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round.  Round-9 _CHECK_FIRST = the THREE r8-green queries whose physical
-# plans changed this round (part_triangle_count: corner union -> single
-# explode + oriented checkpoint; doc_containment_pairs: positional
-# candidate filter; ann_ivf_recall: shared one-collect head feeding both
-# arms — re-certify after the plan change), the 34 entries last
-# driver-green in round 6 (staleness limit this round), and 13 r7-green
-# entries promoted one round early.  The remaining 35 r7-green entries
-# sit unlisted in the middle (due r10); the 47 r8-green entries rotate
-# to _CHECK_LAST (due r11).
+# round, and every query whose PHYSICAL PLAN changed re-certifies the
+# same round.  Round-9 _CHECK_FIRST = the EIGHT queries whose plans
+# changed this round (q3: shuffle-hash hint; q5: selective join order;
+# orders_value_quartiles + lm_perplexity_filter: global_ntile replaces
+# the single-task global window; doc_prefix_jaccard_join +
+# doc_containment_pairs: exploded-stream checkpoint, containment also
+# gains the positional filter; part_triangle_count: corner explode +
+# oriented checkpoint; ann_ivf_recall: shared one-collect head), the 34
+# entries last driver-green in round 6 (staleness limit this round) —
+# events_json_bucket among them also picked up a plan change (gated
+# hash repartition) — and 8 r7-green entries promoted one round early.
+# The remaining 35 r7-green entries sit unlisted in the middle (due
+# r10); the 47-entry tail (42 r8-green + the 5 r7-green the plan-change
+# re-certs displaced from the early promotion) is due r10/r11 via the
+# parity suite and the next rotation.
 _CHECK_FIRST = (
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "orders_value_quartiles",
+    "lm_perplexity_filter",
+    "doc_prefix_jaccard_join",
     "part_triangle_count",
     "doc_containment_pairs",
     "ann_ivf_recall",
@@ -76,11 +87,6 @@ _CHECK_FIRST = (
     "brand_top_parts",
     "part_basket_pairs",
     "part_pagerank",
-    "part_name_fuzzy_pairs",
-    "orderkey_hll_distinct",
-    "q10_returned_revenue",
-    "region_status_grouping_sets",
-    "monthly_revenue_incremental",
 )
 # Queries checked in round 8 — rotate to the unchecked tail (due r11);
 # the parity suite still covers them at sf0.1 every round.
@@ -89,15 +95,12 @@ _CHECK_LAST = (
     "source_ngram_novelty",
     "hybrid_rank_fusion",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "supplier_revenue_having",
     "orders_per_month",
     "part_avg_qty_subquery",
     "customers_without_orders",
     "part_size_class",
     "events_hourly",
-    "orders_value_quartiles",
     "lineitem_price_quantiles",
     "parts_never_ordered",
     "customers_with_urgent_orders",
@@ -114,8 +117,6 @@ _CHECK_LAST = (
     "substring_dup_spans_sa",
     "gopher_quality_gate",
     "gopher_repetition_report",
-    "lm_perplexity_filter",
-    "doc_prefix_jaccard_join",
     "join_key_skew",
     "salted_join_orders",
     "embedding_near_dup_lsh",
@@ -132,6 +133,11 @@ _CHECK_LAST = (
     "passage_dedup",
     "split_divergence",
     "ann_q8_topk",
+    "part_name_fuzzy_pairs",
+    "orderkey_hll_distinct",
+    "q10_returned_revenue",
+    "region_status_grouping_sets",
+    "monthly_revenue_incremental",
 )
 
 def all_entries() -> dict[str, Entry]:

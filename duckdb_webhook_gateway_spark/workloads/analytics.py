@@ -707,18 +707,23 @@ ORDER BY hour_start
 # orders_value_quartiles — ntile window ranking.
 def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_ntile
+    from ..plans.spread import scan_bytes
 
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = _t(spark, sf_dir, "orders")
+    orders = base.select("o_orderkey", "o_totalprice")
     # EXACT global ntile without the single-task window the naive
     # F.ntile(4).over(Window.orderBy(...)) compiles to — that plan
     # funnels every order through one task (measured 1.9 s at sf1 and
-    # unbounded at scale); global_ntile range-partitions instead.
+    # unbounded at scale); global_ntile range-partitions instead,
+    # auto-routing back to the plain window when the source's statable
+    # bytes say one task is not a hazard.
     return (
         global_ntile(
             orders,
             4,
             [F.desc("o_totalprice"), F.asc("o_orderkey")],
             tile_col="quartile",
+            input_bytes=scan_bytes(base),
         )
         .groupBy("quartile")
         .agg(

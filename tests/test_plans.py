@@ -764,12 +764,28 @@ def test_lm_perplexity_skew_safe_partial_agg_stats(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", model)) <= 1
 
     plan = _plan(lm_perplexity_filter(spark, sf_dir()))
-    # every window is keyed (global_ntile's local rank keys on the
-    # partition id) — an EMPTY partition spec would be the one-task
-    # global sort the rewrite removed
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "_gnt_pid" in spec or spec.count("#") >= 2, spec
     assert "CartesianProduct" not in plan
+    # the decile routes by source bytes: the test corpus is statable-
+    # small, so the plain window is EXPECTED here; the scale path's
+    # shape (no one-task global sort — every window keys on the pinned
+    # range partition id) is pinned by forcing the routing bound
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.ranks import global_ntile
+    from duckdb_webhook_gateway_spark.operators.text import lm_doc_scores
+
+    scale = _plan(
+        global_ntile(
+            lm_doc_scores(docs),
+            10,
+            [F.asc("bits_per_bigram"), F.asc("doc_id")],
+            "ppl_decile",
+            input_bytes=1 << 40,
+        )
+    )
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", scale):
+        assert "_gnt_pid" in spec, spec
+    assert "Scan ExistingRDD" in scale
 
 
 def test_substring_sa_single_prefix_shuffle_no_joins(spark):

@@ -85,3 +85,22 @@ def test_global_ntile_empty(spark):
     out = global_ntile(df, 4, [F.desc("v"), F.asc("id")], "t")
     assert out.count() == 0
     assert out.schema["t"].dataType.typeName() == "integer"
+
+
+def test_global_ntile_small_input_routes_to_plain_window(spark):
+    # metadata routing: a statable-small source keeps the plain window
+    # (identical assignment, no checkpoint/collect); unknown or large
+    # bytes take the range composition (the scale-safe default)
+    rows = [(i, float(i % 9)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    order = [F.desc("v"), F.asc("id")]
+    small = global_ntile(df, 4, order, "t", input_bytes=1024)
+    assert "ntile(4)" in small._jdf.queryExecution().executedPlan().toString()
+    big = global_ntile(df, 4, order, "t", input_bytes=1 << 40)
+    assert "Scan ExistingRDD" in (
+        big._jdf.queryExecution().executedPlan().toString()
+    )
+    # both routes produce the identical assignment
+    assert {r["id"]: r["t"] for r in small.collect()} == {
+        r["id"]: r["t"] for r in big.collect()
+    }
