@@ -131,7 +131,13 @@ def run_adhoc_query(
     the dict-against-``?`` conversion — see :func:`_bind_params`.
     Binding is parameterized (injection-safe), never string interpolation.
     """
-    if not is_read_only_sql(query, spark=spark):
+    # WEBHOOK_GATEWAY_STRICT_GUARD=1 opts into bug-for-bug parity with
+    # the reference's substring denylist (src/app.py:971) — including
+    # its false positives; default is the documented stronger guard.
+    import os as _os
+
+    strict = _os.environ.get("WEBHOOK_GATEWAY_STRICT_GUARD", "") == "1"
+    if not is_read_only_sql(query, spark=spark, strict=strict):
         from ..plans.guard import READ_ONLY_MESSAGE
 
         raise ReadOnlyViolation(READ_ONLY_MESSAGE)

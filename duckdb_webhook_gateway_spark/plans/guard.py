@@ -120,7 +120,18 @@ def _parser_verdict(spark, sql: str) -> Optional[bool]:
     return True
 
 
-def is_read_only_sql(query: str, spark=None) -> bool:
+def is_read_only_sql(query: str, spark=None, strict: bool = False) -> bool:
+    """``strict=True`` reproduces the reference's check EXACTLY
+    (src/app.py:971: ``any(k in query.upper() for k in [...])`` — a raw
+    substring scan of the unstripped text): same rejections AND the same
+    false positives (``SELECT updated_at`` is denied, ``drop`` inside a
+    string literal is denied).  The default mode is the documented
+    stronger variant below; strict exists for deployments that need
+    bug-for-bug reference parity (WEBHOOK_GATEWAY_STRICT_GUARD=1 on the
+    server)."""
+    if strict:
+        up = query.upper()
+        return not any(w in up for w in _DENY_WORDS)
     stripped = _strip_leading_comments(query).strip().rstrip(";").strip()
     if not stripped:
         return False

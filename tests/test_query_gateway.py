@@ -192,3 +192,43 @@ def test_sqlite_master_lists_engine_tables(gateway, spark):
         "reference_tables",
         "python_udfs",
     } <= names
+
+
+def test_strict_guard_is_bug_for_bug_reference_parity():
+    """strict=True reproduces the reference's raw substring denylist
+    (src/app.py:971) exactly: its rejections AND its false positives.
+    The default mode fixes both false-positive classes (documented
+    deviation, SURVEY §4.2)."""
+    from duckdb_webhook_gateway_spark.plans.guard import is_read_only_sql
+
+    # both modes reject real writes
+    for q in ("DROP TABLE t", "delete from t", "INSERT INTO t VALUES (1)"):
+        assert not is_read_only_sql(q, strict=True)
+        assert not is_read_only_sql(q)
+    # reference false positives, faithfully reproduced under strict only
+    for q in (
+        "SELECT updated_at FROM webhooks",   # UPDATE substring in a name
+        "SELECT 'backdrop' AS s",            # DROP inside a literal
+    ):
+        assert not is_read_only_sql(q, strict=True)
+        assert is_read_only_sql(q)
+    # strict is a SUBSTRING scan, so comment smuggling of a denied word
+    # is still caught, but non-denylist commands pass (the reference
+    # never guarded CREATE) — parity includes the gaps
+    assert not is_read_only_sql("/**/ DROP TABLE t", strict=True)
+    assert is_read_only_sql("CREATE TABLE t AS SELECT 1", strict=True)
+    assert not is_read_only_sql("CREATE TABLE t AS SELECT 1")
+
+
+def test_strict_guard_env_switch(gateway, spark, monkeypatch):
+    import pytest
+
+    from duckdb_webhook_gateway_spark.engine.query_gateway import (
+        ReadOnlyViolation, run_adhoc_query,
+    )
+
+    q = "SELECT updated_at FROM webhooks"
+    assert run_adhoc_query(spark, q)["status"] == "success"
+    monkeypatch.setenv("WEBHOOK_GATEWAY_STRICT_GUARD", "1")
+    with pytest.raises(ReadOnlyViolation):
+        run_adhoc_query(spark, q)
