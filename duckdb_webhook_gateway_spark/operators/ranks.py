@@ -128,3 +128,121 @@ def global_ntile(
         .withColumn(tile_col, F.expr(tile))
         .drop("_gnt_pid", "_gnt_lrank", "_gnt_off")
     )
+
+
+def global_quantiles(
+    rel: DataFrame,
+    order: Sequence[Column],
+    fracs: Sequence[tuple[int, int]],
+    label_col: str = "quantile",
+    rank_col: str = "value_rank",
+    input_bytes: int | None = None,
+    small_input_ceiling: int = SMALL_INPUT_CEILING,
+) -> DataFrame:
+    """EXACT type-1 (lower/ceil) quantiles over a total ``order``:
+    for each rational fraction ``(num, den)`` return the row at global
+    rank ``ceil(num*N/den)`` — all INTEGER arithmetic, so the selected
+    rank is bit-identical on any engine (``ceil(0.9 * N)`` in floats
+    picks the WRONG rank whenever 0.9*N lands on an ulp boundary, e.g.
+    0.9*150000 -> 135000.0000000000333 -> 135001).
+
+    Scale shape: the single-task alternative (``row_number`` over an
+    unpartitioned window, or Spark's ``percentile`` aggregate buffering
+    every value in one reducer) cannot hold a 100 TB column.  Here the
+    relation is range-partitioned on ``order`` and pinned with ONE
+    checkpoint (same correctness argument as :func:`global_ntile`);
+    per-partition counts (partition-cardinality collect) locate which
+    partitions hold target ranks, and ONLY those partitions — at most
+    ``len(fracs)`` of them — are rank-numbered and probed.  Everything
+    else is pruned by partition id before any window shuffle.
+
+    Same ``input_bytes`` routing as :func:`global_ntile`: a
+    statable-small source takes the plain window (identical rows).
+
+    Returns one row per fraction: ``label_col`` (num/den as double,
+    a label only — never used in arithmetic), ``rank_col`` (the
+    selected 1-based global rank) and every column of ``rel``.
+    Fractions out of range (rank < 1 or > N) and empty inputs yield
+    no row for that fraction.
+    """
+    spark = rel.sparkSession
+    if input_bytes is not None and input_bytes <= small_input_ceiling:
+        w = Window.orderBy(*order)
+        ranked = rel.withColumn(rank_col, F.row_number().over(w))
+        n_df = ranked.groupBy().agg(F.max(rank_col).alias("_gq_n"))
+        lab = F.array(
+            *[
+                F.struct(
+                    F.lit(num / den).alias("q"),
+                    F.expr(f"CAST((_gq_n * {num} + {den} - 1) DIV {den} AS BIGINT)").alias("r"),
+                )
+                for num, den in fracs
+            ]
+        )
+        picks = (
+            n_df.select(F.explode(lab).alias("p"))
+            .select(
+                F.col("p.q").alias(label_col),
+                F.col("p.r").alias(rank_col),
+            )
+            .filter(F.col(rank_col) >= 1)
+        )
+        return picks.join(ranked, rank_col).select(
+            label_col, rank_col, *rel.columns
+        )
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        rel.repartitionByRange(num_parts, *order)
+        .withColumn("_gq_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin ONE range sampling
+    )
+    counts = sorted(
+        (r["_gq_pid"], r["n"])
+        for r in ranged.groupBy("_gq_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    picks: list[tuple[float, int]] = []
+    for num, den in fracs:
+        r = (total * num + den - 1) // den  # ceil, integer-exact
+        if 1 <= r <= total:
+            picks.append((num / den, r))
+    if not picks:
+        return (
+            ranged.drop("_gq_pid")
+            .withColumn(label_col, F.lit(None).cast("double"))
+            .withColumn(rank_col, F.lit(None).cast("bigint"))
+            .select(label_col, rank_col, *rel.columns)
+            .limit(0)
+        )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    wanted = sorted({r for _, r in picks})
+    targets = [
+        pid
+        for pid, c in counts
+        if any(offsets[pid] < r <= offsets[pid] + c for r in wanted)
+    ]
+    off_df = spark.createDataFrame(
+        [(p, offsets[p]) for p in targets], "_gq_pid int, _gq_off bigint"
+    )
+    pick_df = spark.createDataFrame(
+        picks, f"{label_col} double, {rank_col} bigint"
+    )
+    local = (
+        ranged.filter(F.col("_gq_pid").isin(targets))
+        .withColumn(
+            "_gq_lrank",
+            F.row_number().over(
+                Window.partitionBy("_gq_pid").orderBy(*order)
+            ),
+        )
+        .join(F.broadcast(off_df), "_gq_pid")
+        .withColumn(rank_col, F.col("_gq_off") + F.col("_gq_lrank"))
+    )
+    return local.join(F.broadcast(pick_df), rank_col).select(
+        label_col, rank_col, *rel.columns
+    )

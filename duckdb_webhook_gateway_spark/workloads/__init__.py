@@ -33,10 +33,13 @@ from . import analytics, datapipe  # noqa: E402
 # events_json_bucket among them also picked up a plan change (gated
 # hash repartition) — and 8 r7-green entries promoted one round early.
 # The remaining 35 r7-green entries sit unlisted in the middle (due
-# r10); the 47-entry tail (42 r8-green + the 5 r7-green the plan-change
-# re-certs displaced from the early promotion) is due r10/r11 via the
-# parity suite and the next rotation.
+# r10); the 48-entry tail (42 r8-green + the 6 r7-green the plan-change
+# re-certs and the new-query slot displaced from the early promotion)
+# is due r10/r11 via the parity suite and the next rotation.  The new
+# round-9 query (orders_price_exact_quantiles) takes its first driver
+# certification slot at the head.
 _CHECK_FIRST = (
+    "orders_price_exact_quantiles",
     "q3_shipping_priority",
     "q5_region_revenue",
     "orders_value_quartiles",
@@ -86,7 +89,6 @@ _CHECK_FIRST = (
     "value_quantile_sketch",
     "brand_top_parts",
     "part_basket_pairs",
-    "part_pagerank",
 )
 # Queries checked in round 8 — rotate to the unchecked tail (due r11);
 # the parity suite still covers them at sf0.1 every round.
@@ -133,6 +135,7 @@ _CHECK_LAST = (
     "passage_dedup",
     "split_divergence",
     "ann_q8_topk",
+    "part_pagerank",
     "part_name_fuzzy_pairs",
     "orderkey_hll_distinct",
     "q10_returned_revenue",

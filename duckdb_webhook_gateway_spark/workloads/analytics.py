@@ -752,6 +752,61 @@ ORDER BY quartile
 """
 
 
+
+# ---------------------------------------------------------------------------
+# orders_price_exact_quantiles — EXACT type-1 quantile rows selected by
+# integer-exact global rank (operators/ranks.py::global_quantiles).
+# Complements lineitem_price_quantiles (interpolated percentile
+# AGGREGATE — a one-reducer value buffer at scale): this shape
+# range-partitions the total order, locates target ranks from
+# partition-cardinality counts, and rank-numbers ONLY the partitions
+# holding a target — scale-safe exact order statistics.  The rank
+# ceil(num*N/den) is computed in integer arithmetic on BOTH engines
+# (float ceil(0.9*N) picks the wrong rank on ulp boundaries).
+def orders_price_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_quantiles
+    from ..plans.spread import scan_bytes
+
+    base = _t(spark, sf_dir, "orders")
+    orders = base.select("o_orderkey", "o_totalprice")
+    return (
+        global_quantiles(
+            orders,
+            [F.asc("o_totalprice"), F.asc("o_orderkey")],
+            [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+            input_bytes=scan_bytes(base),
+        )
+        .select(
+            "quantile",
+            "value_rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("quantile")
+    )
+
+
+ORDERS_PRICE_EXACT_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+         count(*) OVER () AS n
+  FROM orders)
+SELECT CAST(q.num AS DOUBLE) / q.den AS quantile,
+       CAST(r.rnk AS BIGINT) AS value_rank,
+       r.o_orderkey,
+       round(r.o_totalprice, 2) AS o_totalprice
+FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)) q(num, den)
+JOIN ranked r ON r.rnk = (r.n * q.num + q.den - 1) // q.den
+ORDER BY quantile
+"""
+
+ENTRIES["orders_price_exact_quantiles"] = (
+    orders_price_exact_quantiles,
+    ORDERS_PRICE_EXACT_QUANTILES_SQL,
+)
+
+
 ENTRIES.update(
     {
         "rollup_region_nation": (rollup_region_nation, ROLLUP_REGION_NATION_SQL),

@@ -104,3 +104,71 @@ def test_global_ntile_small_input_routes_to_plain_window(spark):
     assert {r["id"]: r["t"] for r in small.collect()} == {
         r["id"]: r["t"] for r in big.collect()
     }
+
+
+# -- global_quantiles -------------------------------------------------------
+
+from duckdb_webhook_gateway_spark.operators.ranks import global_quantiles
+
+
+def _q_reference(spark, rows, fracs):
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    ranked = df.withColumn("rnk", F.row_number().over(w)).collect()
+    n = len(ranked)
+    by_rank = {r["rnk"]: (r["id"], r["v"]) for r in ranked}
+    out = set()
+    for num, den in fracs:
+        r = (n * num + den - 1) // den
+        if 1 <= r <= n:
+            out.add((num / den, r, *by_rank[r]))
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(3, 500), (5, 37), (7, 1)])
+def test_global_quantiles_matches_reference(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.random() * 7, 1)) for i in range(n)]  # dup values
+    fracs = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    for ib in (None, 1024):  # scale path and plain-window route
+        got = {
+            (r["quantile"], r["value_rank"], r["id"], r["v"])
+            for r in global_quantiles(
+                spark.createDataFrame(rows, "id bigint, v double"),
+                [F.asc("v"), F.asc("id")],
+                fracs,
+                input_bytes=ib,
+            ).collect()
+        }
+        assert got == _q_reference(spark, rows, fracs), (ib, n)
+
+
+def test_global_quantiles_empty_and_out_of_range(spark):
+    df = spark.createDataFrame([], "id bigint, v double")
+    out = global_quantiles(df, [F.asc("v"), F.asc("id")], [(1, 2)])
+    assert out.count() == 0
+    assert out.columns == ["quantile", "value_rank", "id", "v"]
+
+
+def test_global_quantiles_prunes_nontarget_partitions(spark):
+    # the scale path must rank-number ONLY partitions holding a target
+    # rank: with many partitions and one median fraction, the rank
+    # window's input is a pid-filtered subset (visible as an isin
+    # filter on the partition id before the window)
+    rows = [(i, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, v double").repartition(8)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = global_quantiles(
+            df, [F.asc("v"), F.asc("id")], [(1, 2)], input_bytes=1 << 40
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # a single target pid collapses isin([p]) to an equality filter
+        import re
+
+        assert re.search(r"Filter \(?_gq_pid#\d+ (=|IN)", plan), plan
+        rows_out = out.collect()
+        assert len(rows_out) == 1 and rows_out[0]["value_rank"] == 1000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
