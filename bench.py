@@ -105,6 +105,8 @@ EXTENDED4_QUERIES = [
     "part_triangle_count",
     "doc_containment_pairs",
     "ann_ivf_recall",
+    # round 9
+    "orders_price_exact_quantiles",
 ]
 
 
