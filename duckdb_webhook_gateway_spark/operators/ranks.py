@@ -246,3 +246,121 @@ def global_quantiles(
     return local.join(F.broadcast(pick_df), rank_col).select(
         label_col, rank_col, *rel.columns
     )
+
+
+def global_cumulative_cutoff(
+    rel: DataFrame,
+    order: Sequence[Column],
+    weight_col: str,
+    fracs: Sequence[tuple[int, int]],
+    label_col: str = "coverage",
+    rank_col: str = "cutoff_rank",
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Cumulative-mass cutoffs over a total ``order``: for each rational
+    fraction ``(num, den)`` return the FIRST row (in order) at which the
+    running sum of ``weight_col`` reaches ``num/den`` of the total —
+    e.g. "how many distinct tokens cover 95% of all token occurrences"
+    (Zipf truncation / nucleus-style vocabulary cutoffs).
+
+    The one-task formulation is ``SUM(w) OVER (ORDER BY ...)`` — a
+    global running window, unbounded at scale.  Here: range-partition
+    on ``order`` (pinned with ONE checkpoint, same argument as
+    :func:`global_ntile`), collect per-partition weight SUMS and row
+    counts (partition-cardinality), turn them into exclusive prefix
+    offsets, and compute each row's global running sum as
+    (weight offset of its partition) + (running sum within its
+    partition).  The threshold test and cutoff pick then happen inside
+    the partition that crosses each target — located on the driver from
+    the offsets, so only crossing partitions (at most ``len(fracs)``)
+    are window-scanned at all, mirroring :func:`global_quantiles`.
+
+    Thresholds are integer-exact when ``weight_col`` is integral:
+    target = ceil(num*W/den) compares against BIGINT running sums; no
+    float ever decides the cutoff.  (Float weights would reintroduce
+    summation-order drift — callers should scale to integers first,
+    the repo-wide determinism rule.)
+
+    Returns one row per fraction: ``label_col`` (num/den as double,
+    label only), ``rank_col`` (1-based rank of the cutoff row),
+    ``cum_col`` (the running sum at that row) and every ``rel`` column
+    of the cutoff row.
+    """
+    spark = rel.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        rel.repartitionByRange(num_parts, *order)
+        .withColumn("_gcc_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin ONE range sampling
+    )
+    stats = sorted(
+        (r["_gcc_pid"], r["n"], r["w"])
+        for r in ranged.groupBy("_gcc_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(weight_col)).cast("bigint").alias("w"),
+        )
+        .collect()
+    )
+    total_w = sum(w for _, _, w in stats)
+    targets: list[tuple[float, int]] = []  # (label, threshold)
+    for num, den in fracs:
+        t = (total_w * num + den - 1) // den  # ceil, integer-exact
+        if 0 < t <= total_w:
+            targets.append((num / den, t))
+    if not targets:
+        return (
+            ranged.drop("_gcc_pid")
+            .withColumn(label_col, F.lit(None).cast("double"))
+            .withColumn(rank_col, F.lit(None).cast("bigint"))
+            .withColumn(cum_col, F.lit(None).cast("bigint"))
+            .select(label_col, rank_col, cum_col, *rel.columns)
+            .limit(0)
+        )
+    # exclusive prefix offsets; find the partition whose weight range
+    # crosses each threshold (running sums are strictly increasing per
+    # row only when weights are positive — zero-weight rows make the
+    # crossing row the FIRST row reaching the target, which the strict
+    # < on the previous running sum below still selects correctly)
+    n_off, w_off, pids = {}, {}, []
+    acc_n = acc_w = 0
+    for pid, n, w in stats:
+        n_off[pid], w_off[pid] = acc_n, acc_w
+        acc_n += n
+        acc_w += w
+    cross = {}  # pid -> list[(label, threshold)]
+    for label, t in targets:
+        for pid, n, w in stats:
+            if w_off[pid] < t <= w_off[pid] + w:
+                cross.setdefault(pid, []).append((label, t))
+                break
+    pid_list = sorted(cross)
+    off_df = spark.createDataFrame(
+        [(p, n_off[p], w_off[p]) for p in pid_list],
+        "_gcc_pid int, _gcc_noff bigint, _gcc_woff bigint",
+    )
+    tgt_df = spark.createDataFrame(
+        [(p, lab, t) for p in pid_list for lab, t in cross[p]],
+        f"_gcc_pid int, {label_col} double, _gcc_t bigint",
+    )
+    w_run = (
+        Window.partitionBy("_gcc_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("_gcc_pid").orderBy(*order)
+    local = (
+        ranged.filter(F.col("_gcc_pid").isin(pid_list))
+        .withColumn("_gcc_run", F.sum(F.col(weight_col)).over(w_run).cast("bigint"))
+        .withColumn("_gcc_lrank", F.row_number().over(w_rank))
+        .join(F.broadcast(off_df), "_gcc_pid")
+        .withColumn(cum_col, F.col("_gcc_woff") + F.col("_gcc_run"))
+        .withColumn(rank_col, F.col("_gcc_noff") + F.col("_gcc_lrank"))
+    )
+    # cutoff row for threshold t: running sum reaches t here and had
+    # not reached it on the previous row
+    hit = local.join(F.broadcast(tgt_df), "_gcc_pid").filter(
+        (F.col(cum_col) >= F.col("_gcc_t"))
+        & (F.col(cum_col) - F.col(weight_col) < F.col("_gcc_t"))
+    )
+    return hit.select(label_col, rank_col, cum_col, *rel.columns)

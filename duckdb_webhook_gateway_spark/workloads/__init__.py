@@ -36,9 +36,10 @@ from . import analytics, datapipe  # noqa: E402
 # r10); the 48-entry tail (42 r8-green + the 6 r7-green the plan-change
 # re-certs and the new-query slot displaced from the early promotion)
 # is due r10/r11 via the parity suite and the next rotation.  The new
-# round-9 query (orders_price_exact_quantiles) takes its first driver
-# certification slot at the head.
+# round-9 queries (orders_price_exact_quantiles, corpus_token_coverage)
+# take their first driver certification slots at the head.
 _CHECK_FIRST = (
+    "corpus_token_coverage",
     "orders_price_exact_quantiles",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -88,7 +89,6 @@ _CHECK_FIRST = (
     "customer_scd2_snapshot",
     "value_quantile_sketch",
     "brand_top_parts",
-    "part_basket_pairs",
 )
 # Queries checked in round 8 — rotate to the unchecked tail (due r11);
 # the parity suite still covers them at sf0.1 every round.
@@ -136,6 +136,7 @@ _CHECK_LAST = (
     "split_divergence",
     "ann_q8_topk",
     "part_pagerank",
+    "part_basket_pairs",
     "part_name_fuzzy_pairs",
     "orderkey_hll_distinct",
     "q10_returned_revenue",

@@ -883,6 +883,66 @@ ORDER BY n_occurrences DESC, bigram
 LIMIT 20
 """
 
+# ---------------------------------------------------------------------------
+# corpus_token_coverage — cumulative-mass vocabulary cutoffs: the FIRST
+# token (in frequency-desc order) at which the running occurrence count
+# reaches 50% / 90% / 99% of all occurrences (Zipf truncation — "how
+# big a vocabulary covers X% of the corpus").  The one-task SQL form is
+# SUM() OVER (ORDER BY ...) — a global running window; the Spark plan is
+# operators/ranks.py::global_cumulative_cutoff (range-partitioned prefix
+# sums, driver locates crossing partitions from partition-cardinality
+# offsets, only crossing partitions are window-scanned).  Thresholds
+# are ceil(num*W/den) in INTEGER arithmetic on both engines.
+def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_cumulative_cutoff
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.slice(F.split("text", " "), 1, 4000)).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return global_cumulative_cutoff(
+        freq,
+        [F.desc("n_occurrences"), F.asc("token")],
+        "n_occurrences",
+        [(1, 2), (9, 10), (99, 100)],
+        label_col="coverage",
+        rank_col="cutoff_rank",
+        cum_col="cum_weight",
+    ).orderBy("coverage")
+
+
+CORPUS_TOKEN_COVERAGE_SQL = f"""
+WITH {_ORACLE_TOKS.strip()},
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM tok WHERE token <> '' GROUP BY token),
+ranked AS (
+  SELECT token, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
+         CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_occurrences) OVER () AS BIGINT) AS w
+  FROM freq)
+SELECT CAST(q.num AS DOUBLE) / q.den AS coverage,
+       CAST(r.rnk AS BIGINT) AS cutoff_rank,
+       r.cum AS cum_weight,
+       r.token,
+       r.n_occurrences
+FROM (VALUES (1, 2), (9, 10), (99, 100)) q(num, den)
+JOIN ranked r
+  ON r.cum >= (r.w * q.num + q.den - 1) // q.den
+ AND r.cum - r.n_occurrences < (r.w * q.num + q.den - 1) // q.den
+ORDER BY coverage
+"""
+
+ENTRIES["corpus_token_coverage"] = (
+    corpus_token_coverage,
+    CORPUS_TOKEN_COVERAGE_SQL,
+)
+
+
 ENTRIES["dataset_split"] = (dataset_split, DATASET_SPLIT_SQL)
 ENTRIES["corpus_top_bigrams"] = (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL)
 

@@ -172,3 +172,76 @@ def test_global_quantiles_prunes_nontarget_partitions(spark):
         assert len(rows_out) == 1 and rows_out[0]["value_rank"] == 1000
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# -- global_cumulative_cutoff ----------------------------------------------
+
+from duckdb_webhook_gateway_spark.operators.ranks import (
+    global_cumulative_cutoff,
+)
+
+
+def _c_reference(rows, fracs):
+    # rows: (id, weight); order: weight desc, id asc
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(w for _, w in ordered)
+    out = set()
+    for num, den in fracs:
+        t = (total * num + den - 1) // den
+        if not (0 < t <= total):
+            continue
+        cum = 0
+        for rank, (i, w) in enumerate(ordered, start=1):
+            cum += w
+            if cum >= t:
+                out.add((num / den, rank, cum, i, w))
+                break
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(101, 300), (103, 12), (107, 1)])
+def test_cumulative_cutoff_matches_reference(spark, seed, n):
+    rng = random.Random(seed)
+    # integer weights with duplicates and zeros (zero-weight rows must
+    # never be picked as a crossing row)
+    rows = [(i, rng.randrange(0, 9)) for i in range(n)]
+    if all(w == 0 for _, w in rows):
+        rows[0] = (0, 5)
+    fracs = [(1, 2), (9, 10), (99, 100), (1, 1)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {
+        (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"], r["w"])
+        for r in global_cumulative_cutoff(
+            df, [F.desc("w"), F.asc("id")], "w", fracs
+        ).collect()
+    }
+    assert got == _c_reference(rows, fracs), (seed, n)
+
+
+@pytest.mark.parametrize("shuffle", [1, 3, 16])
+def test_cumulative_cutoff_partitioning_invariant(spark, shuffle):
+    rng = random.Random(113)
+    rows = [(i, rng.randrange(1, 50)) for i in range(211)]
+    fracs = [(1, 2), (3, 4)]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    try:
+        df = spark.createDataFrame(rows, "id bigint, w bigint")
+        got = {
+            (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"])
+            for r in global_cumulative_cutoff(
+                df, [F.desc("w"), F.asc("id")], "w", fracs
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == {
+        (c, r, cw, i) for c, r, cw, i, _ in _c_reference(rows, fracs)
+    }
+
+
+def test_cumulative_cutoff_empty(spark):
+    df = spark.createDataFrame([], "id bigint, w bigint")
+    out = global_cumulative_cutoff(df, [F.desc("w"), F.asc("id")], "w", [(1, 2)])
+    assert out.count() == 0
+    assert out.columns == ["coverage", "cutoff_rank", "cum_weight", "id", "w"]
