@@ -256,6 +256,8 @@ def global_cumulative_cutoff(
     label_col: str = "coverage",
     rank_col: str = "cutoff_rank",
     cum_col: str = "cum_weight",
+    input_bytes: int | None = None,
+    small_input_ceiling: int = SMALL_INPUT_CEILING,
 ) -> DataFrame:
     """Cumulative-mass cutoffs over a total ``order``: for each rational
     fraction ``(num, den)`` return the FIRST row (in order) at which the
@@ -285,8 +287,47 @@ def global_cumulative_cutoff(
     label only), ``rank_col`` (1-based rank of the cutoff row),
     ``cum_col`` (the running sum at that row) and every ``rel`` column
     of the cutoff row.
+
+    Same ``input_bytes`` routing as :func:`global_ntile`: a
+    statable-small source takes the plain running window (identical
+    rows, none of the checkpoint/collect fixed cost).
     """
     spark = rel.sparkSession
+    if input_bytes is not None and input_bytes <= small_input_ceiling:
+        w_run = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = rel.withColumn(
+            cum_col, F.sum(F.col(weight_col)).over(w_run).cast("bigint")
+        ).withColumn(
+            rank_col,
+            F.row_number().over(Window.orderBy(*order)).cast("bigint"),
+        )
+        tot = ranked.groupBy().agg(F.max(cum_col).alias("_gcc_w"))
+        lab = F.array(
+            *[
+                F.struct(
+                    F.lit(num / den).alias("q"),
+                    F.expr(
+                        f"CAST((_gcc_w * {num} + {den} - 1) DIV {den} AS BIGINT)"
+                    ).alias("t"),
+                )
+                for num, den in fracs
+            ]
+        )
+        tg = (
+            tot.select(F.explode(lab).alias("p"))
+            .select(
+                F.col("p.q").alias(label_col), F.col("p.t").alias("_gcc_t")
+            )
+            .filter(F.col("_gcc_t") >= 1)
+        )
+        hit = ranked.join(
+            F.broadcast(tg),
+            (F.col(cum_col) >= F.col("_gcc_t"))
+            & (F.col(cum_col) - F.col(weight_col) < F.col("_gcc_t")),
+        )
+        return hit.select(label_col, rank_col, cum_col, *rel.columns)
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         rel.repartitionByRange(num_parts, *order)

@@ -895,6 +895,7 @@ LIMIT 20
 # are ceil(num*W/den) in INTEGER arithmetic on both engines.
 def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_cumulative_cutoff
+    from ..plans.spread import scan_bytes
 
     docs = _docs(spark, sf_dir)
     tok = docs.select(
@@ -911,6 +912,7 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="coverage",
         rank_col="cutoff_rank",
         cum_col="cum_weight",
+        input_bytes=scan_bytes(docs),
     ).orderBy("coverage")
 
 

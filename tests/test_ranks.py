@@ -245,3 +245,29 @@ def test_cumulative_cutoff_empty(spark):
     out = global_cumulative_cutoff(df, [F.desc("w"), F.asc("id")], "w", [(1, 2)])
     assert out.count() == 0
     assert out.columns == ["coverage", "cutoff_rank", "cum_weight", "id", "w"]
+
+
+def test_cumulative_cutoff_small_route_matches_scale_route(spark):
+    rng = random.Random(131)
+    rows = [(i, rng.randrange(0, 20)) for i in range(400)]
+    rows[0] = (0, 3)
+    fracs = [(1, 2), (9, 10), (1, 1)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    order = [F.desc("w"), F.asc("id")]
+    small = global_cumulative_cutoff(
+        df, order, "w", fracs, input_bytes=1024
+    )
+    assert "ntile" not in small._jdf.queryExecution().executedPlan().toString()
+    got_small = {
+        (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"])
+        for r in small.collect()
+    }
+    got_scale = {
+        (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"])
+        for r in global_cumulative_cutoff(
+            df, order, "w", fracs, input_bytes=1 << 40
+        ).collect()
+    }
+    assert got_small == got_scale == {
+        (c, r, cw, i) for c, r, cw, i, _ in _c_reference(rows, fracs)
+    }
