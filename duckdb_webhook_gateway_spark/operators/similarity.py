@@ -136,25 +136,38 @@ def near_dup_pairs(
 
     def block(batches):
         b_ids, b_mat, b_norm = bc.value
+        # Bound the sims intermediate to ~64 MB per chunk: a full Arrow
+        # batch against a large corpus materializes rows x N float64 at
+        # once (10k rows x 50k vectors = 4 GB) — with every core running
+        # a task that is GBs of concurrent allocation churn, measured as
+        # 2-4x wall-time swings at sf1.  Chunking costs nothing (the
+        # same total FLOPs through BLAS) and caps task memory at
+        # chunk x N x 8 bytes regardless of batch or corpus size.
+        chunk = max(1, (8 << 20) // max(1, len(b_ids)))
         for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            a_mat = np.stack(pdf["v"].values).astype("float64")
-            a_norm = np.linalg.norm(a_mat, axis=1)
-            # dot / (|a|·|b|): same association order as the oracle's
-            # dot/(sqrt·sqrt) — see ivf_topk note on rounding drift.
-            sims = np.round(
-                (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :]), 6
-            )
-            ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": sims[ai, bi],
-                }
-            )
+            a_ids_all = pdf["vec_id"].to_numpy(dtype="int64")
+            a_all = np.stack(pdf["v"].values).astype("float64")
+            for s in range(0, len(a_ids_all), chunk):
+                a_ids = a_ids_all[s : s + chunk]
+                a_mat = a_all[s : s + chunk]
+                a_norm = np.linalg.norm(a_mat, axis=1)
+                # dot / (|a|·|b|): same association order as the
+                # oracle's dot/(sqrt·sqrt) — see ivf_topk note on
+                # rounding drift.
+                sims = np.round(
+                    (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :]),
+                    6,
+                )
+                ai, bi = np.nonzero(
+                    (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bi],
+                        "cosine": sims[ai, bi],
+                    }
+                )
 
     return src.mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
 
