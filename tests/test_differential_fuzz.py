@@ -67,6 +67,10 @@ QUERIES = [
     # token slice of an earlier long doc — the asymmetric x.n < y.n
     # prefix-bound path containment exists for).
     "doc_containment_pairs",
+    # round-9 addition: cumulative-mass vocabulary cutoffs (ranks.py);
+    # empty texts / single tokens stress the zero-weight and tiny-total
+    # threshold edges on both engines
+    "corpus_token_coverage",
 ]
 
 VOCAB = [
