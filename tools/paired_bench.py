@@ -62,6 +62,13 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    # Cap the oracle's spill: at sf1 several quadratic oracles (naive
+    # shingle-pair enumeration, all-pairs cosine) otherwise fill the
+    # disk with temp blocks — one run wrote 80+ GB before dying and took
+    # the host's free space with it.  A capped oracle raises instead and
+    # is recorded as DNF below, which IS the measurement.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET max_temp_directory_size='15GB'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
@@ -88,12 +95,28 @@ def main() -> None:
             out[name] = {"spark": round(s, 3), "duckdb": None, "ratio": None}
             print(name, out[name], flush=True)
             continue
-        con.execute(sql).fetchall()  # full-scale warm
-        ds = []
-        for _ in range(2):
+        try:
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            ds.append(time.perf_counter() - t0)
+            con.execute(sql).fetchall()  # full-scale warm
+            warm_d = time.perf_counter() - t0
+            if warm_d > 100:
+                # one timed pass is the evidence at this cost; a second
+                # would double a multi-minute oracle for nothing
+                ds = [warm_d]
+            else:
+                ds = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    ds.append(time.perf_counter() - t0)
+        except Exception as e:  # OOM / temp-cap: the oracle DNF'd
+            out[name] = {
+                "spark": round(s, 3),
+                "duckdb": f"DNF: {str(e)[:120]}",
+                "ratio": None,
+            }
+            print(name, out[name], flush=True)
+            continue
         d = min(ds)
         out[name] = {
             "spark": round(s, 3),
