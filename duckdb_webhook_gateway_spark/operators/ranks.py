@@ -138,6 +138,7 @@ def global_quantiles(
     rank_col: str = "value_rank",
     input_bytes: int | None = None,
     small_input_ceiling: int = SMALL_INPUT_CEILING,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """EXACT type-1 (lower/ceil) quantiles over a total ``order``:
     for each rational fraction ``(num, den)`` return the row at global
@@ -169,6 +170,30 @@ def global_quantiles(
     if input_bytes is not None and input_bytes <= small_input_ceiling:
         w = Window.orderBy(*order)
         ranked = rel.withColumn(rank_col, F.row_number().over(w))
+        if n_rows is not None:
+            # caller knows |rel| (e.g. an unfiltered table's parquet
+            # footer): target ranks become driver-side literals — the
+            # in-plan N subtree (which re-executes the window lineage)
+            # disappears entirely
+            lits = []
+            for num, den in fracs:
+                r = (n_rows * num + den - 1) // den
+                if 1 <= r <= n_rows:
+                    lits.append((num / den, r))
+            if not lits:
+                return (
+                    ranked.withColumn(label_col, F.lit(None).cast("double"))
+                    .select(label_col, rank_col, *rel.columns)
+                    .limit(0)
+                )
+            pick_df = spark.createDataFrame(
+                lits, f"{label_col} double, {rank_col} bigint"
+            )
+            return (
+                ranked.join(
+                    F.broadcast(pick_df), rank_col
+                ).select(label_col, rank_col, *rel.columns)
+            )
         n_df = ranked.groupBy().agg(F.max(rank_col).alias("_gq_n"))
         lab = F.array(
             *[

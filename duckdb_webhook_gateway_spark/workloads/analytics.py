@@ -769,12 +769,20 @@ def orders_price_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _t(spark, sf_dir, "orders")
     orders = base.select("o_orderkey", "o_totalprice")
+    # unfiltered table: N comes free from the parquet footer, making the
+    # small-route target ranks driver-side literals (no in-plan N subtree)
+    import os as _os
+
+    from ..workloads.datapipe import _footer_rows
+
+    n_rows = _footer_rows(_os.path.join(sf_dir, "orders.parquet"))
     return (
         global_quantiles(
             orders,
             [F.asc("o_totalprice"), F.asc("o_orderkey")],
             [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
             input_bytes=scan_bytes(base),
+            n_rows=n_rows,
         )
         .select(
             "quantile",

@@ -904,6 +904,11 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+    # materialized ONCE (lazy): the cutoff's total-weight subtree and
+    # the running-window probe are different plans above the frequency
+    # aggregate, so the corpus explode would otherwise execute twice
+    # (the tfidf/prefix-join pattern)
+    freq = freq.localCheckpoint(eager=False)
     return global_cumulative_cutoff(
         freq,
         [F.desc("n_occurrences"), F.asc("token")],
