@@ -1001,6 +1001,9 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "doc_bm25_topk",         # 1-row (N, avgdl) corpus-stats side
         "hybrid_rank_fusion",    # broadcast 5-query set x corpus, both arms
         "ann_ivf_recall",        # broadcast 10-query set x corpus (exact arm)
+        "corpus_token_coverage", # small-route threshold probe: non-equi vs a
+                                 # broadcast side of <= len(fracs) rows (3);
+                                 # the scale route joins equi on partition id
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():
