@@ -26,10 +26,13 @@ def _plan(df) -> str:
 
 def test_q3_dimension_joins_broadcast(spark):
     plan = _plan(q3_shipping_priority(spark, sf_dir()))
-    # Every join of the fact spine against a filtered dimension must be a
-    # broadcast hash join; a SortMergeJoin here means a full shuffle of
-    # lineitem at scale.
+    # customer joins as a broadcast dim; the customer⋈orders reduction
+    # joins lineitem as the HINTED shuffled-hash join (round 9: unique
+    # o_orderkey build keys — bounded per-partition builds, and no SMJ,
+    # whose fact-side SORT was the measured sf1 cost; broadcast of the
+    # reduction is rejected as not scale-safe, it grows with the facts).
     assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
