@@ -178,6 +178,17 @@ def triangle_counts(
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
+    # Bloom-prefilter the wedges before the closure shuffle: wedge
+    # volume is Σ outdeg² (410M rows at sf1 — a ~10 GB exchange) while
+    # triangles are a few percent of it; the bitmap bloom (built
+    # distributed off the checkpointed oriented relation, broadcast
+    # bounded by num_bits/64 words regardless of edge count) drops
+    # non-closing wedges MAP-SIDE, so the join shuffles only the
+    # surviving fraction.  False positives pass through to the exact
+    # equi-join — the result is bit-identical at any sizing.
+    from .joins import bitmap_bloom_filter
+
+    wedges = bitmap_bloom_filter(wedges, closing, ["v", "w"], ["v", "w"])
     tri = wedges.join(closing, ["v", "w"])
     # ONE consumer of the closure join: explode the three corners
     # in-row (narrow), then partial-agg count.  The earlier 3-way union

@@ -187,3 +187,67 @@ def bloom_semi_filter(
             "left_semi",
         ).drop(f"_p{j}")
     return out
+
+
+def bitmap_bloom_filter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_keys: Sequence[str],
+    build_keys: Sequence[str],
+    num_bits: int = 1 << 28,
+) -> DataFrame:
+    """TRUE-bitmap Bloom prefilter of ``probe`` against ``build``'s key
+    set, built distributed with pure DataFrame ops (no driver collect):
+    each build key sets bit ``xxhash64(keys) mod num_bits``; bits pack
+    into 64-bit words via a ``bit_or`` group-aggregate (map-side
+    combine), and the word table — AT MOST ``num_bits/64`` rows however
+    large the build side is, the property a slot-set approach like
+    :func:`bloom_semi_filter` loses past ~m keys — broadcasts to the
+    probe, which keeps rows whose bit is set.
+
+    No false negatives (every matching probe row survives); false
+    positives pass through to the exact join downstream, so the
+    RESULT of prefilter+join is bit-identical to the plain join no
+    matter how ``num_bits`` is sized — sizing only tunes how much
+    shuffle the prefilter saves (fp ~= 1 - exp(-n_build/num_bits)).
+
+    The shuffle-avoidance pattern for joins whose big side is mostly
+    non-matching: the probe-side work is one codegen hash + one
+    broadcast hash lookup per row, all map-side, and the join behind
+    it shuffles only the surviving fraction.  Spark's AQE runtime
+    bloom filters have the same shape; this explicit form works with
+    AQE off and under any join strategy.
+    """
+    # 63 usable bits per word: shifts never reach the sign bit, so
+    # every word stays a positive BIGINT (bit_or is sign-agnostic but
+    # positive-only is simpler to reason about)
+    def slot_sql(cols: Sequence[str]) -> str:
+        return f"pmod(xxhash64({', '.join(cols)}), {num_bits})"
+
+    b = slot_sql(list(build_keys))
+    words = (
+        build.select(
+            F.expr(f"CAST({b} DIV 63 AS BIGINT)").alias("_bbf_w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({b} % 63 AS INT))"
+            ).alias("_bbf_b"),
+        )
+        .groupBy("_bbf_w")
+        .agg(F.expr("bit_or(_bbf_b)").alias("_bbf_bits"))
+    )
+    p = slot_sql(list(probe_keys))
+    out = (
+        probe.withColumn("_bbf_pw", F.expr(f"CAST({p} DIV 63 AS BIGINT)"))
+        .withColumn(
+            "_bbf_pb",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 63 AS INT))"),
+        )
+        .join(
+            F.broadcast(words),
+            F.col("_bbf_pw") == F.col("_bbf_w"),
+            "inner",  # a missing word means NO build key in it: drop
+        )
+        .filter(F.col("_bbf_bits").bitwiseAND(F.col("_bbf_pb")) != 0)
+        .drop("_bbf_pw", "_bbf_pb", "_bbf_w", "_bbf_bits")
+    )
+    return out

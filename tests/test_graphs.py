@@ -219,3 +219,50 @@ def test_pagerank_digraph_keeps_sourceless_in_nodes(spark):
         r = {n: base + (85 * c) // 100 for n, c in contrib.items()}
     assert got == r
     assert got[1] == base  # no in-arcs: exactly the teleport mass
+
+
+def test_bitmap_bloom_filter_no_false_negatives(spark):
+    """Every matching probe row survives the bloom at ANY sizing (false
+    positives are allowed — the exact join removes them), so
+    prefilter+join == plain join even at a saturating 64-bit table."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.joins import (
+        bitmap_bloom_filter,
+    )
+
+    rng = random.Random(17)
+    build_rows = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    probe_rows = [(rng.randrange(80), rng.randrange(80)) for _ in range(400)]
+    build = spark.createDataFrame(build_rows, "v bigint, w bigint").distinct()
+    probe = spark.createDataFrame(probe_rows, "id_v bigint, id_w bigint")
+    plain = sorted(
+        map(
+            tuple,
+            probe.join(
+                build,
+                (probe.id_v == build.v) & (probe.id_w == build.w),
+                "left_semi",
+            ).collect(),
+        )
+    )
+    for bits in (64, 4096, 1 << 20):  # saturated -> roomy
+        pref = bitmap_bloom_filter(
+            probe, build, ["id_v", "id_w"], ["v", "w"], num_bits=bits
+        )
+        got = sorted(
+            map(
+                tuple,
+                pref.join(
+                    build,
+                    (pref.id_v == build.v) & (pref.id_w == build.w),
+                    "left_semi",
+                ).collect(),
+            )
+        )
+        assert got == plain, bits
+        # and the prefilter itself never loses a matching row
+        kept = {tuple(r) for r in pref.collect()}
+        assert {tuple(r) for r in plain} <= kept or set(plain) <= kept
