@@ -191,41 +191,69 @@ def lsh_buckets(
     Plane weights are derived deterministically from md5 (w_{j,d} =
     md5int(j||'_'||d)/2^31 - 1 ∈ [-1,1)), so both engines build the same
     planes with no stored state.  The projection sign is taken on the
-    value rounded to 1e-9 to absorb summation-order jitter.
+    value rounded to 1e-9 to absorb summation-order jitter (numpy's
+    blocked dot, Spark's partial-agg sum and DuckDB's sequential sum
+    all land within ~1e-14 of each other on unit-scale vectors — the
+    round makes the SIGN, and therefore the bucket, engine-portable).
 
-    Linear and shuffle-light: explodes to N×d rows, aggregates to
-    N×(tables×planes) projections, reassembles to one bucket per table.
+    ONE Arrow-batched pass: there are only planes x dim distinct
+    weights (4 KB here), so each worker materializes the plane matrix
+    once — from the byte-identical md5 derivation the oracle uses —
+    and projects a whole batch with a single matmul.  An earlier form
+    EXPLODED to N x dim x planes rows, evaluating an md5 string hash
+    per row (205M md5 calls at sf1 for 4,096 distinct weights) — that
+    explode dominated every LSH caller's runtime at every scale.
     """
-    from ..functions.hashing import md5_int_expr
+    import hashlib
 
     num_planes = num_tables * planes_per_table
-    plane_key = "CAST(j AS STRING) || '_' || CAST(d AS STRING)"
-    w_expr = f"({md5_int_expr(plane_key, 'spark')} / 2147483648.0) - 1.0"
-    comps = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col))
-        )
-        .withColumnRenamed("pos", "d0")
-        .withColumn("d", F.col("d0") + 1)
-        .withColumn("val", F.col("col").cast("double"))
-        .select("vec_id", "d", "val")
-        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))))
-        .withColumn("w", F.expr(w_expr))
+    src = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    proj = comps.groupBy("vec_id", "j").agg(
-        F.round(F.sum(F.col("w") * F.col("val")), 9).alias("proj")
-    )
-    buckets = (
-        proj.withColumn("table_id", (F.col("j") / planes_per_table).cast("int"))
-        .withColumn(
-            "bit",
-            F.when(
-                F.col("proj") > 0,
-                F.expr(f"CAST(pow(2, j % {planes_per_table}) AS BIGINT)"),
-            ).otherwise(F.lit(0).cast("bigint")),
-        )
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bit").alias("bucket"))
+
+    def assign(batches):
+        W = None
+        pw = 2 ** np.arange(planes_per_table, dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            m = np.stack(pdf["v"].values).astype("float64")
+            if W is None or W.shape[1] != m.shape[1]:
+                W = np.array(
+                    [
+                        [
+                            int(
+                                hashlib.md5(
+                                    f"{j}_{d}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            / 2147483648.0
+                            - 1.0
+                            for d in range(1, m.shape[1] + 1)
+                        ]
+                        for j in range(num_planes)
+                    ]
+                )
+            proj = np.round(m @ W.T, 9)  # N x num_planes
+            bits = (proj > 0).astype("int64")
+            frames = []
+            for t in range(num_tables):
+                seg = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "table_id": np.full(len(ids), t, dtype="int32"),
+                            "bucket": seg @ pw,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    buckets = src.mapInPandas(
+        assign, "vec_id bigint, table_id int, bucket bigint"
     )
     w = Window.partitionBy("table_id", "bucket")
     return buckets.withColumn(
@@ -442,26 +470,56 @@ def near_dup_pairs_lsh(
     buckets = lsh_buckets(
         vectors, num_tables, planes_per_table, id_col=id_col, vec_col=vec_col
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # Score INSIDE each (table, bucket) group with one vectorized
+    # in-bucket matmul (applyInPandas): each vector's array travels
+    # once per bucket membership (N x num_tables array rows), where the
+    # previous candidate-pair shape shuffled BOTH 2 KB arrays onto
+    # every within-bucket pair — quadratically more array traffic
+    # (measured 47 s -> at sf1; see BASELINE round 9).  Memory posture:
+    # a bucket whose PAIR COUNT fits the engine trivially fits its
+    # members in one task (members are the square root of the work
+    # already accepted); the matmul row-chunks like near_dup_pairs so
+    # the sims intermediate stays bounded.  The same pair found in
+    # several tables produces byte-identical rows (rounded cosine), so
+    # one distinct dedups across tables.
+    src = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    member = buckets.join(src, "vec_id")
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(pdf["v"].values).astype("float64")
+        norm = np.linalg.norm(m, axis=1)
+        chunk = max(1, (8 << 20) // max(1, len(ids)))
+        outs = []
+        for s in range(0, len(ids), chunk):
+            sims = np.round(
+                (m[s : s + chunk] @ m.T)
+                / (norm[s : s + chunk, None] * norm[None, :]),
+                6,
+            )
+            ai, bi = np.nonzero(
+                (sims >= threshold)
+                & (ids[s : s + chunk, None] < ids[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[s + ai],
+                        "vec_b": ids[bi],
+                        "cosine": sims[ai, bi],
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+
+    scored = member.groupBy("table_id", "bucket").applyInPandas(
+        score, "vec_a bigint, vec_b bigint, cosine double"
     )
-    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("xva"))
-    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("xvb"))
-    scored = with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"), "xva", "xvb")
-    return scored.filter(F.col("cosine") >= threshold).select(
-        "vec_a", "vec_b", "cosine"
-    )
+    return scored.distinct()
 
 
 # ---------------------------------------------------------------------------
