@@ -173,6 +173,12 @@ def _make_handler(srv: GatewayHTTPServer):
         # per-request setup dominated ingest throughput before (every
         # response path sets Content-Length, the 1.1 requirement).
         protocol_version = "HTTP/1.1"
+        # Reap idle keep-alive connections: without a read timeout an
+        # abandoned persistent connection pins its handler thread
+        # forever (BaseHTTPRequestHandler.timeout defaults to None).
+        # A socket.timeout inside handle_one_request sets
+        # close_connection, ending the handler cleanly.
+        timeout = 60
 
         # -- plumbing -----------------------------------------------------
         def log_message(self, fmt, *args):  # quiet

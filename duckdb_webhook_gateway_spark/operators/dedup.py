@@ -668,10 +668,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc simhash + bucket population (n_bucket > 1 -> near-dup set)."""
-    sh = simhash(docs, id_col, text_col)
-    w = Window.partitionBy("simhash")
-    return sh.withColumn("n_bucket", F.count(F.lit(1)).over(w)).select(
+    """Per-doc simhash + bucket population (n_bucket > 1 -> near-dup set).
+
+    ``n_bucket`` attaches with the skew-safe partial-agg + join-back
+    (``operators/frequency.py``), not a count window: a boilerplate
+    corpus can put millions of docs on ONE simhash value, and a count
+    window would pin that whole bucket on one task.  The simhash
+    relation (doc-cardinality, two bigints) is lazily checkpointed so
+    the two-aggregation fingerprint lineage runs once across the count
+    and probe branches."""
+    sh = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
+    from .frequency import attach_group_count
+
+    return attach_group_count(sh, ("simhash",), "n_bucket").select(
         "doc_id", "simhash", "n_bucket"
     )
 
@@ -773,12 +782,16 @@ def substring_dedup(
 
     OVERLAPPING stride-1 windows, unlike ``passage_dedup``'s aligned
     chunks: a copied passage is caught at ANY offset.  Window hashes are
-    computed in-row (one md5 per window); the ONLY corpus-scale shuffle
-    keys on the 32-char window hash, where a count window marks hashes
-    seen >=2 times (within- or cross-doc).  Duplicated windows then merge
-    into maximal spans per doc via the classic interval cummax — window
-    partitioned by doc, so span merging never crosses executors with
-    doc-cardinality state.
+    computed in-row (one md5 per window); duplicated hashes (seen >=2
+    times, within- or cross-doc) come from a partial-agg count +
+    semi-filter join back — a count WINDOW over the hash would pin a
+    boilerplate window's every occurrence on one task, while the
+    aggregate collapses hot hashes map-side and the join back (probe =
+    the lazily checkpointed window stream, build = one row per
+    duplicated hash) is AQE-skew-splittable.  Duplicated windows then
+    merge into maximal spans per doc via the classic interval cummax —
+    window partitioned by doc, so span merging never crosses executors
+    with doc-cardinality state.
 
     Returns only docs containing duplicated spans: (doc_id, n_tokens,
     n_dup_spans, n_dup_tokens, dup_token_frac).
@@ -808,11 +821,16 @@ def substring_dedup(
             ).alias("w"),
         )
         .select("doc_id", "n_tokens", "w.pos", "w.h")
+        .localCheckpoint(eager=False)
     )
-    dup = (
-        win.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
-        .select("doc_id", "n_tokens", "pos", (F.col("pos") + k - 1).alias("pend"))
+        .select("h")
+    )
+    dup = win.join(dup_h, "h").select(
+        "doc_id", "n_tokens", "pos", (F.col("pos") + k - 1).alias("pend")
     )
     prior = (
         Window.partitionBy("doc_id")

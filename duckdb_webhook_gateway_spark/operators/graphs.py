@@ -250,16 +250,21 @@ def pagerank_micro(
     ``dst``.  ``O(iterations)`` shuffles total, the textbook synchronous
     Pregel schedule; arc and node exchanges are computed once and reused.
     """
-    from pyspark.sql import Window
-
     base = ((100 - damping_pct) * init_micro) // 100
-    # Out-degree via a COUNT WINDOW over src: one shuffle of the arc
-    # stream, no degree aggregate + join back (which would execute the
-    # upstream edge lineage twice — for derived graphs like basket pairs
-    # that upstream is the dominant cost of the operator).
-    arcs_d = arcs.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).select("src", "dst", "deg")
+    # Out-degree via partial-aggregate + join-back, NOT a count window
+    # over src: a count window gets no map-side combine and AQE cannot
+    # skew-split it, so a power-law hub with 10^8 out-arcs would pin its
+    # whole arc set on ONE task.  The aggregate collapses a hot src to
+    # one row per map task before the wire, and the join back is a JOIN
+    # — AQE's OptimizeSkewedJoin splits an oversized probe partition.
+    # The degree branch re-executes ``arcs``' lineage once more; callers
+    # with expensive DERIVED arcs already materialize the edge relation
+    # first (see :func:`undirect`), which makes that re-execution a
+    # checkpoint re-read, not a recompute.
+    deg = arcs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
     # The node universe is every endpoint: a node with out-arcs but no
     # in-arcs receives no contributions, but it must KEEP its base rank
     # and keep contributing — an inner groupBy(dst) alone would silently

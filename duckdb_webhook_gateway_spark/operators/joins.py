@@ -199,11 +199,20 @@ def bitmap_bloom_filter(
     """TRUE-bitmap Bloom prefilter of ``probe`` against ``build``'s key
     set, built distributed with pure DataFrame ops (no driver collect):
     each build key sets bit ``xxhash64(keys) mod num_bits``; bits pack
-    into 64-bit words via a ``bit_or`` group-aggregate (map-side
-    combine), and the word table — AT MOST ``num_bits/64`` rows however
+    into 63-bit words via a ``bit_or`` group-aggregate (map-side
+    combine), and the word table — AT MOST ``num_bits/63`` rows however
     large the build side is, the property a slot-set approach like
     :func:`bloom_semi_filter` loses past ~m keys — broadcasts to the
     probe, which keeps rows whose bit is set.
+
+    ``xxhash64`` is TYPE-sensitive: hashing the same value as INT and
+    as BIGINT lands on different slots, which would silently drop
+    matching probe rows — a false NEGATIVE.  Integral key columns are
+    therefore widened to BIGINT on both sides before hashing; any
+    remaining probe/build type mismatch (e.g. INT vs DOUBLE, where even
+    the exact join's semantics are coercion-dependent) is rejected
+    loudly rather than quietly violating the no-false-negatives
+    guarantee.
 
     No false negatives (every matching probe row survives); false
     positives pass through to the exact join downstream, so the
@@ -218,13 +227,38 @@ def bitmap_bloom_filter(
     bloom filters have the same shape; this explicit form works with
     AQE off and under any join strategy.
     """
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+    def _canon(df: DataFrame, keys: Sequence[str]) -> list[str]:
+        types = dict(df.dtypes)
+        return [
+            f"CAST({c} AS BIGINT)" if types[c] in _INTEGRAL else c
+            for c in keys
+        ]
+
+    def _canon_types(df: DataFrame, keys: Sequence[str]) -> list[str]:
+        types = dict(df.dtypes)
+        return [
+            "bigint" if types[c] in _INTEGRAL else types[c] for c in keys
+        ]
+
+    p_canon = _canon_types(probe, probe_keys)
+    b_canon = _canon_types(build, build_keys)
+    if p_canon != b_canon:
+        raise TypeError(
+            "bitmap_bloom_filter: probe/build key types must match after "
+            f"integral widening, got probe={p_canon} build={b_canon} — "
+            "xxhash64 is type-sensitive, a mismatch silently drops "
+            "matching rows (false negatives)"
+        )
+
     # 63 usable bits per word: shifts never reach the sign bit, so
     # every word stays a positive BIGINT (bit_or is sign-agnostic but
     # positive-only is simpler to reason about)
     def slot_sql(cols: Sequence[str]) -> str:
         return f"pmod(xxhash64({', '.join(cols)}), {num_bits})"
 
-    b = slot_sql(list(build_keys))
+    b = slot_sql(_canon(build, build_keys))
     words = (
         build.select(
             F.expr(f"CAST({b} DIV 63 AS BIGINT)").alias("_bbf_w"),
@@ -235,7 +269,7 @@ def bitmap_bloom_filter(
         .groupBy("_bbf_w")
         .agg(F.expr("bit_or(_bbf_b)").alias("_bbf_bits"))
     )
-    p = slot_sql(list(probe_keys))
+    p = slot_sql(_canon(probe, probe_keys))
     out = (
         probe.withColumn("_bbf_pw", F.expr(f"CAST({p} DIV 63 AS BIGINT)"))
         .withColumn(

@@ -45,7 +45,10 @@ def _cosine_batch():
             dots = np.einsum("ij,ij->i", ma, mb)
             na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
             nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-            return pd.Series(np.round(dots / (na * nb), 6))
+            # zero-norm rows yield NaN deliberately (cosine undefined,
+            # matches the oracle's NULL); silence the expected warning
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return pd.Series(np.round(dots / (na * nb), 6))
 
         _COSINE_UDF = cosine
     return _COSINE_UDF
@@ -153,11 +156,14 @@ def near_dup_pairs(
                 a_norm = np.linalg.norm(a_mat, axis=1)
                 # dot / (|a|·|b|): same association order as the
                 # oracle's dot/(sqrt·sqrt) — see ivf_topk note on
-                # rounding drift.
-                sims = np.round(
-                    (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :]),
-                    6,
-                )
+                # rounding drift.  Zero-norm NaN is deliberate (cosine
+                # undefined; never >= threshold) — silence the warning.
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = np.round(
+                        (a_mat @ b_mat.T)
+                        / (a_norm[:, None] * b_norm[None, :]),
+                        6,
+                    )
                 ai, bi = np.nonzero(
                     (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
                 )
@@ -195,6 +201,20 @@ def lsh_buckets(
     blocked dot, Spark's partial-agg sum and DuckDB's sequential sum
     all land within ~1e-14 of each other on unit-scale vectors — the
     round makes the SIGN, and therefore the bucket, engine-portable).
+    Rounding-mode caveat: ``np.round`` is half-to-even while the
+    oracle's SQL ``round`` is half-away-from-zero; a projection landing
+    EXACTLY on a 5e-10 tie could differ — measure-zero for continuous
+    projections (parity holds), so the derivation is value-identical,
+    not bit-for-bit on ties.
+
+    ``bucket_size`` is attached with a partial-aggregate + join-back
+    (``operators/frequency.py``), NOT a count window: with only
+    ``num_tables * 2^planes_per_table`` distinct (table, bucket) keys a
+    count window would funnel the whole corpus-scale bucket stream
+    through that many tasks, and a hot bucket pins its rows on one.
+    The bucket stream is lazily checkpointed first so the projection
+    pass runs once, not once per join branch; the count build side is
+    key-cardinality (64 rows at the defaults) and broadcasts.
 
     ONE Arrow-batched pass: there are only planes x dim distinct
     weights (4 KB here), so each worker materializes the plane matrix
@@ -254,10 +274,11 @@ def lsh_buckets(
 
     buckets = src.mapInPandas(
         assign, "vec_id bigint, table_id int, bucket bigint"
-    )
-    w = Window.partitionBy("table_id", "bucket")
-    return buckets.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(w)
+    ).localCheckpoint(eager=False)
+    from .frequency import attach_group_count
+
+    return attach_group_count(
+        buckets, ("table_id", "bucket"), "bucket_size"
     ).select("vec_id", "table_id", "bucket", "bucket_size")
 
 
@@ -381,7 +402,10 @@ def ivf_topk(
     # Driver-side probe map: query i -> its nprobe nearest centroid ids.
     # Rounded sims + stable argsort keep ascending-centroid tie order,
     # matching the oracle's (cosine DESC, centroid_id) ranking.
-    q_sims = np.round((q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_sims = np.round(
+            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
+        )
     # NaN (zero-norm query or centroid: cosine undefined) -> -inf, so the
     # stable argsort places it LAST like the oracle's NULLS-LAST rank; an
     # all-NaN row degrades to the lowest centroid ids (= the oracle's
@@ -406,9 +430,11 @@ def ivf_topk(
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             # argmax takes the FIRST max -> lowest centroid id on rounded
             # ties, matching the oracle's (cosine DESC, centroid_id) order.
-            a_sims = np.round(
-                (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
-            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_sims = np.round(
+                    (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]),
+                    6,
+                )
             # same NULLS-LAST mirror as the probe map: one zero-norm
             # centroid must not claim every vector via NaN-as-max argmax
             a_sims = np.where(np.isnan(a_sims), -np.inf, a_sims)
@@ -419,11 +445,12 @@ def ivf_topk(
                 if not mask.any():
                     continue
                 n_ids = ids[mask]
-                sims = np.round(
-                    (a[mask] @ b_qmat[qidx].T)
-                    / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
-                    6,
-                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = np.round(
+                        (a[mask] @ b_qmat[qidx].T)
+                        / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
+                        6,
+                    )
                 ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
                 out_q.append(b_qids[qidx][qi])
                 out_n.append(n_ids[ni])
@@ -456,6 +483,7 @@ def near_dup_pairs_lsh(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_group_members: int = 8192,
 ) -> DataFrame:
     """Near-dup pairs at scale: multi-table LSH candidates + exact verify.
 
@@ -466,57 +494,115 @@ def near_dup_pairs_lsh(
     candidates exactly.  Output schema matches ``near_dup_pairs`` —
     recall is the multi-table catch probability (~55% at cos 0.45,
     >95% at cos 0.9 with 4×4 tables).
+
+    Scoring is a vectorized in-bucket matmul (applyInPandas): each
+    vector's array travels once per bucket membership (the previous
+    candidate-pair shape shuffled BOTH 2 KB arrays onto every
+    within-bucket pair — quadratically more array traffic; see BASELINE
+    round 9).  MEMORY BOUND: a bucket larger than ``max_group_members``
+    is hash-split into ``B = ceil(size / cap)`` blocks and scored as
+    block PAIRS (a blocked all-pairs matmul), so no task ever
+    materializes more than ~2·cap member vectors — a degenerate hot
+    bucket (e.g. a corpus full of identical vectors, or default plane
+    counts left unadjusted as the corpus grows 1000×) costs extra
+    block-pair tasks, never task memory.  Each unordered pair lives in
+    exactly one block pair (blocks partition the bucket), so the result
+    is BIT-IDENTICAL to the unblocked scoring at any ``cap``; the same
+    pair found in several tables still collapses in the final distinct.
+    Re-sizing ``planes_per_table`` with corpus growth (log2(N/target))
+    remains the throughput lever — the block split is the safety net
+    that makes the default parameterization survivable, not fast.
     """
+    cap = int(max_group_members)
+    if cap < 2:
+        raise ValueError("max_group_members must be >= 2")
     buckets = lsh_buckets(
         vectors, num_tables, planes_per_table, id_col=id_col, vec_col=vec_col
     )
-    # Score INSIDE each (table, bucket) group with one vectorized
-    # in-bucket matmul (applyInPandas): each vector's array travels
-    # once per bucket membership (N x num_tables array rows), where the
-    # previous candidate-pair shape shuffled BOTH 2 KB arrays onto
-    # every within-bucket pair — quadratically more array traffic
-    # (measured 47 s -> at sf1; see BASELINE round 9).  Memory posture:
-    # a bucket whose PAIR COUNT fits the engine trivially fits its
-    # members in one task (members are the square root of the work
-    # already accepted); the matmul row-chunks like near_dup_pairs so
-    # the sims intermediate stays bounded.  The same pair found in
-    # several tables produces byte-identical rows (rounded cosine), so
-    # one distinct dedups across tables.
     src = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    member = buckets.join(src, "vec_id")
+    # Block assignment: B blocks per bucket, a member's block is a hash
+    # of its id (uniform over distinct ids).  A member of block k joins
+    # every block pair (min(k,j), max(k,j)) for j in 0..B-1 — B group
+    # rows per member, the standard blocked all-pairs replication; for
+    # the common B=1 case this is exactly one group per membership,
+    # identical to the unblocked plan.
+    member = (
+        buckets.join(src, "vec_id")
+        .withColumn(
+            "n_blocks",
+            F.expr(f"CAST((bucket_size + {cap - 1}) DIV {cap} AS INT)"),
+        )
+        .withColumn(
+            "block", F.expr("CAST(pmod(xxhash64(vec_id), n_blocks) AS INT)")
+        )
+        .withColumn("j", F.explode(F.expr("sequence(0, n_blocks - 1)")))
+        .select(
+            "table_id",
+            "bucket",
+            F.least("block", "j").alias("g1"),
+            F.greatest("block", "j").alias("g2"),
+            "block",
+            "vec_id",
+            "v",
+        )
+    )
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if len(pdf) == 0:
+            return empty
+        # structural bound: two hash-blocks of ~cap expected members
+        # each; 4x slack covers binomial spread on small buckets
+        if len(pdf) > 4 * (2 * cap):
+            raise RuntimeError(
+                f"near_dup_pairs_lsh: scoring group of {len(pdf)} members "
+                f"exceeds the {2 * cap} bound — block split failed"
+            )
+        g1 = int(pdf["g1"].iloc[0])
+        g2 = int(pdf["g2"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         m = np.stack(pdf["v"].values).astype("float64")
         norm = np.linalg.norm(m, axis=1)
-        chunk = max(1, (8 << 20) // max(1, len(ids)))
+        if g1 == g2:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+            same = True
+        else:
+            blk = pdf["block"].to_numpy(dtype="int64")
+            a_idx = np.nonzero(blk == g1)[0]
+            b_idx = np.nonzero(blk == g2)[0]
+            same = False
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return empty
+        ids_b = ids[b_idx]
+        m_b, norm_b = m[b_idx], norm[b_idx]
+        chunk = max(1, (8 << 20) // max(1, len(ids_b)))
         outs = []
-        for s in range(0, len(ids), chunk):
-            sims = np.round(
-                (m[s : s + chunk] @ m.T)
-                / (norm[s : s + chunk, None] * norm[None, :]),
-                6,
-            )
-            ai, bi = np.nonzero(
-                (sims >= threshold)
-                & (ids[s : s + chunk, None] < ids[None, :])
-            )
+        for s in range(0, len(a_idx), chunk):
+            a_s = a_idx[s : s + chunk]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round(
+                    (m[a_s] @ m_b.T)
+                    / (norm[a_s][:, None] * norm_b[None, :]),
+                    6,
+                )
+            hit = sims >= threshold
+            if same:
+                hit &= ids[a_s][:, None] < ids_b[None, :]
+            ai, bi = np.nonzero(hit)
+            ia, ib = ids[a_s][ai], ids_b[bi]
             outs.append(
                 pd.DataFrame(
                     {
-                        "vec_a": ids[s + ai],
-                        "vec_b": ids[bi],
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
                         "cosine": sims[ai, bi],
                     }
                 )
             )
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    scored = member.groupBy("table_id", "bucket").applyInPandas(
+    scored = member.groupBy("table_id", "bucket", "g1", "g2").applyInPandas(
         score, "vec_a bigint, vec_b bigint, cosine double"
     )
     return scored.distinct()

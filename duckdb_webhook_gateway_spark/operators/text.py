@@ -727,9 +727,13 @@ def bm25_topk(
     literal list), so only term-matched rows — a |terms|-bounded fraction
     of the stream — ever reach the (doc_id, token) tf shuffle, and dl
     rides the explode in-row (size(t)): no document-length join.  df
-    attaches as a count WINDOW over (token) on the tf relation (the
-    tfidf trick) — no df aggregate, no join back, no second run of the
-    explode lineage.  N and avgdl are ONE 1-row broadcast stats subtree
+    attaches with the skew-safe partial-agg + join-back
+    (``operators/frequency.py``) over the lazily checkpointed tf
+    relation — a count window over (token) would pin a stop-word
+    term's ENTIRE posting list on one task (count windows get no
+    map-side combine and no AQE skew split); the checkpoint keeps the
+    explode lineage single-execution across the df and probe branches.
+    N and avgdl are ONE 1-row broadcast stats subtree
     (a second corpus pass of in-row lengths, partial-agg combined
     map-side — 2 corpus passes total).  The r8 single-pass variant —
     a pos-0 sentinel row per doc carrying dl through the explode, both
@@ -774,12 +778,12 @@ def bm25_topk(
             F.count(F.lit(1)).cast("bigint").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        .localCheckpoint(eager=False)
     )
+    from .frequency import attach_group_count
+
     term_scores = (
-        tf.withColumn(
-            "df",
-            F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint"),
-        )
+        attach_group_count(tf, ("token",), "df")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

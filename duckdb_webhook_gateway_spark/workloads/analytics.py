@@ -1161,22 +1161,25 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew pre-flight: the 10 heaviest customer keys in orders
     with their share of all rows — the diagnostic a pipeline runs before
     deciding between a plain shuffle join and ``salted_join``
-    (operators/joins.py).  One partial-agg groupBy; the total comes from
-    a window over the per-key counts (key-cardinality), and top-k
-    compiles to TakeOrderedAndProject, never a global sort.
+    (operators/joins.py).  One partial-agg groupBy; the total is a
+    1-row broadcast count branch, and top-k compiles to
+    TakeOrderedAndProject, never a global sort.
     """
     orders = read_table(spark, sf_dir, "orders")
     per_key = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    # Total via a 1-row broadcast stats branch, NOT an unpartitioned
+    # window over per_key: that global window funnels the whole
+    # customer-cardinality count relation through ONE task.  The total
+    # equals count(orders) — a column-pruned count-only scan branch.
+    total = orders.agg(F.count(F.lit(1)).alias("_tot"))
     return (
-        per_key.withColumn(
-            "share",
-            F.round(
-                F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()),
-                6,
-            ),
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("n_orders") / F.col("_tot"), 6)
         )
+        .drop("_tot")
         .orderBy(F.desc("n_orders"), "o_custkey")
         .limit(10)
     )

@@ -1337,15 +1337,18 @@ def split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
         )
     )
-    # Totals via an unpartitioned window over the vocab-cardinality counts
-    # relation — a crossJoin against a separate agg would make Catalyst
-    # re-run the whole explode+groupBy for the totals branch (2× scan).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
+    # Totals via a 1-row broadcast stats branch over the lazily
+    # checkpointed counts relation — an unpartitioned window would pump
+    # the whole VOCAB-cardinality count stream through one task, and
+    # the checkpoint keeps the explode+groupBy lineage single-execution
+    # across the totals and probe branches (the lm_perplexity pattern).
+    counts = counts.localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("n_train").alias("tot_train"),
+        F.sum("n_test").alias("tot_test"),
+    )
     return (
-        counts.withColumn("tot_train", F.sum("n_train").over(w))
-        .withColumn("tot_test", F.sum("n_test").over(w))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "token",
             "n_train",
@@ -2196,21 +2199,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     two copies of the same text can never land in different splits — the
     leakage hole a per-doc hash split (``dataset_split``) leaves open.
 
-    One window over the 16-byte text hash finds the representative, the
-    split bucket is the same md5 arithmetic as ``dataset_split`` applied
-    to the representative id, and one aggregate reports the split sizes.
-    Single corpus scan; only (doc_id, hash, counts) rows shuffle.
+    The representative is a partial-agg min + join-back on the 16-byte
+    text hash — a min WINDOW would pin a viral duplicate's whole
+    cluster on one task, while the min aggregate collapses a hot hash
+    map-side and the join back is AQE-skew-splittable.  The hashed
+    stream (doc_id, n_toks, h) is lazily checkpointed so the corpus
+    scan runs once across both branches; only hash-width rows shuffle.
     """
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
-    rep = docs.select(
+    hashed = docs.select(
         "doc_id",
         F.expr("CAST(size(split(text,' ')) AS BIGINT)").alias("n_toks"),
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5("text")))
-        .alias("rep"),
-    )
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=False)
+    reps = hashed.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    rep = hashed.join(reps, "h").select("doc_id", "n_toks", "rep")
     bucket = F.expr(f"{md5_int_expr('CAST(rep AS STRING)', 'spark')} % 100")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -2560,21 +2563,25 @@ def passage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk) — the "what would passage dedup buy us" estimate that decides
     whether the full pipeline is worth running on a new source.
 
-    Chunk hashing is in-row (the shared ``_CHUNK8_EXPR``); the keeper is
-    a min-window over the 16-byte chunk hash, so the shuffle moves
-    (hash, doc_id, source) triples — never text.  The final agg is
-    source-cardinality."""
-    from pyspark.sql import Window
-
+    Chunk hashing is in-row (the shared ``_CHUNK8_EXPR``); the keeper
+    attaches as a partial-agg min + join-back on the 16-byte chunk hash
+    — a min WINDOW would pin a boilerplate chunk's every occurrence on
+    one task (no map-side combine, no AQE skew split), while the min
+    aggregate collapses a hot hash to one row per map task and the
+    join back is skew-splittable.  The chunk stream is lazily
+    checkpointed so the explode runs once across both branches; the
+    shuffle moves (hash, doc_id, source) triples — never text.  The
+    final agg is source-cardinality."""
     docs = _docs(spark, sf_dir, spread=True)
     chunks = docs.select(
         "doc_id",
         "source",
         F.explode(F.expr(_CHUNK8_EXPR)).alias("chunk_hash"),
+    ).localCheckpoint(eager=False)
+    keepers = chunks.groupBy("chunk_hash").agg(
+        F.min("doc_id").alias("keeper_doc")
     )
-    keeper = chunks.withColumn(
-        "keeper_doc", F.min("doc_id").over(Window.partitionBy("chunk_hash"))
-    )
+    keeper = chunks.join(keepers, "chunk_hash")
     dup = F.sum(
         F.when(F.col("doc_id") != F.col("keeper_doc"), 1).otherwise(0)
     )

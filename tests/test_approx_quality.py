@@ -95,6 +95,58 @@ def test_lsh_buckets_group_near_dups(spark):
     assert same / len(near) >= 0.3, f"only {same}/{len(near)} near-dups co-bucketed"
 
 
+def test_near_dup_lsh_block_split_is_result_invariant(spark):
+    """The hot-bucket block split (max_group_members) must not change
+    the result at ANY cap: blocks partition each bucket, every unordered
+    pair lives in exactly one block pair, cosines round identically.
+    A tiny cap forces B>1 on every bucket — the degenerate-hot-bucket
+    code path — and the pair set with cosines must match the unblocked
+    scoring exactly."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    unblocked = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in S.near_dup_pairs_lsh(
+            emb, threshold=0.45, max_group_members=1 << 20
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in S.near_dup_pairs_lsh(
+            emb, threshold=0.45, max_group_members=8
+        ).collect()
+    }
+    assert len(unblocked) > 0
+    assert blocked == unblocked
+
+    # and the split actually bounds group membership: no (table, bucket,
+    # g1, g2) scoring group exceeds ~2 blocks of cap expected members
+    from pyspark.sql import functions as F
+
+    cap = 8
+    buckets = S.lsh_buckets(emb)
+    member = (
+        buckets.withColumn(
+            "n_blocks",
+            F.expr(f"CAST((bucket_size + {cap - 1}) DIV {cap} AS INT)"),
+        )
+        .withColumn(
+            "block", F.expr("CAST(pmod(xxhash64(vec_id), n_blocks) AS INT)")
+        )
+        .withColumn("j", F.explode(F.expr("sequence(0, n_blocks - 1)")))
+        .groupBy(
+            "table_id",
+            "bucket",
+            F.least("block", "j"),
+            F.greatest("block", "j"),
+        )
+        .count()
+    )
+    max_group = member.agg(F.max("count")).collect()[0][0]
+    assert max_group <= 4 * (2 * cap), max_group
+
+
 def test_near_dup_auto_routes_to_lsh(spark):
     """Past the exact ceiling, near_dup_pairs must switch to the LSH
     composition (no full-corpus driver collect); below it, stay exact."""

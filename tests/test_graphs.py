@@ -266,3 +266,25 @@ def test_bitmap_bloom_filter_no_false_negatives(spark):
         # and the prefilter itself never loses a matching row
         kept = {tuple(r) for r in pref.collect()}
         assert {tuple(r) for r in plain} <= kept or set(plain) <= kept
+
+
+def test_bitmap_bloom_filter_widens_integral_keys_and_rejects_mismatch(spark):
+    """xxhash64 is type-sensitive: an INT probe key against a BIGINT
+    build key must still find every match (integral widening), and a
+    genuinely incompatible type pair (int vs double) must be rejected
+    loudly instead of silently dropping matches."""
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators.joins import (
+        bitmap_bloom_filter,
+    )
+
+    build = spark.createDataFrame([(k,) for k in range(20)], "v bigint")
+    probe = spark.createDataFrame([(k,) for k in range(40)], "id_v int")
+    pref = bitmap_bloom_filter(probe, build, ["id_v"], ["v"], num_bits=4096)
+    kept = {r.id_v for r in pref.collect()}
+    assert set(range(20)) <= kept  # no false negatives across int widths
+
+    probe_d = spark.createDataFrame([(float(k),) for k in range(5)], "id_v double")
+    with pytest.raises(TypeError, match="type-sensitive"):
+        bitmap_bloom_filter(probe_d, build, ["id_v"], ["v"])

@@ -320,15 +320,20 @@ def test_join_key_skew_uses_take_ordered(spark):
 
 
 def test_leakage_safe_split_single_scan(spark):
-    """Representative lookup is one window over md5(text) on a single
-    corpus scan — a join against a separate cluster relation would scan
-    the corpus twice."""
+    """Representative lookup is a partial-agg min + join-back over the
+    lazily checkpointed hashed stream (round 10: a min WINDOW over
+    md5(text) pinned a viral duplicate's whole cluster on one task).
+    The corpus scans once (the checkpoint feeds both branches) and no
+    full-frame window remains."""
     from duckdb_webhook_gateway_spark.workloads.datapipe import leakage_safe_split
 
     plan = _plan(leakage_safe_split(spark, sf_dir()))
-    assert plan.count("Location: InMemoryFileIndex") == 1
-    assert "Join" not in plan
-    assert plan.count("Window") >= 1
+    assert "Scan ExistingRDD" in plan          # checkpointed hash stream
+    assert "Location: InMemoryFileIndex" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
 
 
 def test_training_order_manifest_no_global_sort(spark):
@@ -495,15 +500,22 @@ def test_semantic_dedup_broadcasts_only_centroids(spark):
 
 
 def test_substring_dedup_single_hash_shuffle_no_joins(spark):
-    """Window hashes are computed in-row and marked duplicated by a count
-    window — the plan must be join-free, with exchanges keyed only on the
-    window hash h (dup marking) and doc_id (span merge): nothing
-    text-sized or pair-quadratic ever moves."""
+    """Window hashes are computed in-row; duplicated hashes come from a
+    partial-agg count + semi-filter join back over the checkpointed
+    window stream (round 10: the count WINDOW over h pinned a
+    boilerplate window's every occurrence on one task).  Exchanges key
+    only on the window hash h (dup marking) and doc_id (span merge):
+    nothing text-sized or pair-quadratic ever moves, and no full-frame
+    window remains — the only Window nodes are the doc-partitioned
+    interval-merge cummax/cumsum."""
+    import re
+
     from duckdb_webhook_gateway_spark.operators.dedup import substring_dedup
 
     docs = spark.read.parquet(sf_dir() + "/documents.parquet")
     plan = _plan(substring_dedup(docs))
-    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan          # checkpointed window stream
+    assert "unboundedfollowing$()" not in plan  # no full-frame window
     keys = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert keys, "expected keyed exchanges"
     for l in keys:
@@ -847,25 +859,25 @@ def test_gopher_repetition_single_arrow_pass(spark):
 
 
 
-def test_bm25_single_explode_window_df_no_joins(spark):
-    """BM25: the query-term filter runs in the explode's own stage (only
-    matched rows reach the tf shuffle), the explode lineage runs ONCE
-    (df attaches as a count window over (token) — no df aggregate, no
-    join back), the only join is the 1-row stats cross pairing, and
-    top-k compiles to TakeOrderedAndProject (no global sort)."""
+def test_bm25_skew_safe_df_checkpointed_tf(spark):
+    """BM25 (round 10): df attaches with the skew-safe partial-agg +
+    join-back over the lazily checkpointed tf relation — the previous
+    count window over (token) pinned a stop-word term's whole posting
+    list on one task.  The checkpoint keeps the corpus explode
+    single-execution (exactly one parquet scan remains visible: the
+    stats pass), no full-frame window survives, and top-k still
+    compiles to TakeOrderedAndProject (no global sort)."""
     import re
 
     from duckdb_webhook_gateway_spark.workloads.datapipe import doc_bm25_topk
 
     plan = _plan(doc_bm25_topk(spark, sf_dir()))
     assert "TakeOrderedAndProject" in plan
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" not in plan
-    # one corpus explode + one stats pass = exactly 2 parquet scans
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
-    # the term filter sits in the Generate's stage, before any exchange
-    assert "Condition : token#" in plan
+    assert "Scan ExistingRDD" in plan          # checkpointed tf relation
+    assert "unboundedfollowing$()" not in plan  # no full-frame window
+    # the stats branch is the only parquet scan left in the main plan
+    # (the explode lineage lives behind the checkpoint)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_ngram_novelty_skew_safe_partial_agg(spark):
@@ -1007,6 +1019,35 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "corpus_token_coverage", # small-route threshold probe: non-equi vs a
                                  # broadcast side of <= len(fracs) rows (3);
                                  # the scale route joins equi on partition id
+        "join_key_skew",         # 1-row total-orders count side (round 10)
+        "split_divergence",      # 1-row token-total stats side (round 10)
+    }
+    # Full-frame windows (unbounded preceding..following) get NO map-side
+    # partial aggregation and no AQE skew split: partitioned by a
+    # DATA-cardinality key (a token, a content hash, a join key) they pin
+    # that key's entire row set on one task — the round-8/round-10
+    # scale-killer class (purged from tfidf, bm25, simhash, substring
+    # spans, pagerank degree, LSH bucket_size...).  Whitelisted queries
+    # carry a BOUNDED-input justification: the window's input relation is
+    # aggregate-cardinality (per-source / per-type totals), k-bounded
+    # (KMV sketches), or per-user (the sessionize assumption: one user's
+    # history fits an executor).
+    fullframe_ok = {
+        "source_mixture",             # global over per-source aggregate
+        "mixture_resample",           # global over per-source aggregate
+        "source_temperature_mixture", # global over per-source aggregate
+        "source_lang_mix",            # per-(source, lang) aggregate input
+        "events_markov_transitions",  # type-pair aggregate input
+        "events_cohort_retention",    # per-user frame + per-cohort-week agg
+        "events_multitouch_attribution",  # per-user path frame
+        "distinct_kmv_sketch",        # k-bounded KMV candidate input
+        "source_overlap_kmv",         # k-bounded KMV candidate input
+        "substring_dup_spans_sa",     # count-window rides the wk exchange
+                                      # the per-bucket LCP Arrow pass needs
+                                      # anyway (buckets must be contiguous);
+                                      # hot-bucket concentration is inherent
+                                      # to the per-bucket algorithm, not the
+                                      # window
     }
     offenders = {}
     for name, (fn, _) in all_entries().items():
@@ -1015,4 +1056,9 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
+        if (
+            "unboundedpreceding$(), unboundedfollowing$()" in plan
+            and name not in fullframe_ok
+        ):
+            offenders[name] = offenders.get(name, "") + " full-frame window"
     assert offenders == {}, offenders
