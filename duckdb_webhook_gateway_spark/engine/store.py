@@ -206,13 +206,33 @@ class TableStore:
 
     # -- event tables (append-only, date-partitioned parquet) ------------
     def _register_event_view(self, name: str) -> None:
+        # A FRESH bucketed layout (see bucket_events) takes precedence:
+        # reads then satisfy ClusteredDistribution straight off the scan,
+        # so joins on the bucket key run with ZERO exchanges.  Any append
+        # since the last bucket_events makes the layout stale, and the
+        # view falls back to the plain date-partitioned parquet — always
+        # correct, just unbucketed until the next maintenance pass.
+        spec = self._load_bucket_spec(name)
+        if (
+            spec is not None
+            and spec["files"] == self._event_files(name)
+            and self.spark.catalog.tableExists(spec["table"])
+        ):
+            df = self.spark.table(spec["table"]).select(
+                *[f.name for f in SCHEMAS[name].fields]
+            )
+            df.createOrReplaceTempView(name)
+            return
+        self._plain_event_df(name).createOrReplaceTempView(name)
+
+    def _plain_event_df(self, name: str) -> DataFrame:
         path = self._path(name)
         schema = SCHEMAS[name]
         if os.path.isdir(path) and any(
             f.endswith(".parquet") or f.startswith("event_date=")
             for f in os.listdir(path)
         ):
-            df = (
+            return (
                 self.spark.read.schema(
                     T.StructType(
                         list(schema.fields)
@@ -223,9 +243,97 @@ class TableStore:
                 .parquet(path)
                 .select(*[f.name for f in schema.fields])
             )
-        else:
-            df = self.spark.createDataFrame([], schema)
-        df.createOrReplaceTempView(name)
+        return self.spark.createDataFrame([], schema)
+
+    # -- bucketed event layout (write-time join co-location) -------------
+    def _bucket_spec_path(self, name: str) -> str:
+        return self._path(name) + ".__bucketspec.json"
+
+    def _bucket_table_name(self, name: str) -> str:
+        import hashlib
+
+        tag = hashlib.md5(
+            os.path.abspath(self.base_dir).encode()
+        ).hexdigest()[:10]
+        return f"store_{tag}_{name}_bucketed"
+
+    def _load_bucket_spec(self, name: str) -> Optional[dict[str, Any]]:
+        import json
+
+        p = self._bucket_spec_path(name)
+        if not os.path.isfile(p):
+            return None
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except Exception:
+            return None
+
+    def _event_files(self, name: str) -> list[str]:
+        """Sorted relative paths of every parquet part file — the
+        bucketed layout's freshness manifest."""
+        base = self._path(name)
+        out: list[str] = []
+        if not os.path.isdir(base):
+            return out
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), base)
+                    )
+        return sorted(out)
+
+    def bucket_events(
+        self, name: str, key_col: str, num_buckets: int = 32
+    ) -> int:
+        """Maintain a BUCKETED layout of an event table on a declared
+        join key (MAINTENANCE-WINDOW operation, like compact_events).
+
+        Rewrites the table's current contents as a managed table
+        bucketed+sorted by ``key_col`` (``operators/joins.py::
+        write_bucketed``) and records a file manifest.  While the
+        manifest matches the on-disk part files, ``table(name)`` and the
+        registered view read the BUCKETED table — two event tables
+        bucketed on their join keys with the same bucket count join with
+        ZERO exchanges on either side (the q5-decomposition answer: the
+        fact-to-fact exchange is removable only by layout, so the store
+        co-locates at write time).  Any later append makes the layout
+        stale and reads fall back to the plain parquet view until the
+        next ``bucket_events`` — correctness never depends on layout
+        freshness.  The plain date-partitioned files remain the source
+        of truth; the bucketed table is a derived layout, like an index.
+
+        Returns the number of part files the layout covers.
+        """
+        import json
+
+        if name not in _EVENT_TABLES:
+            raise ValueError(f"not an event table: {name}")
+        if key_col not in {f.name for f in SCHEMAS[name].fields}:
+            raise ValueError(f"{key_col!r} is not a column of {name}")
+        from ..operators.joins import write_bucketed
+
+        with self.lock:
+            files = self._event_files(name)
+            tbl = self._bucket_table_name(name)
+            write_bucketed(
+                self._plain_event_df(name),
+                tbl,
+                [key_col],
+                num_buckets,
+                [key_col],
+            )
+            spec = {
+                "table": tbl,
+                "key": key_col,
+                "num_buckets": num_buckets,
+                "files": files,
+            }
+            with open(self._bucket_spec_path(name), "w") as fh:
+                json.dump(spec, fh)
+            self._register_event_view(name)
+        return len(files)
 
     def append_events(
         self, name: str, rows: list[dict[str, Any]], file_key: str | None = None

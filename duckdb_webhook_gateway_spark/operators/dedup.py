@@ -1308,8 +1308,13 @@ def prefix_containment_join(
                 f" DIV {threshold_den}) + 1"
             ).alias("plen"),
         )
-        # materialize ONCE: consumed by prefix, full, and both verify sides
-        .localCheckpoint(eager=True)
+        # materialize ONCE: consumed by prefix, full, and both verify
+        # sides.  LAZY: all four consumers sit in one action, so the
+        # blocks build inside that job — an eager checkpoint pays an
+        # extra blocking job boundary for the same reuse (interleaved
+        # A/B at sf0.1: lazy ~1.20 s vs eager ~1.25 s, and one fewer
+        # synchronization point at cluster scale).
+        .localCheckpoint(eager=False)
     )
     prefix = per_doc.select(
         "doc_id",

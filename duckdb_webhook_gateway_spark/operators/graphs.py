@@ -251,45 +251,45 @@ def pagerank_micro(
     Pregel schedule; arc and node exchanges are computed once and reused.
     """
     base = ((100 - damping_pct) * init_micro) // 100
-    # Out-degree via partial-aggregate + join-back, NOT a count window
-    # over src: a count window gets no map-side combine and AQE cannot
-    # skew-split it, so a power-law hub with 10^8 out-arcs would pin its
-    # whole arc set on ONE task.  The aggregate collapses a hot src to
-    # one row per map task before the wire, and the join back is a JOIN
-    # — AQE's OptimizeSkewedJoin splits an oversized probe partition.
-    # The degree branch re-executes ``arcs``' lineage once more; callers
-    # with expensive DERIVED arcs already materialize the edge relation
-    # first (see :func:`undirect`), which makes that re-execution a
-    # checkpoint re-read, not a recompute.
-    deg = arcs.groupBy("src").agg(
+    # Out-degree via partial-aggregate + join onto the NODE relation,
+    # NOT a count window over the arc stream: a count window gets no
+    # map-side combine and AQE cannot skew-split it, so a power-law hub
+    # with 10^8 out-arcs would pin its whole arc set on ONE task.  The
+    # aggregate collapses a hot src to one row per map task before the
+    # wire, and — because a node's out-degree is a property of the
+    # CONTRIBUTING node — deg rides the node-cardinality ranks relation
+    # through the contribution join the iteration already performs:
+    # zero extra arc-cardinality joins, same per-iteration plan shape
+    # as before.  Sinks (no out-arcs) get NULL deg; they never match as
+    # src in the contribution join, so the NULL is never consumed.
+    deg = arcs.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    arcs_d = arcs.join(deg, "src").select("src", "dst", "deg")
     # The node universe is every endpoint: a node with out-arcs but no
     # in-arcs receives no contributions, but it must KEEP its base rank
     # and keep contributing — an inner groupBy(dst) alone would silently
     # drop it (and its outgoing mass) after iteration 1 on general
     # digraphs, even though undirected graphs never hit the case.
-    # Derived from arcs_d (inner on src preserves every arc) so the
-    # distinct's exchange sits above the already-reused window exchange.
     nodes = (
-        arcs_d.select(F.col("src").alias("node"))
-        .unionByName(arcs_d.select(F.col("dst").alias("node")))
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg, "node", "left")
     )
     ranks = nodes.select(
-        "node", F.lit(init_micro).cast("long").alias("r")
+        "node", "deg", F.lit(init_micro).cast("long").alias("r")
     )
     for _ in range(iterations):
         contrib = (
-            arcs_d.join(ranks, arcs_d["src"] == ranks["node"])
+            arcs.join(ranks, arcs["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.expr("sum(r DIV deg)").alias("c"))
         )
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
+            "deg",
             F.expr(
                 f"{base} + ({damping_pct} * coalesce(c, 0)) DIV 100"
             ).alias("r"),
         )
-    return ranks
+    return ranks.select("node", "r")

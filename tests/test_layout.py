@@ -147,3 +147,74 @@ def test_compact_with_sort_recovers_clustering(spark, tmp_path):
     spans.sort()
     for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
         assert a1 <= b0, spans
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_store_bucketed_event_join_exchange_free(spark, tmp_path):
+    """The productized bucketed layout (round 10): after
+    TableStore.bucket_events on both event tables' join keys, the
+    raw⋈transformed audit join (the recent-events feed spine) must run
+    with ZERO exchanges below the join — the write-time co-location
+    that removes the fact-to-fact shuffle the q5 decomposition proved
+    irreducible at query time.  A later append makes the layout stale:
+    reads fall back to plain parquet (correctness never depends on
+    layout freshness) until the next bucket_events re-freshens it."""
+    from datetime import datetime
+
+    from duckdb_webhook_gateway_spark.engine.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    ts = datetime(2026, 1, 5, 12, 0, 0)
+    raw = [
+        {"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+         "payload": '{"a": 1}'}
+        for i in range(200)
+    ]
+    tr = [
+        {"id": f"t{i}", "raw_event_id": f"r{i}", "webhook_id": "w",
+         "timestamp": ts, "transformed_payload": "{}",
+         "destination_url": "http://x", "success": True,
+         "response_code": 200, "response_body": ""}
+        for i in range(150)
+    ]
+    store.append_events("raw_events", raw)
+    store.append_events("transformed_events", tr)
+
+    n_r = store.bucket_events("raw_events", "id", num_buckets=8)
+    n_t = store.bucket_events("transformed_events", "raw_event_id", 8)
+    assert n_r >= 1 and n_t >= 1
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r = store.table("raw_events")
+        t = store.table("transformed_events")
+        joined = r.join(t, r.id == t.raw_event_id)
+        assert joined.count() == 150
+        plan = _executed_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+
+        # staleness: an append flips reads back to plain parquet
+        store.append_events(
+            "raw_events",
+            [{"id": "r_late", "timestamp": ts, "source_path": "/t",
+              "payload": "{}"}],
+        )
+        r2 = store.table("raw_events")
+        assert r2.count() == 201          # new row visible immediately
+        t2 = store.table("transformed_events")
+        plan2 = _executed_plan(r2.join(t2, r2.id == t2.raw_event_id))
+        assert "Exchange" in plan2        # unbucketed fallback shape
+
+        # re-freshen: the maintenance pass restores the exchange-free join
+        store.bucket_events("raw_events", "id", num_buckets=8)
+        r3 = store.table("raw_events")
+        joined3 = r3.join(t2, r3.id == t2.raw_event_id)
+        assert joined3.count() == 150
+        assert "Exchange" not in _executed_plan(joined3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
