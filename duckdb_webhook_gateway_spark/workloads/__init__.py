@@ -22,23 +22,75 @@ from . import analytics, datapipe  # noqa: E402
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
 # round, and every query whose PHYSICAL PLAN changed re-certifies the
-# same round.  Round-9 _CHECK_FIRST = the EIGHT queries whose plans
-# changed this round (q3: shuffle-hash hint; q5: selective join order;
-# orders_value_quartiles + lm_perplexity_filter: global_ntile replaces
-# the single-task global window; doc_prefix_jaccard_join +
-# doc_containment_pairs: exploded-stream checkpoint, containment also
-# gains the positional filter; part_triangle_count: corner explode +
-# oriented checkpoint; ann_ivf_recall: shared one-collect head), the 34
-# entries last driver-green in round 6 (staleness limit this round) —
-# events_json_bucket among them also picked up a plan change (gated
-# hash repartition) — and 8 r7-green entries promoted one round early.
-# The remaining 35 r7-green entries sit unlisted in the middle (due
-# r10); the 48-entry tail (42 r8-green + the 6 r7-green the plan-change
-# re-certs and the new-query slot displaced from the early promotion)
-# is due r10/r11 via the parity suite and the next rotation.  The new
-# round-9 queries (orders_price_exact_quantiles, corpus_token_coverage)
-# take their first driver certification slots at the head.
+# same round.  Round-10 _CHECK_FIRST = the NINE queries whose plans
+# changed this round (part_pagerank: degree partial-agg rides ranks;
+# ann_lsh_buckets + embedding_near_dup_lsh: skew-safe bucket_size +
+# blocked in-bucket scoring; doc_bm25_topk, dedup_simhash,
+# leakage_safe_split: count/min windows -> partial-agg join-back;
+# join_key_skew + split_divergence: 1-row broadcast totals;
+# doc_containment_pairs: lazy per_doc checkpoint), the 35 r7-green
+# middle entries due this round (staleness limit) — passage_savings and
+# substring_dup_spans among them also picked up the count-window fix —
+# and 6 r8-green tail entries promoted one round early.  The remaining
+# 37 r8-green tail entries sit in the middle (due r11 at the latest);
+# the 47-entry tail is the round-9-certified block (freshest, due r12
+# via the next rotations).  The parity suite still covers all 134 at
+# sf0.1 every round.
 _CHECK_FIRST = (
+    "part_pagerank",
+    "ann_lsh_buckets",
+    "embedding_near_dup_lsh",
+    "doc_bm25_topk",
+    "dedup_simhash",
+    "leakage_safe_split",
+    "join_key_skew",
+    "split_divergence",
+    "doc_containment_pairs",
+    "events_markov_transitions",
+    "nation_trade_matrix",
+    "events_hopping_windows",
+    "customer_functional_deps",
+    "events_hourly_gapfill",
+    "dedup_incremental",
+    "events_sessionize",
+    "events_asof_attribution",
+    "training_order_manifest",
+    "vocab_oov_rate",
+    "cross_source_overlap",
+    "ensemble_near_dup",
+    "source_lang_mix",
+    "passage_savings",
+    "events_rolling_features",
+    "distinct_kmv_sketch",
+    "events_range_join",
+    "corpus_pmi_pairs",
+    "embedding_label_quality",
+    "multimodal_video_features",
+    "source_temperature_mixture",
+    "source_quality_deciles",
+    "multimodal_image_resize",
+    "corpus_zipf_stats",
+    "streaming_hourly_counts",
+    "semantic_dedup",
+    "dsir_selection",
+    "substring_dup_spans",
+    "events_profile",
+    "token_heavy_hitters",
+    "weighted_sample_topk",
+    "source_overlap_kmv",
+    "events_multitouch_attribution",
+    "token_freq_cm_sketch",
+    "embedding_dim_stats",
+    "source_ngram_novelty",
+    "hybrid_rank_fusion",
+    "q1_pricing_summary",
+    "supplier_revenue_having",
+    "orders_per_month",
+    "part_avg_qty_subquery",
+)
+# Queries checked in round 9 — rotate to the unchecked tail (due r12);
+# the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "corpus_token_coverage",
     "orders_price_exact_quantiles",
     "q3_shipping_priority",
@@ -47,7 +99,6 @@ _CHECK_FIRST = (
     "lm_perplexity_filter",
     "doc_prefix_jaccard_join",
     "part_triangle_count",
-    "doc_containment_pairs",
     "ann_ivf_recall",
     "top_orders_by_value",
     "part_projection",
@@ -69,7 +120,6 @@ _CHECK_FIRST = (
     "text_language_id",
     "text_quality",
     "doc_fingerprint",
-    "ann_lsh_buckets",
     "events_pivot_by_type",
     "corpus_stats",
     "doc_length_histogram",
@@ -82,66 +132,12 @@ _CHECK_FIRST = (
     "bpe_merge_candidates",
     "mixture_resample",
     "split_ngram_decontamination",
-    "leakage_safe_split",
     "events_cohort_retention",
     "events_anomaly_zscore",
     "bloom_prefilter_join",
     "customer_scd2_snapshot",
     "value_quantile_sketch",
     "brand_top_parts",
-)
-# Queries checked in round 8 — rotate to the unchecked tail (due r11);
-# the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "doc_bm25_topk",
-    "source_ngram_novelty",
-    "hybrid_rank_fusion",
-    "q1_pricing_summary",
-    "supplier_revenue_having",
-    "orders_per_month",
-    "part_avg_qty_subquery",
-    "customers_without_orders",
-    "part_size_class",
-    "events_hourly",
-    "lineitem_price_quantiles",
-    "parts_never_ordered",
-    "customers_with_urgent_orders",
-    "events_runtime_udf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_token_stats",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "multimodal_features",
-    "ann_ivf_topk",
-    "text_tfidf_top_terms",
-    "substring_dup_spans_sa",
-    "gopher_quality_gate",
-    "gopher_repetition_report",
-    "join_key_skew",
-    "salted_join_orders",
-    "embedding_near_dup_lsh",
-    "text_char_stats",
-    "dataset_split",
-    "corpus_top_bigrams",
-    "multimodal_audio_features",
-    "multimodal_image_features",
-    "dedup_keeplist",
-    "stratified_sample",
-    "split_contamination",
-    "dedup_clusters",
-    "text_pattern_scrub",
-    "passage_dedup",
-    "split_divergence",
-    "ann_q8_topk",
-    "part_pagerank",
-    "part_basket_pairs",
-    "part_name_fuzzy_pairs",
-    "orderkey_hll_distinct",
-    "q10_returned_revenue",
-    "region_status_grouping_sets",
-    "monthly_revenue_incremental",
 )
 
 def all_entries() -> dict[str, Entry]:
