@@ -862,3 +862,150 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "q8_cosine", "rank")
     )
+
+
+def pq_topk(
+    queries,
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ
+    building block): split each vector into ``num_subspaces`` contiguous
+    subvectors, quantize every subvector to its nearest codeword from a
+    per-subspace codebook, and rank corpus vectors against each query by
+    the ADC approximation — the sum of precomputed query-to-codeword
+    squared-L2 lookup-table entries.
+
+    Why it matters at 100 TB: a 64-dim float64 vector (512 B) encodes to
+    ``num_subspaces`` uint8 codes (8 B here, 64× smaller) and scoring
+    touches an 8-entry LUT row instead of 64 floats — the standard way a
+    1B-vector corpus fits in cluster memory AND in scan bandwidth.  The
+    quantization error is the recall trade (pinned by the approx-quality
+    suite, like int8 and IVF).
+
+    Differential-testing device, same trick as ``ivf_topk``: the default
+    codebook is the ``num_codes`` lowest-id corpus vectors' subvectors —
+    deterministic, so the DuckDB oracle rebuilds the EXACT same index
+    declaratively; at production scale pass k-means-trained codebooks in
+    (plan shape identical).  Engine-portable ordering: per-subspace
+    squared distances are INTEGER NANO-UNITS (round(d2 * 1e9) as
+    BIGINT — the pagerank_micro/bm25 micro-unit trick), so the encode
+    argmin (ties on lowest code id) and the ADC total are exact integer
+    arithmetic, bit-identical under any summation order on any engine;
+    rank ties on neighbor id.  The only float caveat left is a raw
+    subspace distance landing within ~1e-6 absolute of a half-nano
+    boundary (measure-zero; an earlier float-total variant tripped a
+    1-ulp fuzz case that integer totals cannot).
+
+    Execution — ONE Arrow pass over the partitioned corpus (queries and
+    codebook broadcast, both small by contract): each batch is encoded
+    with a vectorized (batch × codes × subspaces) distance tensor and
+    scored against all queries by LUT gather; nothing corpus-cardinality
+    is collected, broadcast, or joined.  The only shuffle is the final
+    top-k window, which compiles with WindowGroupLimit (partial top-k
+    before the exchange).  L2 is defined on zero vectors, so unlike the
+    cosine family there is no NaN path.
+
+    Returns (query_id, neighbor_id, pq_dist_nano, rank), rank <= k.
+    """
+    spark = corpus.sparkSession
+    if codebook is None:
+        codebook = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(num_codes)
+            .select(id_col, vec_col)
+        )
+    cb_pd = (
+        codebook.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .orderBy("_id")
+        .toPandas()
+        if not isinstance(codebook, pd.DataFrame)
+        else codebook.rename(
+            columns={id_col: "_id", vec_col: "_v"}
+        ).sort_values("_id")
+    )
+    cb = np.stack([np.asarray(v, dtype="float64") for v in cb_pd["_v"].values])
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(
+            columns={id_col: "_id", vec_col: "_v"}
+        )[["_id", "_v"]].sort_values("_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .orderBy("_id")
+            .toPandas()
+        )
+    q_ids = q_pd["_id"].to_numpy(dtype="int64")
+    q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["_v"].values])
+    dim = q_mat.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    dsub = dim // num_subspaces
+    m = num_subspaces
+    # query LUT: (num_q, codes, subspaces) nano-unit squared-L2 — the
+    # same integer quantity the encode argmin uses, computed once
+    # driver-side (num_q * codes * subspaces int64; tiny by contract)
+    q_sub = q_mat.reshape(len(q_ids), 1, m, dsub)
+    cb_sub = cb.reshape(1, len(cb), m, dsub)
+    lut = (
+        np.round(((q_sub - cb_sub) ** 2).sum(axis=3) * 1e9)
+        .astype("int64")
+    )
+    bc = spark.sparkContext.broadcast((q_ids, lut, cb))
+
+    def fused(batches):
+        b_qids, b_lut, b_cb = bc.value
+        kc = len(b_cb)
+        b_cb_sub = b_cb.reshape(1, kc, m, dsub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            x = np.stack(pdf["v"].values).astype("float64")
+            xs = x.reshape(len(ids), 1, m, dsub)
+            # (n, codes, subspaces) nano distances -> per-subspace
+            # argmin; np.argmin takes the FIRST minimum, which on the
+            # integer ties is the lowest code id — the oracle's
+            # (d2, code_id) order
+            d2 = (
+                np.round(((xs - b_cb_sub) ** 2).sum(axis=3) * 1e9)
+                .astype("int64")
+            )
+            enc = np.argmin(d2, axis=1)  # (n, subspaces)
+            # ADC: totals[qi, i] = sum_s lut[qi, enc[i, s], s] — exact
+            # BIGINT addition, summation-order-independent
+            totals = np.zeros((len(b_qids), len(ids)), dtype="int64")
+            for s in range(m):
+                totals += b_lut[:, enc[:, s], s]
+            qi, ni = np.nonzero(b_qids[:, None] != ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": ids[ni],
+                    "pq_dist_nano": totals[qi, ni],
+                }
+            )
+
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cand = src.mapInPandas(
+        fused, "query_id bigint, neighbor_id bigint, pq_dist_nano bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist_nano"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist_nano", "rank")
+    )

@@ -493,6 +493,8 @@ EMB_QUERIES = [
     "hybrid_rank_fusion",
     # round-8 addition: recall@5 eval join of the ivf arm vs brute force
     "ann_ivf_recall",
+    # round-10 addition: PQ/ADC ranking (L2 — defined on zero vectors)
+    "ann_pq_topk",
 ]
 
 

@@ -1062,3 +1062,18 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         ):
             offenders[name] = offenders.get(name, "") + " full-frame window"
     assert offenders == {}, offenders
+
+
+def test_pq_topk_single_pass_window_group_limited(spark):
+    """PQ ANN (round 10): encode+ADC is ONE Arrow pass over the
+    partitioned corpus (queries/codebook broadcast driver-side — no
+    join, no corpus collect), and the only shuffle is the final top-k
+    window, which must keep WindowGroupLimit (partial top-k before the
+    exchange)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_pq_topk
+
+    plan = _plan(ann_pq_topk(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # corpus scan(s)
