@@ -107,6 +107,8 @@ EXTENDED4_QUERIES = [
     "ann_ivf_recall",
     # round 9
     "orders_price_exact_quantiles",
+    # round 10
+    "ann_pq_topk",
 ]
 
 
