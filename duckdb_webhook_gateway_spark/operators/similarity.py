@@ -1009,3 +1009,109 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_dist_nano", "rank")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means — the production codebook path for
+    :func:`pq_topk` (which ships training-free first-N codebooks only so
+    its DuckDB oracle can replay the index; same split as
+    ``kmeans_fit``/``ivf_topk``).
+
+    Returns (code_id, ``vec_col``) where each row concatenates subspace
+    codeword ``code_id`` across all subspaces — drop-in for
+    ``pq_topk(codebook=...)``, which slices per-subspace blocks back out.
+
+    Scale shape (100 TB posture): each iteration is ONE Arrow pass over
+    the partitioned corpus emitting per-batch PARTIAL (subspace, code,
+    dim) sums and counts — m*k*dsub rows per batch regardless of batch
+    size, the textbook distributed-kmeans combine — followed by a
+    key-cardinality groupBy and an m*k*dsub-value driver collect (the
+    codebook is small by contract, like the centroid relations).  No
+    corpus-cardinality relation is ever joined, windowed, or collected;
+    empty codes keep their previous codeword.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).head()
+    dim = int(dim_row["d"])
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    m, kc = num_subspaces, num_codes
+    dsub = dim // m
+    seed = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(kc)
+        .select(F.col(vec_col).alias("_v"))
+        .toPandas()
+    )
+    cb = np.stack(
+        [np.asarray(v, dtype="float64") for v in seed["_v"].values]
+    ).reshape(kc, m, dsub)
+    src = corpus.select(F.col(vec_col).alias("v"))
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def partials(batches):
+            b_cb = bc.value  # (k, m, dsub)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["v"].values).astype("float64")
+                xs = x.reshape(len(x), 1, m, dsub)
+                d2 = ((xs - b_cb[None, :, :, :]) ** 2).sum(axis=3)
+                enc = np.argmin(d2, axis=1)  # (n, m)
+                rows = {"s": [], "c": [], "pos": [], "sm": [], "cnt": []}
+                for s in range(m):
+                    codes, inv = np.unique(enc[:, s], return_inverse=True)
+                    sums = np.zeros((len(codes), dsub))
+                    np.add.at(sums, inv, x[:, s * dsub : (s + 1) * dsub])
+                    cnts = np.bincount(inv, minlength=len(codes))
+                    for ci, c in enumerate(codes):
+                        for p in range(dsub):
+                            rows["s"].append(s)
+                            rows["c"].append(int(c))
+                            rows["pos"].append(p)
+                            rows["sm"].append(sums[ci, p])
+                            rows["cnt"].append(int(cnts[ci]))
+                yield pd.DataFrame(rows)
+
+        agg = (
+            src.mapInPandas(
+                partials, "s int, c int, pos int, sm double, cnt bigint"
+            )
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("sm").alias("sm"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        new_cb = cb.copy()  # empty codes keep their previous codeword
+        sums = np.zeros((kc, m, dsub))
+        cnts = np.zeros((kc, m), dtype="int64")
+        for r in agg:
+            sums[r.c, r.s, r.pos] = r.sm
+            # cnt replicates across the dsub pos rows of an (s, c) pair;
+            # the groupBy keys on pos too, so each row's summed cnt is
+            # already the (s, c) total — any pos row works
+            cnts[r.c, r.s] = r.cnt
+        nz = cnts > 0
+        for c in range(kc):
+            for s in range(m):
+                if nz[c, s]:
+                    new_cb[c, s] = sums[c, s] / cnts[c, s]
+        cb = new_cb
+
+    flat = cb.reshape(kc, dim)
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in flat[c]]) for c in range(kc)],
+        f"code_id int, {vec_col} array<double>",
+    )

