@@ -1115,3 +1115,153 @@ def pq_train(
         [(int(c), [float(x) for x in flat[c]]) for c in range(kc)],
         f"code_id int, {vec_col} array<double>",
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS architecture: the coarse quantizer
+    restricts each query to ``nprobe`` inverted lists (ranked by rounded
+    cosine like :func:`ivf_topk`), and candidates inside probed lists
+    are ranked by the PQ ADC integer nano-distance of :func:`pq_topk`
+    instead of exact vectors.  At 100 TB that composition is what makes
+    billion-vector search tractable: the list probe cuts candidates to
+    ~nprobe/C of the corpus AND each candidate costs an m-entry integer
+    LUT gather against an 8-byte code, not a 512-byte float read.
+
+    Differential-testing device throughout: first-N centroids and
+    first-N codebooks (both replayed exactly by the DuckDB oracle); at
+    production scale pass ``kmeans_fit`` centroids / ``pq_train``
+    codebooks through ``ivf_topk``/``pq_topk``'s parameters — this
+    composition keeps the defaults so the oracle stays declarative.
+
+    ONE Arrow pass over the partitioned corpus (centroids, queries,
+    probe map, codebook and LUT all broadcast, each small by contract):
+    each batch is list-assigned (rounded-cosine argmax, ties on lowest
+    centroid id), PQ-encoded (integer nano argmin), and ADC-scored
+    against exactly the queries probing its list.  Every corpus vector
+    lives in one list, so no pair is emitted twice — no distinct needed;
+    the only shuffle is the WindowGroupLimit top-k.
+
+    Returns (query_id, neighbor_id, pq_dist_nano, rank), rank <= k.
+    """
+    spark = corpus.sparkSession
+    cents = (
+        corpus.filter(F.col(id_col) < num_centroids)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .toPandas()
+    )
+    c_ids = cents["_id"].to_numpy(dtype="int64")
+    c_mat = np.stack([np.asarray(v, dtype="float64") for v in cents["_v"].values])
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    q_pd = (
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .toPandas()
+    )
+    q_ids = q_pd["_id"].to_numpy(dtype="int64")
+    q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["_v"].values])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    cb_pd = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_codes)
+        .select(F.col(vec_col).alias("_v"))
+        .toPandas()
+    )
+    cb = np.stack([np.asarray(v, dtype="float64") for v in cb_pd["_v"].values])
+    dim = q_mat.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    m = num_subspaces
+    dsub = dim // m
+    # probe map: query -> nprobe closest centroids (rounded cosine,
+    # NULLS-LAST NaN handling — same derivation as ivf_topk)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_sims = np.round(
+            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
+        )
+    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
+    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probed_by_centroid: dict[int, "np.ndarray"] = {}
+    for ci in np.unique(probe_order.ravel()):
+        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
+        probed_by_centroid[int(c_ids[ci])] = qidx
+    # PQ LUT in integer nano-units (see pq_topk)
+    q_sub = q_mat.reshape(len(q_ids), 1, m, dsub)
+    cb_sub = cb.reshape(1, len(cb), m, dsub)
+    lut = np.round(((q_sub - cb_sub) ** 2).sum(axis=3) * 1e9).astype("int64")
+    bc = spark.sparkContext.broadcast(
+        (c_ids, c_mat, c_norm, q_ids, lut, cb, probed_by_centroid)
+    )
+
+    def fused(batches):
+        b_cids, b_cmat, b_cnorm, b_qids, b_lut, b_cb, b_probe = bc.value
+        kc = len(b_cb)
+        b_cb_sub = b_cb.reshape(1, kc, m, dsub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            x = np.stack(pdf["v"].values).astype("float64")
+            a_norm = np.linalg.norm(x, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_sims = np.round(
+                    (x @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
+                )
+            a_sims = np.where(np.isnan(a_sims), -np.inf, a_sims)
+            assigned = b_cids[np.argmax(a_sims, axis=1)]
+            xs = x.reshape(len(ids), 1, m, dsub)
+            d2 = (
+                np.round(((xs - b_cb_sub) ** 2).sum(axis=3) * 1e9)
+                .astype("int64")
+            )
+            enc = np.argmin(d2, axis=1)  # (n, m)
+            out_q, out_n, out_d = [], [], []
+            for cid, qidx in b_probe.items():
+                mask = assigned == cid
+                if not mask.any():
+                    continue
+                n_ids = ids[mask]
+                n_enc = enc[mask]
+                lq = b_lut[qidx]  # (n_probing_queries, codes, subspaces)
+                totals = np.zeros((len(qidx), len(n_ids)), dtype="int64")
+                for s in range(m):
+                    totals += lq[:, n_enc[:, s], s]
+                qi, ni = np.nonzero(
+                    b_qids[qidx][:, None] != n_ids[None, :]
+                )
+                out_q.append(b_qids[qidx][qi])
+                out_n.append(n_ids[ni])
+                out_d.append(totals[qi, ni])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "pq_dist_nano": np.concatenate(out_d),
+                    }
+                )
+
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cand = src.mapInPandas(
+        fused, "query_id bigint, neighbor_id bigint, pq_dist_nano bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist_nano"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist_nano", "rank")
+    )

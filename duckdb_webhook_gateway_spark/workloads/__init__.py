@@ -32,14 +32,15 @@ from . import analytics, datapipe  # noqa: E402
 # middle entries due this round (staleness limit) — passage_savings and
 # substring_dup_spans among them also picked up the count-window fix —
 # 5 r8-green tail entries promoted one round early, and the new
-# round-10 query ann_pq_topk taking its first driver certification at
-# the head.  The remaining
+# round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
+# driver certifications at the head.  The remaining
 # 37 r8-green tail entries sit in the middle (due r11 at the latest);
 # the 47-entry tail is the round-9-certified block (freshest, due r12
 # via the next rotations).  The parity suite still covers all 134 at
 # sf0.1 every round.
 _CHECK_FIRST = (
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "part_pagerank",
     "ann_lsh_buckets",
     "embedding_near_dup_lsh",
@@ -88,7 +89,6 @@ _CHECK_FIRST = (
     "hybrid_rank_fusion",
     "q1_pricing_summary",
     "supplier_revenue_having",
-    "orders_per_month",
 )
 # Queries checked in round 9 — rotate to the unchecked tail (due r12);
 # the parity suite still covers them at sf0.1 every round.

@@ -1505,6 +1505,89 @@ ENTRIES["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/similarity.py::ivfpq_topk): coarse
+    quantizer probes 2 of 16 lists, PQ ADC integer nano-distances rank
+    the probed candidates — the composed FAISS architecture that makes
+    billion-vector search tractable.  Same deterministic first-N
+    centroid/codebook devices and query set as the component queries."""
+    emb = _emb(spark, sf_dir)
+    return S.ivfpq_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+ANN_IVFPQ_TOPK_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_ORACLE_COS.format(a='e.embedding', b='c.cv')}, 6) AS c_cos
+  FROM embeddings e, cent c
+),
+lists AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT vec_id AS query_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM assign0 WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id,
+         embedding AS cbv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT s FROM range(0, 8) r(s)),
+offs AS (SELECT j FROM range(1, 9) r(j)),
+cd AS (
+  SELECT e.vec_id, c.code_id, s.s,
+         CAST(round(sum(pow(CAST(e.embedding[s.s * 8 + o.j] AS DOUBLE)
+                            - CAST(c.cbv[s.s * 8 + o.j] AS DOUBLE), 2))
+                    * 1e9) AS BIGINT) AS d2
+  FROM embeddings e, cb c, subs s, offs o
+  GROUP BY e.vec_id, c.code_id, s.s
+),
+enc AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, code_id) AS rn
+    FROM cd) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS query_id, code_id, s, d2 FROM cd WHERE vec_id < 10),
+-- every corpus vector lives in exactly ONE list (rn = 1), so a probed
+-- (query, neighbor) pair is unique without DISTINCT
+scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         CAST(sum(u.d2) AS BIGINT) AS pq_dist_nano
+  FROM probes p
+  JOIN lists l ON p.centroid_id = l.centroid_id AND p.query_id <> l.vec_id
+  JOIN enc e ON e.vec_id = l.vec_id
+  JOIN lut u ON u.query_id = p.query_id AND u.s = e.s
+            AND u.code_id = e.code_id
+  GROUP BY p.query_id, l.vec_id
+)
+SELECT query_id, neighbor_id, pq_dist_nano, rank FROM (
+  SELECT query_id, neighbor_id, pq_dist_nano,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pq_dist_nano, neighbor_id)
+              AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+ENTRIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals — the quality gate that catches
     degenerate/boilerplate text (looped generations, copy-paste spans):

@@ -405,3 +405,60 @@ def test_pq_trained_codebook_raises_recall(spark):
     r_trained = recall(trained.withColumnRenamed("code_id", "vec_id"))
     assert r_trained >= r_first, (r_trained, r_first)
     assert r_trained >= 0.25, f"trained PQ recall@3 {r_trained:.2f}"
+
+
+def test_ivfpq_consistent_with_components(spark):
+    """IVF-PQ must be the exact composition of its parts: every returned
+    neighbor shares a probed list with its query (IVF side), and its
+    nano-distance equals the full-PQ ADC distance for that pair (PQ
+    side, same codebook) — the composition adds candidate restriction,
+    never different scores."""
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    d = sf_dir("sf0.01")
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = S.ivfpq_topk(queries, emb, k=3).collect()
+    assert len(got) == 30
+
+    # PQ side: pair distances equal the unrestricted PQ ADC distances
+    pq_all = {
+        (r.query_id, r.neighbor_id): r.pq_dist_nano
+        for r in S.pq_topk(queries, emb, k=1 << 30).collect()
+    }
+    for r in got:
+        assert pq_all[(r.query_id, r.neighbor_id)] == r.pq_dist_nano, r
+
+    # IVF side: every neighbor lives in one of its query's probed lists
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in S.ivf_assign(
+            emb,
+            emb.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("centroid_id"), "embedding"
+            ),
+        ).collect()
+    }
+    import numpy as np
+
+    rows = queries.orderBy("vec_id").collect()
+    cent = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    c_mat = np.stack([np.asarray(r.embedding, dtype="float64") for r in cent])
+    c_ids = np.array([r.vec_id for r in cent])
+    probes = {}
+    for r in rows:
+        q = np.asarray(r.embedding, dtype="float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.round(
+                (c_mat @ q)
+                / (np.linalg.norm(c_mat, axis=1) * np.linalg.norm(q)),
+                6,
+            )
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        probes[r.vec_id] = set(
+            c_ids[np.argsort(-sims, kind="stable")[:2]].tolist()
+        )
+    for r in got:
+        assert assigned[r.neighbor_id] in probes[r.query_id], r

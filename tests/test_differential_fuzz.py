@@ -495,6 +495,7 @@ EMB_QUERIES = [
     "ann_ivf_recall",
     # round-10 addition: PQ/ADC ranking (L2 — defined on zero vectors)
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -1077,3 +1077,15 @@ def test_pq_topk_single_pass_window_group_limited(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2  # corpus scan(s)
+
+
+def test_ivfpq_topk_single_pass_window_group_limited(spark):
+    """IVF-PQ (round 10): list assignment + PQ encode + ADC scoring all
+    fuse into ONE Arrow pass (centroids/queries/codebook/LUT broadcast
+    driver-side); the only shuffle is the WindowGroupLimit top-k."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_ivfpq_topk
+
+    plan = _plan(ann_ivfpq_topk(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
