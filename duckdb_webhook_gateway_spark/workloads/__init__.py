@@ -31,9 +31,10 @@ from . import analytics, datapipe  # noqa: E402
 # doc_containment_pairs: lazy per_doc checkpoint), the 35 r7-green
 # middle entries due this round (staleness limit) — passage_savings and
 # substring_dup_spans among them also picked up the count-window fix —
-# 5 r8-green tail entries promoted one round early, and the new
+# 3 r8-green tail entries promoted one round early, and the new
 # round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
-# driver certifications at the head.  The remaining
+# driver certifications at the head (doc_prefix_jaccard_join re-enters
+# the head too: its per_doc checkpoint went lazy this round).  The remaining
 # 37 r8-green tail entries sit in the middle (due r11 at the latest);
 # the 47-entry tail is the round-9-certified block (freshest, due r12
 # via the next rotations).  The parity suite still covers all 134 at
@@ -41,6 +42,7 @@ from . import analytics, datapipe  # noqa: E402
 _CHECK_FIRST = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "doc_prefix_jaccard_join",
     "part_pagerank",
     "ann_lsh_buckets",
     "embedding_near_dup_lsh",
@@ -88,7 +90,6 @@ _CHECK_FIRST = (
     "source_ngram_novelty",
     "hybrid_rank_fusion",
     "q1_pricing_summary",
-    "supplier_revenue_having",
 )
 # Queries checked in round 9 — rotate to the unchecked tail (due r12);
 # the parity suite still covers them at sf0.1 every round.
@@ -99,7 +100,6 @@ _CHECK_LAST = (
     "q5_region_revenue",
     "orders_value_quartiles",
     "lm_perplexity_filter",
-    "doc_prefix_jaccard_join",
     "part_triangle_count",
     "ann_ivf_recall",
     "top_orders_by_value",
