@@ -209,12 +209,14 @@ def tfidf_top_terms(
     # Materialized ONCE: the df count branch and the join probe push
     # different prunings into the tf aggregate, which defeats exchange
     # reuse and would re-run the explode lineage twice (the DSIR /
-    # lm_perplexity pattern; measured −28% at sf0.1).
+    # lm_perplexity pattern; measured −28% at sf0.1).  LAZY: both
+    # consumers share one action, so eager's blocking job boundary buys
+    # nothing (interleaved A/B, round 10).
     exploded = (
         base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if n_docs is None:
         # Scalar N; deterministic.  Callers that know the source (e.g. a
@@ -320,10 +322,12 @@ def lm_doc_scores(
     # the bigram sides, none for c(w1), w1-only pruning for |V|), which
     # defeats exchange reuse and would re-run the corpus explode per
     # consumer — the DSIR pattern (dsir_weights) applied to bigrams.
+    # LAZY: the first consumer's job materializes the blocks in-line
+    # (A/B round 10: 1.19 -> 1.00 s at sf0.1).
     doc_bg = (
         pos.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c1_rel = doc_bg.groupBy("w1").agg(
         F.sum("occ").cast("bigint").alias("c1")
@@ -447,11 +451,12 @@ def dsir_weights(
     # ONE corpus pass total: the explode+hash stream reduces to a
     # (doc, bucket) contingency relation — bounded by docs x n_buckets,
     # far below occurrence cardinality — which is materialized once and
-    # feeds BOTH the distribution build and the scoring aggregate.
+    # feeds BOTH the distribution build and the scoring aggregate
+    # (LAZY: the bucket_rows collect materializes it in-line).
     doc_bucket = (
         feats.groupBy("doc_id", "is_tgt", "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bucket_rows = (
         doc_bucket.groupBy("bucket")
@@ -875,11 +880,12 @@ def ngram_novelty(
     )
     # Materialized ONCE: the totals and novelty consumers push different
     # prunings into the distinct aggregate, defeating exchange reuse
-    # (the DSIR / lm_perplexity pattern).
+    # (the DSIR / lm_perplexity pattern).  Lazy like its siblings —
+    # A/B-neutral here, one fewer job boundary at scale.
     distinct = (
         ngrams.select("doc_id", "grp", "ngram")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = distinct.groupBy(F.col("grp")).agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),

@@ -31,10 +31,11 @@ from . import analytics, datapipe  # noqa: E402
 # doc_containment_pairs: lazy per_doc checkpoint), the 35 r7-green
 # middle entries due this round (staleness limit) — passage_savings and
 # substring_dup_spans among them also picked up the count-window fix —
-# 3 r8-green tail entries promoted one round early, and the new
+# 1 r8-green tail entry promoted one round early, and the new
 # round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
-# driver certifications at the head (doc_prefix_jaccard_join re-enters
-# the head too: its per_doc checkpoint went lazy this round).  The remaining
+# driver certifications at the head (doc_prefix_jaccard_join, text_tfidf_top_terms
+# and lm_perplexity_filter re-enter the head too: their shared-stream
+# checkpoints went lazy this round).  The remaining
 # 37 r8-green tail entries sit in the middle (due r11 at the latest);
 # the 47-entry tail is the round-9-certified block (freshest, due r12
 # via the next rotations).  The parity suite still covers all 134 at
@@ -43,6 +44,8 @@ _CHECK_FIRST = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "doc_prefix_jaccard_join",
+    "text_tfidf_top_terms",
+    "lm_perplexity_filter",
     "part_pagerank",
     "ann_lsh_buckets",
     "embedding_near_dup_lsh",
@@ -88,8 +91,6 @@ _CHECK_FIRST = (
     "token_freq_cm_sketch",
     "embedding_dim_stats",
     "source_ngram_novelty",
-    "hybrid_rank_fusion",
-    "q1_pricing_summary",
 )
 # Queries checked in round 9 — rotate to the unchecked tail (due r12);
 # the parity suite still covers them at sf0.1 every round.
@@ -99,7 +100,6 @@ _CHECK_LAST = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "orders_value_quartiles",
-    "lm_perplexity_filter",
     "part_triangle_count",
     "ann_ivf_recall",
     "top_orders_by_value",
