@@ -1143,6 +1143,17 @@ def ivfpq_topk(
     codebooks through ``ivf_topk``/``pq_topk``'s parameters — this
     composition keeps the defaults so the oracle stays declarative.
 
+    Encodes RAW vectors, not residuals (v - centroid, the FAISS IVFPQ
+    default) — a deliberate, measured choice: on this corpus residual
+    encoding HURTS even with residual-trained codebooks (driver-side
+    replica, sf0.01: mean |ADC - exact| 0.45 -> 0.86, in-list recall@3
+    0.27 -> 0.13), because with near-uniform vectors and few centroids
+    the assignment barely correlates with v, so Var(v - c) ~
+    Var(v) + Var(c) EXCEEDS Var(v) and the quantizer sees a wider
+    distribution.  Residuals pay off exactly when centroids genuinely
+    compress (clustered production embeddings); there, subtract the
+    ``kmeans_fit`` centroid before ``pq_train`` and feed both in.
+
     ONE Arrow pass over the partitioned corpus (centroids, queries,
     probe map, codebook and LUT all broadcast, each small by contract):
     each batch is list-assigned (rounded-cosine argmax, ties on lowest
