@@ -304,6 +304,12 @@ class TableStore:
         freshness.  The plain date-partitioned files remain the source
         of truth; the bucketed table is a derived layout, like an index.
 
+        Concurrency: an append racing this rewrite is harmless in both
+        orders — a file landing before the manifest snapshot is covered
+        by the layout; one landing after (or between snapshot and write)
+        makes the manifest stale and reads fall back to plain parquet.
+        The worst case is a wasted rewrite, never a wrong read.
+
         Returns the number of part files the layout covers.
         """
         import json
