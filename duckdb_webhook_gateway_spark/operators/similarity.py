@@ -1165,12 +1165,19 @@ def ivfpq_topk(
     Returns (query_id, neighbor_id, pq_dist_nano, rank), rank <= k.
     """
     spark = corpus.sparkSession
-    cents = (
-        corpus.filter(F.col(id_col) < num_centroids)
+    # ONE head collect feeds both driver-side devices (the ann_ivf_recall
+    # pattern): centroids = rows with id < num_centroids (identical to
+    # the filter device — every such row is among the lowest ids, so the
+    # limit always contains them), codebook = the num_codes lowest-id
+    # rows.  Saves a full driver job per call.
+    head_pd = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(max(num_centroids, num_codes))
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy("_id")
         .toPandas()
+        .sort_values("_id")
     )
+    cents = head_pd[head_pd["_id"] < num_centroids]
     c_ids = cents["_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cents["_v"].values])
     c_norm = np.linalg.norm(c_mat, axis=1)
@@ -1178,17 +1185,20 @@ def ivfpq_topk(
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .toPandas()
+        if not isinstance(queries, pd.DataFrame)
+        else queries.rename(
+            columns={id_col: "_id", vec_col: "_v"}
+        )[["_id", "_v"]].sort_values("_id")
     )
     q_ids = q_pd["_id"].to_numpy(dtype="int64")
     q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["_v"].values])
     q_norm = np.linalg.norm(q_mat, axis=1)
-    cb_pd = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(num_codes)
-        .select(F.col(vec_col).alias("_v"))
-        .toPandas()
+    cb = np.stack(
+        [
+            np.asarray(v, dtype="float64")
+            for v in head_pd["_v"].head(num_codes).values
+        ]
     )
-    cb = np.stack([np.asarray(v, dtype="float64") for v in cb_pd["_v"].values])
     dim = q_mat.shape[1]
     if dim % num_subspaces:
         raise ValueError(
