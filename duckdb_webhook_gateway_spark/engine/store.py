@@ -310,6 +310,15 @@ class TableStore:
         makes the manifest stale and reads fall back to plain parquet.
         The worst case is a wasted rewrite, never a wrong read.
 
+        Lifetime: bucketing metadata lives in the Spark CATALOG, so the
+        layout serves reads for as long as the metastore does — the
+        whole session with the default in-memory catalog (a re-opened
+        TableStore in the same session keeps the routing), across
+        restarts with a persistent (Hive) metastore as on a real
+        cluster.  A fresh in-memory-catalog session simply falls back
+        to plain parquet until the next maintenance pass — stale-safe
+        by the same ``tableExists`` check that guards everything else.
+
         Returns the number of part files the layout covers.
         """
         import json

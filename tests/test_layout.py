@@ -218,3 +218,51 @@ def test_store_bucketed_event_join_exchange_free(spark, tmp_path):
         assert "Exchange" not in _executed_plan(joined3)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_store_bucketed_layout_survives_store_reopen(spark, tmp_path):
+    """Bucketing metadata lives in the Spark catalog + the on-disk spec:
+    a RE-OPENED TableStore over the same directory (same session /
+    metastore) must keep routing reads through the bucketed table; and
+    a spec whose catalog table is gone (fresh in-memory catalog) must
+    fall back to plain parquet, never error."""
+    from datetime import datetime
+
+    from duckdb_webhook_gateway_spark.engine.store import TableStore
+
+    base = str(tmp_path / "store")
+    store = TableStore(spark, base)
+    ts = datetime(2026, 1, 5, 12, 0, 0)
+    store.append_events(
+        "raw_events",
+        [{"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+          "payload": "{}"} for i in range(30)],
+    )
+    store.bucket_events("raw_events", "id", 4)
+
+    reopened = TableStore(spark, base)
+    plan = (
+        reopened.table("raw_events")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # routing check by table identity: a bare scan legitimately drops
+    # the bucketed read (autoBucketedScan — nothing needs the
+    # distribution); the join test above pins "Bucketed: true" where
+    # an operator does need it
+    assert "raw_events_bucketed" in plan
+    assert reopened.table("raw_events").count() == 30
+
+    # simulate a fresh catalog: drop the managed table, keep the spec
+    spec = reopened._load_bucket_spec("raw_events")
+    spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")
+    fresh = TableStore(spark, base)
+    plan2 = (
+        fresh.table("raw_events")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "raw_events_bucketed" not in plan2   # plain-parquet fallback
+    assert fresh.table("raw_events").count() == 30
