@@ -102,6 +102,22 @@ def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
             start = rng.randrange(0, len(toks) - 6)
             span = rng.randrange(5, len(toks) - start + 1)
             text = " ".join(toks[start : start + span])
+        elif kind == 5:
+            # whitespace pathologies (round 10): double-space runs emit
+            # EMPTY tokens through both engines' single-space split,
+            # leading/trailing spaces shift positional fingerprints, and
+            # embedded tabs are ordinary token characters — every text
+            # operator must agree on all of it (probed clean across 29
+            # doc queries before becoming a standing kind).
+            base = [rng.choice(VOCAB) for _ in range(rng.randrange(2, 12))]
+            sep = rng.choice(["  ", " ", "   "])
+            text = sep.join(base)
+            if rng.random() < 0.5:
+                text = " " + text
+            if rng.random() < 0.5:
+                text = text + " "
+            if rng.random() < 0.3:
+                text = text.replace(" ", "\t", 1)
         else:
             text = " ".join(
                 rng.choice(VOCAB) for _ in range(rng.randrange(2, 80))
