@@ -69,6 +69,16 @@ def _footer_rows(path: str) -> int | None:
 
 # Shared oracle CTEs: tokens / shingles via a constant numbers relation
 # (DuckDB 1.0 has neither lateral range nor WITH ORDINALITY).
+#
+# ORACLE CONVENTION — 4000-token index table: the inequality join
+# ``nums ON i <= len(t)`` costs n_docs x |nums| comparisons in DuckDB,
+# so the table is sized to the differential gate's corpora (every
+# driver/fuzz doc is <= 4000 tokens; probed exact at the boundary —
+# a 4000-token doc matches, a 4001-token doc would be silently
+# truncated ON THE ORACLE SIDE ONLY, with the Spark values being the
+# true ones).  The substring-dedup family is different: it caps
+# ``max_positions`` at 4000 on BOTH engines explicitly, so those
+# queries agree at any document length.
 _ORACLE_TOKS = """
 nums AS (SELECT i FROM range(1, 4001) r(i)),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -118,6 +118,17 @@ def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
                 text = text + " "
             if rng.random() < 0.3:
                 text = text.replace(" ", "\t", 1)
+        elif kind == 6 and i == 0:
+            # oracle token-table boundary (round 10): the shared oracle
+            # CTE indexes tokens through a 4000-row numbers relation, so
+            # the differential contract holds for docs up to EXACTLY
+            # 4000 tokens (probed: 4000 matches, 4001 truncates on the
+            # oracle side only).  One boundary-sized doc per corpus
+            # keeps the cap honest; full 18-token VOCAB keeps the SA
+            # oracle's dup-window pair join from exploding.
+            text = " ".join(
+                rng.choice(VOCAB) for _ in range(rng.randrange(3990, 4001))
+            )
         else:
             text = " ".join(
                 rng.choice(VOCAB) for _ in range(rng.randrange(2, 80))
