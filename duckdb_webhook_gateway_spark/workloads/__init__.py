@@ -31,7 +31,7 @@ from . import analytics, datapipe  # noqa: E402
 # doc_containment_pairs: lazy per_doc checkpoint), the 35 r7-green
 # middle entries due this round (staleness limit) — passage_savings and
 # substring_dup_spans among them also picked up the count-window fix —
-# 1 r8-green tail entry promoted one round early, and the new
+# events_json_bucket re-certifying its try_cast robustness fix, and the new
 # round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
 # driver certifications at the head (doc_prefix_jaccard_join, text_tfidf_top_terms
 # and lm_perplexity_filter re-enter the head too: their shared-stream
@@ -46,6 +46,7 @@ _CHECK_FIRST = (
     "doc_prefix_jaccard_join",
     "text_tfidf_top_terms",
     "lm_perplexity_filter",
+    "events_json_bucket",
     "part_pagerank",
     "ann_lsh_buckets",
     "embedding_near_dup_lsh",
@@ -90,7 +91,6 @@ _CHECK_FIRST = (
     "events_multitouch_attribution",
     "token_freq_cm_sketch",
     "embedding_dim_stats",
-    "source_ngram_novelty",
 )
 # Queries checked in round 9 — rotate to the unchecked tail (due r12);
 # the parity suite still covers them at sf0.1 every round.
@@ -107,7 +107,6 @@ _CHECK_LAST = (
     "part_filter_like_in",
     "customer_order_counts",
     "order_priority_rate",
-    "events_json_bucket",
     "events_recent_topk",
     "events_type_rate",
     "window_top_orders_per_customer",

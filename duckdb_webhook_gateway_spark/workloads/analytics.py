@@ -321,7 +321,12 @@ def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbytes is None or nbytes >= 8 * 1024 * 1024
     ):
         ev = ev.repartition(target, "props")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: a non-numeric "$.k" (valid JSON, wrong type)
+    # must bucket as NULL, not crash the query under ANSI casting —
+    # get_json_object already yields NULL on MALFORMED JSON, so with
+    # try_cast every bad-props shape degrades to the NULL bucket.  The
+    # oracle mirrors both behaviors (json_valid guard + TRY_CAST).
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
     return (
         ev.select(k.alias("k"), "value")
         .groupBy("k")
@@ -333,7 +338,8 @@ def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_BUCKET_SQL = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+SELECT TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INTEGER) AS k,
        count(*)             AS n,
        round(sum(value), 2) AS total_value
 FROM events

@@ -4045,7 +4045,11 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         "value",
         us.alias("us"),
-        (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
+        # try_cast + NULL-on-malformed (see events_json_bucket): bad
+        # props degrade to a NULL channel, never crash the query
+        (
+            F.expr("try_cast(get_json_object(props, '$.k') AS INT)") % 10
+        ).alias("channel"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
     ).filter(F.col("event_type").isin("click", "purchase"))
     wscan = (
@@ -4106,7 +4110,9 @@ EVENTS_MULTITOUCH_SQL = """
 WITH base AS (
   SELECT event_id, user_id, event_type, value,
          epoch_us(ts) AS us,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS channel,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INTEGER) % 10 AS channel,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
   FROM events WHERE event_type IN ('click', 'purchase')
 ), scanned AS (

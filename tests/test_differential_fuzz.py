@@ -234,14 +234,36 @@ def _rand_events(seed: int, n: int = 120) -> list[tuple]:
             ts = rows[rng.randrange(len(rows))][1]
         else:
             ts = base + dt.timedelta(seconds=rng.randrange(0, 6 * 3600))
+        # props corners (round 10, probed clean first): malformed JSON
+        # (get_json_object -> NULL; oracle's json_valid guard), a
+        # non-numeric "$.k" (try_cast -> NULL on both engines — an ANSI
+        # cast crashed the Spark side before the fix), json null, empty
+        # and NULL props, and a missing key.  value corners: NULL and
+        # negative.
+        props_kind = rng.randrange(12)
+        if props_kind == 0:
+            props = "{k: 1"                 # malformed
+        elif props_kind == 1:
+            props = '{"k": "x%d"}' % rng.randrange(5)  # non-numeric k
+        elif props_kind == 2:
+            props = rng.choice(["", "null", None, '{"other": 9}'])
+        else:
+            props = '{"k": %d}' % rng.randrange(100)
+        value_kind = rng.randrange(12)
+        if value_kind == 0:
+            value = None
+        elif value_kind == 1:
+            value = -rng.randrange(0, 10000) / 100.0
+        else:
+            value = rng.randrange(0, 10000) / 100.0
         rows.append(
             (
                 i,
                 ts,
                 rng.randrange(1, 6),  # few users -> dense ties/sessions
                 rng.choice(["view", "click", "purchase", "error"]),
-                rng.randrange(0, 10000) / 100.0,
-                '{"k": %d}' % rng.randrange(100),
+                value,
+                props,
             )
         )
     return rows
