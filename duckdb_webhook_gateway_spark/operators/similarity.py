@@ -18,6 +18,11 @@ against a partitioned corpus (each executor scores its slice; the only
 shuffle is the final top-k, which is k rows per partition).  For N×N
 near-dup at 100 TB, bucket first (``lsh_buckets``) and only score within
 buckets, exactly like the MinHash-LSH dedup composition.
+
+INPUT CONTRACT — finite float elements: zero-norm vectors are handled
+everywhere (NULLS-LAST / never-above-threshold), but NaN/Inf ELEMENTS
+are upstream corruption the engines disagree on structurally; run
+``finite_gate`` first and quarantine dirty rows (see its docstring).
 """
 
 from __future__ import annotations
@@ -1286,3 +1291,32 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_dist_nano", "rank")
     )
+
+
+def finite_gate(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector finiteness audit: (id, n_nonfinite, is_clean).
+
+    THE CONTRACT STEP for the whole similarity family: every ANN /
+    near-dup operator here assumes FINITE float elements (zero-norm
+    vectors are handled — they take the NULLS-LAST / never-above-
+    threshold path — but NaN/Inf ELEMENTS are upstream corruption, and
+    the two engines disagree structurally on them: Spark's Arrow bridge
+    nulls a NaN cosine where DuckDB sorts NaN as the largest double,
+    and ANSI/DuckDB casts of non-finite values error outright).  Run
+    this gate first and quarantine ``is_clean = false`` rows — the
+    standard model-output hygiene step a 100 TB embedding pipeline runs
+    at ingest anyway.  Pure column expressions (one in-row fold per
+    vector, no shuffle beyond the scan)."""
+    nonfinite = (
+        f"aggregate({vec_col}, 0, (a, x) -> a + (CASE WHEN isnan(x) "
+        "OR x = double('Infinity') OR x = double('-Infinity') "
+        "THEN 1 ELSE 0 END))"
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(nonfinite).cast("int").alias("n_nonfinite"),
+    ).withColumn("is_clean", F.col("n_nonfinite") == 0)

@@ -33,7 +33,9 @@ from . import analytics, datapipe  # noqa: E402
 # substring_dup_spans among them also picked up the count-window fix —
 # events_json_bucket re-certifying its try_cast robustness fix, and the new
 # round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
-# driver certifications at the head (doc_prefix_jaccard_join, text_tfidf_top_terms
+# driver certifications at the head (embedding_finite_gate, the third
+# new query, lands mid-registry — the parity suite covers it now, first
+# driver certification r11; doc_prefix_jaccard_join, text_tfidf_top_terms
 # and lm_perplexity_filter re-enter the head too: their shared-stream
 # checkpoints went lazy this round).  The remaining
 # 37 r8-green tail entries sit in the middle (due r11 at the latest);

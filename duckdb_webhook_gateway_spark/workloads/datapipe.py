@@ -1598,6 +1598,33 @@ ENTRIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector finiteness audit (operators/similarity.py::finite_gate)
+    — the contract step before any ANN/near-dup operator: NaN/Inf
+    ELEMENTS are upstream model corruption and the engines disagree
+    structurally on them (probed round 10: NaN cosine sorts first in
+    DuckDB, nulls in Spark; non-finite casts error).  Quarantine
+    is_clean = false rows at ingest."""
+    return S.finite_gate(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+EMBEDDING_FINITE_GATE_SQL = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x)))
+            AS INTEGER) AS n_nonfinite,
+       len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+         AS is_clean
+FROM embeddings
+ORDER BY vec_id
+"""
+
+ENTRIES["embedding_finite_gate"] = (
+    embedding_finite_gate,
+    EMBEDDING_FINITE_GATE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals — the quality gate that catches
     degenerate/boilerplate text (looped generations, copy-paste spans):

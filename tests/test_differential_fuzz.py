@@ -622,3 +622,46 @@ def test_embedding_queries_match_oracle_on_random_vectors(
                 (name, f"spark-only {diff_s} vs duck-only {diff_d}")
             )
     assert failures == [], failures
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_finite_gate_matches_oracle_on_nonfinite_vectors(
+    spark, tmp_path_factory, entries, seed
+):
+    """The NaN/Inf CONTRACT step (round 10): embedding_finite_gate must
+    agree with its oracle on corpora full of non-finite elements — the
+    input class the rest of the similarity family explicitly does NOT
+    accept (the engines disagree structurally: DuckDB sorts NaN as the
+    largest double where Spark's Arrow bridge nulls it, and non-finite
+    casts error on both).  The gate is what keeps that class out."""
+    d = str(tmp_path_factory.mktemp(f"gfuzz{seed}"))
+    rng = random.Random(seed)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+        k = rng.randrange(6)
+        if k == 0:
+            v[rng.randrange(64)] = float("nan")
+        elif k == 1:
+            v[rng.randrange(64)] = float("inf")
+        elif k == 2:
+            v[rng.randrange(64)] = float("-inf")
+        elif k == 3:
+            v = [float("nan")] * 64
+        rows.append((i, v, rng.randrange(1, 4)))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'embeddings.parquet')}/*.parquet')"
+    )
+    fn, sql = entries["embedding_finite_gate"]
+    srows = [tuple(r) for r in fn(spark, d).collect()]
+    drows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert srows == drows
+    assert any(not r[2] for r in srows)      # the corpus was dirty
+    assert any(r[2] for r in srows)          # and partly clean
