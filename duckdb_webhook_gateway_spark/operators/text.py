@@ -656,6 +656,16 @@ def gopher_repetition_signals(
             out = []
             keys = list(zip(*[pdf[c] for c in ("doc_id", *carry)]))
             for key, text in zip(keys, pdf["txt"]):
+                # NULL text: the doc still counts (the oracle's n_docs
+                # does), total_chars is NULL (sum-ignores-NULL — an
+                # all-NULL group totals NULL like the oracle's
+                # len(NULL) path) while the n-gram signals coalesce to
+                # 0 per doc exactly as the oracle's LEFT JOIN +
+                # coalesce(_, 0) does.  .split on None would crash the
+                # worker besides.
+                if text is None:
+                    out.append(tuple(key) + (None, 0, 0))
+                    continue
                 t = text.split(" ")
                 total = sum(len(x) for x in t)
                 n = len(t)

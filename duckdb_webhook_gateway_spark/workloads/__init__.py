@@ -46,8 +46,8 @@ _CHECK_FIRST = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "doc_prefix_jaccard_join",
-    "text_tfidf_top_terms",
-    "lm_perplexity_filter",
+    "gopher_repetition_report",
+    "doc_chunk_manifest",
     "events_json_bucket",
     "part_pagerank",
     "ann_lsh_buckets",
@@ -97,6 +97,8 @@ _CHECK_FIRST = (
 # Queries checked in round 9 — rotate to the unchecked tail (due r12);
 # the parity suite still covers them at sf0.1 every round.
 _CHECK_LAST = (
+    "text_tfidf_top_terms",
+    "lm_perplexity_filter",
     "corpus_token_coverage",
     "orders_price_exact_quantiles",
     "q3_shipping_priority",
@@ -130,7 +132,6 @@ _CHECK_LAST = (
     "sequence_packing",
     "source_mixture",
     "boilerplate_ratio",
-    "doc_chunk_manifest",
     "quality_funnel",
     "bpe_merge_candidates",
     "mixture_resample",

@@ -2100,7 +2100,15 @@ ENTRIES["monthly_revenue_incremental"] = (
 # integer division per row, so the float is deterministic before the
 # rounding even applies.
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # a transition needs a defined state, user and order: NULL
+    # event_type would become a NULL state, and the engines ORDER NULL
+    # timestamps differently (Spark NULLS FIRST ascending, DuckDB NULLS
+    # LAST) — excluded identically on both sides
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     pairs = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -2127,7 +2135,9 @@ WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
-  FROM events),
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL),
 pairs AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
   FROM seq WHERE prev_type IS NOT NULL
@@ -2237,10 +2247,13 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_HOPPING_SQL = """
 WITH hops AS (SELECT i FROM range(0, 2) r(i)),
 ex AS (
+  -- ts IS NOT NULL: Spark's window() assigns a NULL timestamp to NO
+  -- window; without the filter the oracle emitted a NULL-window row
   SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
            AS window_start,
          value
-  FROM events CROSS JOIN hops)
+  FROM events CROSS JOIN hops
+  WHERE ts IS NOT NULL)
 SELECT window_start, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS total_value
 FROM ex

@@ -485,7 +485,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessions import session_stats
     from ..sources.files import read_table
 
-    return session_stats(read_table(spark, sf_dir, "events"), gap_minutes=30)
+    # a session needs both a user and a timestamp; beyond semantics,
+    # the engines ORDER NULL timestamps differently (Spark ASC = NULLS
+    # FIRST, DuckDB = NULLS LAST), which would split sessions
+    # differently — excluded identically on both sides
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return session_stats(ev, gap_minutes=30)
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -495,6 +502,7 @@ WITH flagged AS (
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -1985,9 +1993,13 @@ def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(size({t}) - ({nw} - 1) * 48 AS BIGINT)"
             ).alias("last_chunk_tokens"),
-            F.expr(f"md5(concat_ws('', {chunk_hashes}))").alias(
-                "chunk_fingerprint"
-            ),
+            # NULL-text guard: concat_ws treats a NULL array as '', so an
+            # unguarded md5 would fingerprint a NULL doc as md5('') while
+            # the oracle's md5(NULL) stays NULL — propagate the NULL
+            F.expr(
+                f"CASE WHEN {nw} IS NULL THEN NULL "
+                f"ELSE md5(concat_ws('', {chunk_hashes})) END"
+            ).alias("chunk_fingerprint"),
         )
         .orderBy("doc_id")
     )
@@ -2385,10 +2397,17 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan runs once across both branches; only hash-width rows shuffle.
     """
     docs = _docs(spark, sf_dir)
+    # NULL-text docs hash to a SENTINEL, not NULL: an equi-join drops
+    # NULL keys (unlike the window-partition semantics this replaced,
+    # where all NULLs form one group — the SQL oracle's behavior), so
+    # without the coalesce every NULL-text doc silently vanished from
+    # the split.  The sentinel cannot collide with a real md5 (not a
+    # 32-char hex string), so NULL docs form exactly one cluster —
+    # identical to the oracle's NULL partition.
     hashed = docs.select(
         "doc_id",
         F.expr("CAST(size(split(text,' ')) AS BIGINT)").alias("n_toks"),
-        F.md5("text").alias("h"),
+        F.coalesce(F.md5("text"), F.lit("__null_text_doc__")).alias("h"),
     ).localCheckpoint(eager=False)
     reps = hashed.groupBy("h").agg(F.min("doc_id").alias("rep"))
     rep = hashed.join(reps, "h").select("doc_id", "n_toks", "rep")
@@ -2858,7 +2877,14 @@ def distinct_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible cross-engine.
     """
     K = 64
-    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # user_id IS NOT NULL: COUNT(DISTINCT) ignores NULLs, so the sketch
+    # must too — and a NULL hash would rank differently on each engine
+    # (Spark orders NULLS FIRST ascending, DuckDB NULLS LAST)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
     h = F.expr(md5_int_expr("CAST(user_id AS STRING)", "spark", 12))
     hashed = ev.select("event_type", h.alias("h")).distinct()
     ranked = SK.kmv_ranked(hashed, ["event_type"], k=K, shards=32)
@@ -2885,6 +2911,7 @@ _KMV_H_DUCK = md5_int_expr("CAST(user_id AS VARCHAR)", "duckdb", 12)
 DISTINCT_KMV_SQL = f"""
 WITH hashed AS (
   SELECT DISTINCT event_type, {_KMV_H_DUCK} AS h FROM events
+  WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -4647,13 +4674,20 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("top2_chars").cast("bigint").alias("top2_chars"),
             F.sum("dup5_chars").cast("bigint").alias("dup5_chars"),
         )
+        # try_divide: a source whose docs are all NULL/empty text has
+        # total_chars NULL or 0 — DuckDB's double x/0 is NULL, ANSI
+        # Spark's is an error; try_divide aligns them
         .withColumn(
             "top2_frac",
-            F.round(F.col("top2_chars") / F.col("total_chars"), 6),
+            F.round(
+                F.try_divide(F.col("top2_chars"), F.col("total_chars")), 6
+            ),
         )
         .withColumn(
             "dup5_frac",
-            F.round(F.col("dup5_chars") / F.col("total_chars"), 6),
+            F.round(
+                F.try_divide(F.col("dup5_chars"), F.col("total_chars")), 6
+            ),
         )
         .orderBy("source")
     )

@@ -92,12 +92,18 @@ def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
             text = " ".join([rng.choice(VOCAB)] * rng.randrange(2, 30))
         elif kind == 3 and rows:
             text = rows[rng.randrange(len(rows))][1]  # exact duplicate
-        elif kind == 4 and any(len(r[1].split()) >= 10 for r in rows):
+        elif kind == 4 and any(
+            len((r[1] or "").split()) >= 10 for r in rows
+        ):
             # proper-subset doc: a contiguous token slice of an earlier
             # long doc.  Its 3-gram shingle set is a strict subset of
             # the source doc's, so containment = 1.0 with n_min < n_max
             # — the asymmetric short-doc-quoted-in-long-doc path.
-            cands = [r[1].split() for r in rows if len(r[1].split()) >= 10]
+            cands = [
+                (r[1] or "").split()
+                for r in rows
+                if len((r[1] or "").split()) >= 10
+            ]
             toks = cands[rng.randrange(len(cands))]
             start = rng.randrange(0, len(toks) - 6)
             span = rng.randrange(5, len(toks) - start + 1)
@@ -129,13 +135,21 @@ def _rand_corpus(seed: int, n_docs: int = 40) -> list[tuple]:
             text = " ".join(
                 rng.choice(VOCAB) for _ in range(rng.randrange(3990, 4001))
             )
+        elif kind == 7 and i > 0:
+            # NULL text (round 10, probed clean across 52 queries): the
+            # doc still counts in per-source aggregates, its signals are
+            # NULL/0 per the oracle's LEFT JOIN semantics, its split
+            # cluster is the NULL-sentinel group, and its chunk
+            # fingerprint is NULL.  i > 0 keeps doc 0 textual (several
+            # oracles seed from the lowest ids).
+            text = None
         else:
             text = " ".join(
                 rng.choice(VOCAB) for _ in range(rng.randrange(2, 80))
             )
-        lang = rng.choice(["en", "de", "zh"])
+        lang = rng.choice(["en", "de", "zh", None])
         source = rng.choice(["s0", "s1"])
-        rows.append((i, text, lang, source, len(text)))
+        rows.append((i, text, lang, source, len(text or "")))
     return rows
 
 
@@ -232,8 +246,20 @@ def _rand_events(seed: int, n: int = 120) -> list[tuple]:
         if kind == 0 and rows:
             # exact same timestamp as an earlier event (tie-break fuzz)
             ts = rows[rng.randrange(len(rows))][1]
+        elif kind == 1:
+            # NULL timestamp (round 10, probed clean): excluded from
+            # sessions/windows identically on both engines — Spark
+            # orders NULLS FIRST ascending where DuckDB orders them
+            # LAST, so any query that SORTS a nullable ts must filter
+            ts = None
         else:
             ts = base + dt.timedelta(seconds=rng.randrange(0, 6 * 3600))
+        user = None if kind == 2 else rng.randrange(1, 6)
+        etype = (
+            None
+            if kind == 3
+            else rng.choice(["view", "click", "purchase", "error"])
+        )
         # props corners (round 10, probed clean first): malformed JSON
         # (get_json_object -> NULL; oracle's json_valid guard), a
         # non-numeric "$.k" (try_cast -> NULL on both engines — an ANSI
@@ -256,16 +282,7 @@ def _rand_events(seed: int, n: int = 120) -> list[tuple]:
             value = -rng.randrange(0, 10000) / 100.0
         else:
             value = rng.randrange(0, 10000) / 100.0
-        rows.append(
-            (
-                i,
-                ts,
-                rng.randrange(1, 6),  # few users -> dense ties/sessions
-                rng.choice(["view", "click", "purchase", "error"]),
-                value,
-                props,
-            )
-        )
+        rows.append((i, ts, user, etype, value, props))
     return rows
 
 
