@@ -22,26 +22,35 @@ from . import analytics, datapipe  # noqa: E402
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
 # round, and every query whose PHYSICAL PLAN changed re-certifies the
-# same round.  Round-10 _CHECK_FIRST = the NINE queries whose plans
-# changed this round (part_pagerank: degree partial-agg rides ranks;
-# ann_lsh_buckets + embedding_near_dup_lsh: skew-safe bucket_size +
-# blocked in-bucket scoring; doc_bm25_topk, dedup_simhash,
-# leakage_safe_split: count/min windows -> partial-agg join-back;
-# join_key_skew + split_divergence: 1-row broadcast totals;
-# doc_containment_pairs: lazy per_doc checkpoint), the 35 r7-green
-# middle entries due this round (staleness limit) — passage_savings and
-# substring_dup_spans among them also picked up the count-window fix —
-# events_json_bucket re-certifying its try_cast robustness fix, and the new
-# round-10 queries ann_pq_topk + ann_ivfpq_topk taking their first
-# driver certifications at the head (embedding_finite_gate, the third
-# new query, lands mid-registry — the parity suite covers it now, first
-# driver certification r11; doc_prefix_jaccard_join, text_tfidf_top_terms
-# and lm_perplexity_filter re-enter the head too: their shared-stream
-# checkpoints went lazy this round).  The remaining
-# 37 r8-green tail entries sit in the middle (due r11 at the latest);
-# the 47-entry tail is the round-9-certified block (freshest, due r12
-# via the next rotations).  The parity suite still covers all 134 at
-# sf0.1 every round.
+# same round.  Round-10 _CHECK_FIRST (exactly 50) =
+#   (a) the TWO new queries taking their first driver certifications
+#       (ann_pq_topk, ann_ivfpq_topk);
+#   (b) ALL 35 r7-green middle entries due this round (staleness limit)
+#       — several also picked up round-10 plan changes and re-certify
+#       for both reasons (passage_savings + substring_dup_spans:
+#       count-window purge; events_sessionize, events_markov_transitions,
+#       distinct_kmv_sketch, events_hopping_windows,
+#       events_multitouch_attribution: NULL-semantics alignment);
+#   (c) the 13 non-due queries whose plans changed this round:
+#       part_pagerank (degree partial-agg rides ranks), ann_lsh_buckets
+#       + embedding_near_dup_lsh (skew-safe bucket_size + blocked
+#       scoring), doc_bm25_topk + dedup_simhash + leakage_safe_split
+#       (count/min windows -> partial-agg join-back; leakage also gains
+#       the NULL-sentinel hash), join_key_skew + split_divergence
+#       (1-row broadcast totals), doc_containment_pairs +
+#       doc_prefix_jaccard_join (lazy per_doc checkpoints),
+#       events_json_bucket (try_cast robustness),
+#       gopher_repetition_report (NULL rows + try_divide),
+#       doc_chunk_manifest (NULL fingerprint guard).
+# text_tfidf_top_terms / lm_perplexity_filter had FLAG-only
+# eager->lazy checkpoint changes (physical plan identical, values
+# identical) and rotate normally at the tail rather than displacing a
+# due or expression-changed entry; embedding_finite_gate (third new
+# query) lands mid-registry — the parity suite covers it now, first
+# driver certification r11.  The remaining r8-green middle entries are
+# due r11 at the latest; the tail is the round-9-certified block (due
+# r12 via the next rotations).  The parity suite still covers all 137
+# registry entries at sf0.1 every round.
 _CHECK_FIRST = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
