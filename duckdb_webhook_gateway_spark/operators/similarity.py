@@ -1320,3 +1320,32 @@ def finite_gate(
         F.col(id_col).alias("vec_id"),
         F.expr(nonfinite).cast("int").alias("n_nonfinite"),
     ).withColumn("is_clean", F.col("n_nonfinite") == 0)
+
+
+def lsh_suggest_planes(
+    n_rows: int, target_bucket_members: int = 8192
+) -> int:
+    """Planes-per-table sizing rule for :func:`lsh_buckets` /
+    :func:`near_dup_pairs_lsh`: enough sign bits that an AVERAGE bucket
+    holds ~``target_bucket_members`` vectors (buckets per table = 2^p,
+    so p = ceil(log2(N / target)), floored at the 4-bit default the
+    differential oracle replays).  The block-split guard in
+    ``near_dup_pairs_lsh`` makes under-sizing survivable (bounded task
+    memory at any corpus size); this rule is what makes it FAST —
+    in-bucket work is quadratic in bucket size, so callers should
+    re-derive p as the corpus grows rather than lean on the guard:
+
+        p = lsh_suggest_planes(corpus_rows)
+        near_dup_pairs_lsh(vectors, planes_per_table=p, ...)
+
+    At 1B rows and the default target this yields p = 17 (~131k buckets
+    per table, ~7.6k expected members each) — each bucket's matmul fits
+    one task comfortably and recall is re-tuned via num_tables.
+    """
+    if n_rows < 1:
+        raise ValueError("n_rows must be >= 1")
+    import math
+
+    return max(
+        4, math.ceil(math.log2(max(1.0, n_rows / target_bucket_members)))
+    )

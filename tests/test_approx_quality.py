@@ -462,3 +462,18 @@ def test_ivfpq_consistent_with_components(spark):
         )
     for r in got:
         assert assigned[r.neighbor_id] in probes[r.query_id], r
+
+
+def test_lsh_suggest_planes_sizing_rule():
+    """The plane-count rule: average bucket ~= target at every scale,
+    never below the oracle-replayable 4-bit default."""
+    from duckdb_webhook_gateway_spark.operators.similarity import (
+        lsh_suggest_planes,
+    )
+
+    assert lsh_suggest_planes(2_000) == 4            # default floor
+    assert lsh_suggest_planes(1_000_000, 8192) == 7  # ~7.8k per bucket
+    p = lsh_suggest_planes(1_000_000_000, 8192)
+    assert p == 17
+    assert 1_000_000_000 / (1 << p) <= 8192          # avg bucket <= target
+    assert 1_000_000_000 / (1 << (p - 1)) > 8192     # and p is minimal
