@@ -215,7 +215,7 @@ class TableStore:
         spec = self._load_bucket_spec(name)
         if (
             spec is not None
-            and spec["files"] == self._event_files(name)
+            and spec.get("manifest") == self._event_manifest(name)
             and self.spark.catalog.tableExists(spec["table"])
         ):
             df = self.spark.table(spec["table"]).select(
@@ -270,8 +270,7 @@ class TableStore:
             return None
 
     def _event_files(self, name: str) -> list[str]:
-        """Sorted relative paths of every parquet part file — the
-        bucketed layout's freshness manifest."""
+        """Sorted relative paths of every parquet part file."""
         base = self._path(name)
         out: list[str] = []
         if not os.path.isdir(base):
@@ -283,6 +282,26 @@ class TableStore:
                         os.path.relpath(os.path.join(root, f), base)
                     )
         return sorted(out)
+
+    def _event_manifest(self, name: str) -> list[list]:
+        """``[relpath, size, mtime_ns]`` per part file, sorted — the
+        bucketed layout's freshness manifest.  File NAMES alone are not
+        enough: ``append_events`` with a ``file_key`` idempotently
+        overwrites ``part-<key>.parquet`` IN PLACE, so a retried
+        micro-batch landing after ``bucket_events`` snapshotted the
+        manifest changes file CONTENTS without changing the file list.
+        Size+mtime catches in-place rewrites (an overwrite always
+        refreshes mtime even when byte-identical — stale in the SAFE
+        direction: the view falls back to plain parquet)."""
+        base = self._path(name)
+        out: list[list] = []
+        for rel in self._event_files(name):
+            try:
+                st = os.stat(os.path.join(base, rel))
+            except OSError:
+                continue  # racing unlink: manifest simply won't match
+            out.append([rel, st.st_size, st.st_mtime_ns])
+        return out
 
     def bucket_events(
         self, name: str, key_col: str, num_buckets: int = 32
@@ -330,7 +349,7 @@ class TableStore:
         from ..operators.joins import write_bucketed
 
         with self.lock:
-            files = self._event_files(name)
+            manifest = self._event_manifest(name)
             tbl = self._bucket_table_name(name)
             write_bucketed(
                 self._plain_event_df(name),
@@ -343,12 +362,73 @@ class TableStore:
                 "table": tbl,
                 "key": key_col,
                 "num_buckets": num_buckets,
-                "files": files,
+                "manifest": manifest,
+                "rows": self._manifest_rows(name, manifest),
             }
             with open(self._bucket_spec_path(name), "w") as fh:
                 json.dump(spec, fh)
             self._register_event_view(name)
-        return len(files)
+        return len(manifest)
+
+    def _manifest_rows(self, name: str, manifest: list[list]) -> int:
+        """Total rows across the manifest's part files, summed from
+        parquet FOOTERS (driver-side metadata reads, no Spark job —
+        same routing trick as the ranks/near-dup metadata devices)."""
+        import pyarrow.parquet as pq
+
+        base = self._path(name)
+        total = 0
+        for rel, _size, _mtime in manifest:
+            try:
+                total += pq.read_metadata(os.path.join(base, rel)).num_rows
+            except Exception:
+                pass  # unreadable footer: undercount — triggers EARLIER
+        return total
+
+    def maintain_bucketed_layout(
+        self,
+        name: str,
+        *,
+        max_stale_files: int = 16,
+        max_stale_rows_frac: float = 0.10,
+    ) -> bool:
+        """Re-bucket an event table's layout if appends since the last
+        ``bucket_events`` crossed a staleness threshold (the maintenance
+        POLICY over the manual mechanism).
+
+        Appends silently degrade reads to plain parquet (stale-safe) —
+        this is the trigger that restores the zero-exchange layout: when
+        ≥ ``max_stale_files`` part files are new/changed/removed versus
+        the manifest, OR the new/changed files carry ≥
+        ``max_stale_rows_frac`` of the bucketed row count, rerun
+        ``bucket_events`` with the spec's recorded key and bucket count.
+        Below threshold the (cheap: os.stat walk + parquet footers, no
+        Spark job) check is a no-op, so callers can invoke it from any
+        maintenance pass — ``compact_events`` does.  Returns True iff
+        the layout was rebuilt.
+        """
+        spec = self._load_bucket_spec(name)
+        if spec is None or "manifest" not in spec:
+            return False
+        current = self._event_manifest(name)
+        if current == spec["manifest"]:
+            return False
+        old = {rel: (size, mt) for rel, size, mt in spec["manifest"]}
+        cur = {rel: (size, mt) for rel, size, mt in current}
+        changed = [
+            [rel, *meta] for rel, meta in cur.items() if old.get(rel) != meta
+        ]
+        removed = len(set(old) - set(cur))
+        base_rows = max(int(spec.get("rows") or 0), 1)
+        stale_rows = self._manifest_rows(name, changed)
+        if (
+            len(changed) + removed >= max_stale_files
+            or removed  # compaction/replay rewrote history: always rebuild
+            or stale_rows / base_rows >= max_stale_rows_frac
+        ):
+            self.bucket_events(name, spec["key"], spec["num_buckets"])
+            return True
+        return False
 
     def append_events(
         self, name: str, rows: list[dict[str, Any]], file_key: str | None = None
@@ -564,6 +644,11 @@ class TableStore:
                     os.unlink(os.path.join(part_dir, f))
                 compacted += 1
             self._register_event_view(name)
+        if compacted:
+            # Compaction rewrote part files, so any bucketed layout just
+            # went stale; this maintenance window is the right time to
+            # restore it (outside the lock — bucket_events re-acquires).
+            self.maintain_bucketed_layout(name)
         return compacted
 
     def table(self, name: str) -> DataFrame:

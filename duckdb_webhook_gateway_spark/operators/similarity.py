@@ -561,7 +561,8 @@ def near_dup_pairs_lsh(
         if len(pdf) > 4 * (2 * cap):
             raise RuntimeError(
                 f"near_dup_pairs_lsh: scoring group of {len(pdf)} members "
-                f"exceeds the {2 * cap} bound — block split failed"
+                f"exceeds {4 * (2 * cap)} (the 4x binomial-spread slack "
+                f"over the {2 * cap} structural bound) — block split failed"
             )
         g1 = int(pdf["g1"].iloc[0])
         g2 = int(pdf["g2"].iloc[0])
@@ -925,15 +926,24 @@ def pq_topk(
             .limit(num_codes)
             .select(id_col, vec_col)
         )
+    # A trained codebook (pq_train) keys codewords by ``code_id``; a
+    # corpus-sliced one by ``id_col``.  Accept either, so
+    # pq_topk(codebook=pq_train(corpus)) is a genuine drop-in.
+    cb_cols = (
+        list(codebook.columns)
+        if not isinstance(codebook, pd.DataFrame)
+        else list(codebook.columns)
+    )
+    cb_id = id_col if id_col in cb_cols else "code_id"
     cb_pd = (
         codebook.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            F.col(cb_id).alias("_id"), F.col(vec_col).alias("_v")
         )
         .orderBy("_id")
         .toPandas()
         if not isinstance(codebook, pd.DataFrame)
         else codebook.rename(
-            columns={id_col: "_id", vec_col: "_v"}
+            columns={cb_id: "_id", vec_col: "_v"}
         ).sort_values("_id")
     )
     cb = np.stack([np.asarray(v, dtype="float64") for v in cb_pd["_v"].values])
@@ -1030,8 +1040,10 @@ def pq_train(
     ``kmeans_fit``/``ivf_topk``).
 
     Returns (code_id, ``vec_col``) where each row concatenates subspace
-    codeword ``code_id`` across all subspaces — drop-in for
-    ``pq_topk(codebook=...)``, which slices per-subspace blocks back out.
+    codeword ``code_id`` across all subspaces — a drop-in for
+    ``pq_topk(codebook=...)`` (pq_topk keys a trained codebook by its
+    ``code_id`` column when the corpus ``id_col`` is absent); pq_topk
+    slices per-subspace blocks back out.
 
     Scale shape (100 TB posture): each iteration is ONE Arrow pass over
     the partitioned corpus emitting per-batch PARTIAL (subspace, code,
@@ -1183,6 +1195,15 @@ def ivfpq_topk(
         .sort_values("_id")
     )
     cents = head_pd[head_pd["_id"] < num_centroids]
+    if len(cents) == 0:
+        raise ValueError(
+            "ivfpq_topk: default centroid device selects corpus rows with "
+            f"{id_col} < num_centroids ({num_centroids}) and found none — "
+            "it requires corpus ids starting at 0 (the differential-oracle "
+            "convention, same as ivf_topk's filter device); on a sparse or "
+            "offset id space pass kmeans_fit centroids through "
+            "ivf_topk/pq_topk explicitly"
+        )
     c_ids = cents["_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cents["_v"].values])
     c_norm = np.linalg.norm(c_mat, axis=1)

@@ -220,6 +220,135 @@ def test_store_bucketed_event_join_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_store_bucketed_layout_stale_on_inplace_keyed_overwrite(
+    spark, tmp_path
+):
+    """Freshness must be CONTENT-sensitive, not name-sensitive: a keyed
+    append idempotently overwrites part-<key>.parquet IN PLACE, so a
+    retried micro-batch landing after bucket_events snapshotted the
+    manifest changes file contents without changing the file list.  The
+    manifest records (size, mtime_ns) per file, so the overwrite makes
+    the layout stale and reads serve the NEW rows from plain parquet —
+    the 'any append makes the layout stale' invariant."""
+    from datetime import datetime
+
+    from duckdb_webhook_gateway_spark.engine.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    ts = datetime(2026, 1, 5, 12, 0, 0)
+    rows = [
+        {"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+         "payload": '{"v": 1}'}
+        for i in range(3)
+    ]
+    store.append_events("raw_events", rows, file_key="batch-7")
+    store.bucket_events("raw_events", "id", 4)
+
+    # retried batch: same file_key, same file NAME, different contents
+    retry = [
+        {"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+         "payload": '{"v": 2}'}
+        for i in range(5)
+    ]
+    store.append_events("raw_events", retry, file_key="batch-7")
+    got = store.table("raw_events")
+    assert got.count() == 5                      # post-retry rows served
+    assert {r["payload"] for r in got.collect()} == {'{"v": 2}'}
+    plan = _executed_plan(got)
+    assert "raw_events_bucketed" not in plan     # stale -> plain parquet
+
+
+def test_store_maintain_bucketed_layout_threshold(spark, tmp_path):
+    """The staleness POLICY: appends degrade reads to plain parquet;
+    maintain_bucketed_layout below threshold is a no-op, past the
+    file-count threshold it re-buckets with the spec's recorded key and
+    the audit join returns to zero exchanges."""
+    from datetime import datetime
+
+    from duckdb_webhook_gateway_spark.engine.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    ts = datetime(2026, 1, 5, 12, 0, 0)
+
+    def _append(i):
+        store.append_events(
+            "raw_events",
+            [{"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+              "payload": "{}"}],
+        )
+
+    for i in range(10):
+        _append(i)
+    store.append_events(
+        "transformed_events",
+        [{"id": f"t{i}", "raw_event_id": f"r{i}", "webhook_id": "w",
+          "timestamp": ts, "transformed_payload": "{}",
+          "destination_url": "http://x", "success": True,
+          "response_code": 200, "response_body": ""} for i in range(10)],
+    )
+    store.bucket_events("raw_events", "id", 4)
+    store.bucket_events("transformed_events", "raw_event_id", 4)
+
+    # two appends: stale, but below the 3-file trigger -> no rebuild
+    _append(10)
+    _append(11)
+    assert store.maintain_bucketed_layout(
+        "raw_events", max_stale_files=3, max_stale_rows_frac=0.5
+    ) is False
+    r = store.table("raw_events")
+    assert "raw_events_bucketed" not in _executed_plan(r)  # degraded
+    assert r.count() == 12                                 # but correct
+
+    # a third append crosses the threshold -> rebuild restores layout
+    _append(12)
+    assert store.maintain_bucketed_layout(
+        "raw_events", max_stale_files=3, max_stale_rows_frac=0.5
+    ) is True
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r2 = store.table("raw_events")
+        t2 = store.table("transformed_events")
+        joined = r2.join(t2, r2.id == t2.raw_event_id)
+        assert joined.count() == 10
+        plan = _executed_plan(joined)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    # row-fraction arm: one fat append past the rows threshold triggers
+    store.append_events(
+        "raw_events",
+        [{"id": f"x{i}", "timestamp": ts, "source_path": "/t",
+          "payload": "{}"} for i in range(13)],
+    )
+    assert store.maintain_bucketed_layout(
+        "raw_events", max_stale_files=100, max_stale_rows_frac=0.5
+    ) is True
+
+
+def test_store_compact_events_restores_bucketed_layout(spark, tmp_path):
+    """compact_events rewrites part files (layout necessarily stale) and
+    is a maintenance window — it must re-bucket before returning."""
+    from datetime import datetime
+
+    from duckdb_webhook_gateway_spark.engine.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    ts = datetime(2026, 1, 5, 12, 0, 0)
+    for i in range(6):
+        store.append_events(
+            "raw_events",
+            [{"id": f"r{i}", "timestamp": ts, "source_path": "/t",
+              "payload": "{}"}],
+        )
+    store.bucket_events("raw_events", "id", 4)
+    assert store.compact_events("raw_events") == 1
+    r = store.table("raw_events")
+    assert r.count() == 6
+    assert "raw_events_bucketed" in _executed_plan(r)
+
+
 def test_store_bucketed_layout_survives_store_reopen(spark, tmp_path):
     """Bucketing metadata lives in the Spark catalog + the on-disk spec:
     a RE-OPENED TableStore over the same directory (same session /
