@@ -1033,6 +1033,7 @@ def pq_train(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_nano: bool = False,
 ) -> DataFrame:
     """Per-subspace Lloyd's k-means — the production codebook path for
     :func:`pq_topk` (which ships training-free first-N codebooks only so
@@ -1053,24 +1054,38 @@ def pq_train(
     codebook is small by contract, like the centroid relations).  No
     corpus-cardinality relation is ever joined, windowed, or collected;
     empty codes keep their previous codeword.
+
+    ``exact_nano=True`` makes the whole training loop ENGINE-PORTABLE
+    and run-deterministic, so a DuckDB oracle can replay it iteration by
+    iteration (``ann_pq_trained_topk``): the assignment argmin uses
+    integer nano-unit distances (``pq_topk``'s convention, ties on
+    lowest code id) and the centroid update sums nano-quantized
+    coordinates as exact BIGINTs — summation-order-independent, unlike
+    float partials whose Spark combine order varies run to run — then
+    truncating-divides by the count (DuckDB's BIGINT ``//``) and stores
+    ``nano / 1e9`` doubles.  The 1e-9 codeword quantization is far below
+    the quantizer's own error (the recall-gradient test passes in both
+    modes); the residual cross-engine caveat is the usual measure-zero
+    half-nano rounding boundary.  Default False keeps the plain float
+    Lloyd for production training, where nothing replays the loop.
     """
     spark = corpus.sparkSession
-    dim_row = corpus.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).head()
-    dim = int(dim_row["d"])
-    if dim % num_subspaces:
-        raise ValueError(
-            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
-        )
     m, kc = num_subspaces, num_codes
-    dsub = dim // m
     seed = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(kc)
         .select(F.col(vec_col).alias("_v"))
         .toPandas()
     )
+    if len(seed) == 0:
+        raise ValueError("pq_train: empty corpus")
+    # dim rides the seed collect — one fewer driver job per call
+    dim = len(seed["_v"].iloc[0])
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    dsub = dim // m
     cb = np.stack(
         [np.asarray(v, dtype="float64") for v in seed["_v"].values]
     ).reshape(kc, m, dsub)
@@ -1087,12 +1102,20 @@ def pq_train(
                 x = np.stack(pdf["v"].values).astype("float64")
                 xs = x.reshape(len(x), 1, m, dsub)
                 d2 = ((xs - b_cb[None, :, :, :]) ** 2).sum(axis=3)
+                if exact_nano:
+                    # integer nano argmin (np.argmin takes the FIRST
+                    # minimum = lowest code id on ties — the oracle's
+                    # (d2, code_id) order), exact nano coordinate sums
+                    d2 = np.round(d2 * 1e9).astype("int64")
+                    xacc = np.round(x * 1e9).astype("int64")
+                else:
+                    xacc = x
                 enc = np.argmin(d2, axis=1)  # (n, m)
                 rows = {"s": [], "c": [], "pos": [], "sm": [], "cnt": []}
                 for s in range(m):
                     codes, inv = np.unique(enc[:, s], return_inverse=True)
-                    sums = np.zeros((len(codes), dsub))
-                    np.add.at(sums, inv, x[:, s * dsub : (s + 1) * dsub])
+                    sums = np.zeros((len(codes), dsub), dtype=xacc.dtype)
+                    np.add.at(sums, inv, xacc[:, s * dsub : (s + 1) * dsub])
                     cnts = np.bincount(inv, minlength=len(codes))
                     for ci, c in enumerate(codes):
                         for p in range(dsub):
@@ -1103,9 +1126,10 @@ def pq_train(
                             rows["cnt"].append(int(cnts[ci]))
                 yield pd.DataFrame(rows)
 
+        sm_type = "bigint" if exact_nano else "double"
         agg = (
             src.mapInPandas(
-                partials, "s int, c int, pos int, sm double, cnt bigint"
+                partials, f"s int, c int, pos int, sm {sm_type}, cnt bigint"
             )
             .groupBy("s", "c", "pos")
             .agg(F.sum("sm").alias("sm"), F.sum("cnt").alias("cnt"))
@@ -1124,7 +1148,17 @@ def pq_train(
         for c in range(kc):
             for s in range(m):
                 if nz[c, s]:
-                    new_cb[c, s] = sums[c, s] / cnts[c, s]
+                    if exact_nano:
+                        # BIGINT sums are exact, so this whole update is
+                        # integer arithmetic: truncating division toward
+                        # zero (DuckDB's BIGINT `//`; Python's floors on
+                        # negatives, hence the sign dance), then the one
+                        # shared double division by 1e9
+                        sm_i = sums[c, s].astype("int64")
+                        q = np.abs(sm_i) // int(cnts[c, s])
+                        new_cb[c, s] = np.where(sm_i < 0, -q, q) / 1e9
+                    else:
+                        new_cb[c, s] = sums[c, s] / cnts[c, s]
         cb = new_cb
 
     flat = cb.reshape(kc, dim)

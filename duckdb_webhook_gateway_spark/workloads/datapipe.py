@@ -1606,6 +1606,127 @@ ENTRIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over a TRAINED codebook — the production path
+    (operators/similarity.py::pq_train -> pq_topk): two fixed-seed,
+    first-16-seeded Lloyd iterations per subspace, then ADC ranking with
+    the trained codewords.  ``exact_nano=True`` makes the training loop
+    itself engine-portable (integer nano assignment distances + exact
+    BIGINT coordinate sums + truncating division), so the oracle replays
+    BOTH Lloyd iterations declaratively — the codebook is re-derived in
+    SQL, not echoed.  Same query set (vec_id < 10) / k / tie-breaks as
+    the other ANN queries, so recall deltas across the family are
+    directly attributable to the index."""
+    emb = _emb(spark, sf_dir)
+    cb = S.pq_train(emb, iterations=2, exact_nano=True)
+    return S.pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, codebook=cb
+    )
+
+
+# Unrolled 2-iteration Lloyd replay: cb0 (seed) -> assign/update -> cb1
+# -> assign/update -> cb2 -> pq_topk scoring.  Codebooks live as scalar
+# (code_id, dim, val) rows; subspace s = (p-1) // 8.  The update is
+# exact integer arithmetic end-to-end: sum of nano-quantized coords
+# (BIGINT), truncating `//` by the member count, one double division by
+# 1e9 — bit-identical to pq_train(exact_nano=True) on any engine.
+ANN_PQ_TRAINED_TOPK_SQL = """
+WITH offs AS (SELECT CAST(p AS INTEGER) AS p FROM range(1, 65) r(p)),
+cb0 AS (
+  SELECT c.code_id, o.p, CAST(c.cv[o.p] AS DOUBLE) AS val
+  FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id,
+           embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+  ) c, offs o
+),
+x AS (
+  SELECT e.vec_id, o.p, CAST((o.p - 1) // 8 AS INTEGER) AS s,
+         CAST(e.embedding[o.p] AS DOUBLE) AS val,
+         CAST(round(CAST(e.embedding[o.p] AS DOUBLE) * 1e9) AS BIGINT)
+           AS val_nano
+  FROM embeddings e, offs o
+),
+d1 AS (
+  SELECT x.vec_id, c.code_id, x.s,
+         CAST(round(sum(pow(x.val - c.val, 2)) * 1e9) AS BIGINT) AS d2
+  FROM x JOIN cb0 c ON c.p = x.p
+  GROUP BY x.vec_id, c.code_id, x.s
+),
+a1 AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, code_id) AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.code_id, x.p, sum(x.val_nano) AS sm, count(*) AS cnt
+  FROM a1 a JOIN x ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY a.code_id, x.p
+),
+cb1 AS (
+  SELECT c.code_id, c.p,
+         COALESCE(CAST(u.sm // u.cnt AS DOUBLE) / 1e9, c.val) AS val
+  FROM cb0 c LEFT JOIN u1 u ON u.code_id = c.code_id AND u.p = c.p
+),
+d2it AS (
+  SELECT x.vec_id, c.code_id, x.s,
+         CAST(round(sum(pow(x.val - c.val, 2)) * 1e9) AS BIGINT) AS d2
+  FROM x JOIN cb1 c ON c.p = x.p
+  GROUP BY x.vec_id, c.code_id, x.s
+),
+a2 AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, code_id) AS rn
+    FROM d2it) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.code_id, x.p, sum(x.val_nano) AS sm, count(*) AS cnt
+  FROM a2 a JOIN x ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY a.code_id, x.p
+),
+cb2 AS (
+  SELECT c.code_id, c.p,
+         COALESCE(CAST(u.sm // u.cnt AS DOUBLE) / 1e9, c.val) AS val
+  FROM cb1 c LEFT JOIN u2 u ON u.code_id = c.code_id AND u.p = c.p
+),
+cd AS (
+  SELECT x.vec_id, c.code_id, x.s,
+         CAST(round(sum(pow(x.val - c.val, 2)) * 1e9) AS BIGINT) AS d2
+  FROM x JOIN cb2 c ON c.p = x.p
+  GROUP BY x.vec_id, c.code_id, x.s
+),
+enc AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, code_id) AS rn
+    FROM cd) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS query_id, code_id, s, d2 FROM cd WHERE vec_id < 10),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(l.d2) AS BIGINT) AS pq_dist_nano
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code_id = e.code_id
+  WHERE l.query_id <> e.vec_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, pq_dist_nano, rank FROM (
+  SELECT query_id, neighbor_id, pq_dist_nano,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pq_dist_nano, neighbor_id)
+              AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+ENTRIES["ann_pq_trained_topk"] = (ann_pq_trained_topk, ANN_PQ_TRAINED_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
 def embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector finiteness audit (operators/similarity.py::finite_gate)
     — the contract step before any ANN/near-dup operator: NaN/Inf

@@ -406,6 +406,23 @@ def test_pq_trained_codebook_raises_recall(spark):
     assert r_trained >= r_first, (r_trained, r_first)
     assert r_trained >= 0.25, f"trained PQ recall@3 {r_trained:.2f}"
 
+    # exact_nano mode (the ann_pq_trained_topk engine-portable Lloyd):
+    # 1e-9 codeword quantization + truncating division must not cost
+    # recall, and the code_id-keyed output must be a GENUINE drop-in
+    # for pq_topk(codebook=...) — no vec_id rename (the documented
+    # contract; regression for the round-10 docstring/arg mismatch)
+    # same iteration count as the float arm so the 0.25 floor is
+    # comparing MODES, not iteration budgets (2 Lloyd iterations land
+    # at ~0.23 in either mode; ann_pq_trained_topk's 2-iteration device
+    # is value-pinned by the oracle parity gate instead)
+    trained_nano = S.pq_train(
+        emb, num_subspaces=8, num_codes=16, iterations=3, exact_nano=True
+    )
+    assert "code_id" in trained_nano.columns
+    r_nano = recall(trained_nano)
+    assert r_nano >= r_first, (r_nano, r_first)
+    assert r_nano >= 0.25, f"exact_nano trained PQ recall@3 {r_nano:.2f}"
+
 
 def test_ivfpq_consistent_with_components(spark):
     """IVF-PQ must be the exact composition of its parts: every returned
