@@ -470,6 +470,109 @@ def resize_nn(arr: "object", out_w: int, out_h: int) -> "object":
     return arr[sy[:, None], sx[None, :]]
 
 
+PHASH_SCHEMA = "doc_id bigint, dhash bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over decoded images: decode →
+    nearest-neighbor resample the integer GRAY SUM (r+g+b — scaling-free,
+    exact int) to a 9×8 grid → 64 bits, bit(ty·8+tx) = 1 iff
+    gray(ty,tx+1) > gray(ty,tx).  Pure integer ops end to end (the
+    resample is :func:`resize_nn`'s floor index mapping), so a SQL
+    oracle replays the hash from pixel formulas symbolically.
+
+    Near-identical images (small pixel perturbations, recompression)
+    keep most adjacent-pixel ORDERINGS, so their dHashes sit within a
+    small Hamming radius — the classic image near-dup fingerprint
+    (same public aHash/dHash family as imagehash).  Returns one row per
+    image: the packed 64-bit hash plus its four 16-bit bands b0..b3 —
+    the LSH-style banding columns (two hashes within Hamming radius r
+    collide on ≥1 of 4 bands whenever their differing bits cluster in
+    ≤3 bands; with r ≤ 3, a collision is guaranteed by pigeonhole).
+
+    Scale shape: one Arrow decode pass, no shuffle — banding/join/top-k
+    live in :func:`near_dup_images_phash`.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob)).astype(np.int64)
+                gray = arr.sum(axis=2)  # (h, w) exact r+g+b
+                # 9 columns × 8 rows of NN-sampled gray sums
+                h, w = gray.shape
+                sx = (np.arange(9, dtype=np.int64) * w) // 9
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                gs = gray[sy[:, None], sx[None, :]]
+                bits = (gs[:, 1:] > gs[:, :-1]).ravel()  # 64 bits
+                hv = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        hv |= np.uint64(1) << np.uint64(i)
+                bands = [
+                    int((hv >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                    for b in range(4)
+                ]
+                out.append((int(d), int(hv.view(np.int64)), *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dhash", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def near_dup_images_phash(
+    probe_media: DataFrame, corpus_media: DataFrame, k: int = 3
+) -> DataFrame:
+    """Banded perceptual-hash image near-dup search: for each probe
+    image, the ``k`` nearest corpus images by dHash Hamming distance,
+    candidates restricted to BAND COLLISIONS — the LSH banding pattern
+    (never all-pairs): a candidate must share at least one of the four
+    16-bit hash bands with the probe, so the corpus-side work is an
+    equi-join on (band, value) instead of N×M hash comparisons.
+
+    Scale shape (100 TB posture): corpus hashes are computed in one
+    Arrow decode pass and banded by a 4-row in-row ``stack`` (no
+    shuffle); the probe side is small by contract and BROADCAST, so
+    candidate generation is map-side; the only shuffles are the
+    candidate ``distinct`` (band-cardinality keys) and the
+    WindowGroupLimit top-k.  Hamming is ``bit_count(xor)`` on the JVM —
+    no Python in the verify step.  Returns
+    (probe_id, match_id, hamming, rank), ties on lowest match_id.
+    """
+    ph_p = image_dhash(probe_media)
+    ph_c = image_dhash(corpus_media)
+    band_expr = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, val)"
+    p_bands = ph_p.selectExpr(
+        "doc_id as probe_id", "dhash as probe_hash", band_expr
+    )
+    c_bands = ph_c.selectExpr(
+        "doc_id as match_id", "dhash as match_hash", band_expr
+    )
+    cand = (
+        c_bands.join(F.broadcast(p_bands), ["band", "val"])
+        .filter(F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "probe_hash", "match_id", "match_hash")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("hamming"), F.asc("match_id")
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(probe_hash ^ match_hash)").cast("int"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "match_id", "hamming", "rank")
+    )
+
+
 def resized_image_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Decode BMP blobs, nearest-neighbor resize to out_w×out_h, and
     aggregate the thumbnail's channel means — the decode → resize →

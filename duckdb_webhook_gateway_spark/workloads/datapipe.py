@@ -3550,6 +3550,81 @@ ENTRIES["multimodal_image_resize"] = (
 
 
 # ---------------------------------------------------------------------------
+def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate search by banded perceptual hash
+    (operators/multimodal.py::image_dhash + near_dup_images_phash):
+    decode real BMPs, dHash each (9×8 gray-sum grid, 64 adjacent-pixel
+    ordering bits), bucket by 16-bit hash band, and rank band-colliding
+    candidates by Hamming distance — the image-corpus member of the
+    dedup family (LSH banding, never all-pairs).  Probe set doc_id < 10
+    / k=3 / lowest-id tie-breaks, mirroring the ANN queries.  The
+    oracle re-derives every hash bit from the pixel-generating formulas
+    at the resample's integer source mapping — decode, resample, hash,
+    banding AND the Hamming verify are all replayed, not echoed."""
+    docs = _docs(spark, sf_dir)
+    media = M.synth_image_table(docs)
+    probes = M.synth_image_table(docs.filter(F.col("doc_id") < 10))
+    return M.near_dup_images_phash(probes, media, k=3)
+
+
+IMAGE_NEAR_DUP_PHASH_SQL = """
+WITH txs AS (SELECT CAST(i AS BIGINT) AS tx FROM range(0, 9) r(i)),
+tys AS (SELECT CAST(i AS BIGINT) AS ty FROM range(0, 8) r(i)),
+-- 9x8 thumbnail of gray SUMS (r+g+b) from the synth-pixel formulas at
+-- the nearest-neighbor source mapping sx = tx*w DIV 9, sy = ty*h DIV 8
+g AS (
+  SELECT d.doc_id, ty.ty, txs.tx,
+         ((d.doc_id + 3 * ((txs.tx * ((d.n_chars % 31) + 2)) // 9)
+                    + 5 * ((ty.ty * ((d.n_chars % 17) + 2)) // 8)) % 256)
+       + ((d.doc_id * 7 + ((txs.tx * ((d.n_chars % 31) + 2)) // 9)
+                    + 2 * ((ty.ty * ((d.n_chars % 17) + 2)) // 8)) % 256)
+       + ((d.doc_id + ((txs.tx * ((d.n_chars % 31) + 2)) // 9)
+                    * ((ty.ty * ((d.n_chars % 17) + 2)) // 8)) % 256)
+           AS gsum
+  FROM documents d, txs, tys ty
+),
+bits AS (
+  SELECT a.doc_id, a.ty * 8 + a.tx AS i,
+         CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.ty = a.ty
+                   AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+         CAST(sum(bit * (1 << CAST(i % 16 AS INTEGER))) AS INTEGER) AS val
+  FROM bits GROUP BY doc_id, i // 16
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS match_id
+  FROM bands p JOIN bands c ON p.band = c.band AND p.val = c.val
+  WHERE p.doc_id < 10 AND p.doc_id <> c.doc_id
+),
+ham AS (
+  SELECT cd.probe_id, cd.match_id,
+         CAST(sum(CASE WHEN pb.bit <> cb.bit THEN 1 ELSE 0 END)
+              AS INTEGER) AS hamming
+  FROM cand cd
+  JOIN bits pb ON pb.doc_id = cd.probe_id
+  JOIN bits cb ON cb.doc_id = cd.match_id AND cb.i = pb.i
+  GROUP BY cd.probe_id, cd.match_id
+)
+SELECT probe_id, match_id, hamming, rank FROM (
+  SELECT probe_id, match_id, hamming,
+         CAST(row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY hamming, match_id)
+              AS INTEGER) AS rank
+  FROM ham
+) WHERE rank <= 3
+"""
+
+ENTRIES["image_near_dup_phash"] = (
+    image_near_dup_phash,
+    IMAGE_NEAR_DUP_PHASH_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level distribution diagnostics: total/vocabulary token
     counts, unigram Shannon entropy (bits), and the Zipf slope — the OLS

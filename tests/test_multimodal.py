@@ -135,3 +135,57 @@ def test_resized_image_features_pipeline(spark):
     r = resized_image_features(synth_image_table(docs)).collect()[0]
     assert r.width == 77 % 31 + 2 and r.height == 77 % 17 + 2
     assert 0.0 <= r.mean_r8 <= 255.0
+
+
+def test_image_dhash_planted_near_dups(spark):
+    """Approx-quality gate for the phash family: PLANTED near-duplicate
+    images (same picture, small pixel perturbations — the
+    recompression/watermark class) must surface at the top with small
+    Hamming distance, and INDEPENDENT random images must not be called
+    near-dups.  Uses real encode->decode BMP blobs end to end."""
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        image_dhash,
+        near_dup_images_phash,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    exact = base.copy()
+    perturbed = base.copy()
+    # +8 on a 4x4 patch: visually invisible, flips at most the few
+    # orderings whose margin was < 24 gray-sum units inside the patch
+    perturbed[5:9, 7:11] = np.clip(
+        perturbed[5:9, 7:11].astype(np.int64) + 8, 0, 255
+    ).astype(np.uint8)
+    rows = [(0, bytearray(encode_bmp24(base)))]
+    corpus_rows = [
+        (1, bytearray(encode_bmp24(exact))),
+        (2, bytearray(encode_bmp24(perturbed))),
+    ] + [
+        (10 + i, bytearray(encode_bmp24(
+            rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        )))
+        for i in range(6)
+    ]
+    probe = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, blob binary")
+
+    got = {
+        r.match_id: (r.hamming, r.rank)
+        for r in near_dup_images_phash(probe, corpus, k=8).collect()
+    }
+    # exact copy: hamming 0 at rank 1; perturbed copy: small hamming next
+    assert got[1] == (0, 1), got
+    assert 2 in got and got[2][0] <= 6 and got[2][1] == 2, got
+    # random images: either no band collision at all, or far in hamming
+    for mid, (ham, _rank) in got.items():
+        if mid >= 10:
+            assert ham > 12, (mid, ham)
+
+    # hash sanity: bands are exact 16-bit slices of the packed hash
+    hrow = image_dhash(probe).collect()[0]
+    hv = np.uint64(hrow.dhash & 0xFFFFFFFFFFFFFFFF)
+    for b, col in enumerate(["b0", "b1", "b2", "b3"]):
+        assert getattr(hrow, col) == int(
+            (hv >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        )
