@@ -64,6 +64,73 @@ def with_cosine(pairs: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -
     return pairs.withColumn(out, _cosine_batch()(F.col(vec_a), F.col(vec_b)))
 
 
+def cosine_scores(
+    queries,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All query×corpus rounded cosines — (query_id, neighbor_id,
+    cosine), self-pairs excluded — in ONE fused Arrow pass over the
+    partitioned corpus with the query BLOCK broadcast (the pq_topk
+    execution pattern).
+
+    Versus the broadcast-crossJoin + per-pair UDF formulation this
+    never materializes a pair relation carrying two vector payloads:
+    the Arrow stream is the corpus itself (N×d once, not N×Q×2d), and
+    each batch scores against all queries with one matmul.  Zero-norm
+    vectors yield NaN deliberately (cosine undefined → Arrow NULL →
+    the NULLS-LAST path, same contract as ``with_cosine``).
+    """
+    spark = corpus.sparkSession
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(columns={id_col: "_id", vec_col: "_v"})[
+            ["_id", "_v"]
+        ].sort_values("_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .orderBy("_id")
+            .toPandas()
+        )
+    q_ids = q_pd["_id"].to_numpy(dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in q_pd["_v"].values]
+    )
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def fused(batches):
+        b_qids, b_qmat, b_qnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+            x = np.stack(pdf["cv"].values).astype("float64")
+            x_norm = np.linalg.norm(x, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round(
+                    (b_qmat @ x.T) / (b_qnorm[:, None] * x_norm[None, :]), 6
+                )
+            qi, ni = np.nonzero(b_qids[:, None] != ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": ids[ni],
+                    "cosine": sims[qi, ni],
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return src.mapInPandas(
+        fused, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -73,20 +140,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
-    Query side should be small (it is broadcast); the corpus stays
-    partitioned and is scanned once.  Rank is deterministic: ordered by
-    rounded cosine desc, then neighbor id.
+    Query side should be small (it is collected and broadcast — the
+    :func:`cosine_scores` fused pass); the corpus stays partitioned and
+    is scanned once; the only shuffle is the WindowGroupLimit top-k.
+    Rank is deterministic: ordered by rounded cosine desc, then
+    neighbor id.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    pairs = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = with_cosine(pairs, "qv", "cv")
+    scored = cosine_scores(queries, corpus, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -5041,20 +5041,28 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = 1/(60+r_dense) + 1/(60+r_lex) over the two top-50 lists, and
     keep the fused top-10 per query.
 
-    Scale shape: the 5-query set is broadcast against the partitioned
-    corpus on BOTH arms (the cosine arm is ``S.cosine_topk``; the lexical
-    arm is the same broadcast-crossJoin + per-query rank-window pattern
-    with in-row array_intersect/size — zero-overlap pairs are dropped
-    before the window, mirroring the oracle's token equi-join).  The
-    fusion full-outer join runs on two k-bounded lists (≤ 50·|queries|
-    rows each).  All ranks are integers, so the fused score is a fixed
-    two-term double expression — deterministic across engines and
-    partitionings.
+    Scale shape — ONE exchange end to end (round 11; the full-outer
+    formulation cost four): the 5-query set is broadcast against the
+    partitioned corpus on BOTH arms (cosine via ``S.with_cosine``, the
+    lexical arm in-row array_intersect/size with zero-overlap pairs
+    dropped pre-window, mirroring the oracle's token equi-join); the two
+    scored streams UNION with an arm tag, and everything downstream —
+    per-arm top-50 window on (query_id, arm), the pair merge as a
+    groupBy (query_id, neighbor_id) pivot (semantically the full outer
+    join of the two rank lists), and the fused top-10 window — is
+    satisfied by the single hash(query_id) distribution, so Catalyst
+    plans exactly one Exchange after the scans.  All ranks are
+    integers, so the fused score is a fixed two-term double expression —
+    deterministic across engines and partitionings.
     """
     emb = _emb(spark, sf_dir)
-    cos = (
-        S.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=50)
-        .select("query_id", "neighbor_id", F.col("rank").alias("cos_rank"))
+    cos_scored = S.cosine_scores(
+        emb.filter(F.col("vec_id") < 5), emb
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("c").alias("arm"),
+        F.col("cosine").alias("score"),
     )
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
@@ -5080,26 +5088,35 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            F.lit("j").alias("arm"),
             F.round(
                 F.col("inter")
                 / (F.col("sz_sum") - F.col("inter")).cast("double"),
                 6,
-            ).alias("jac"),
+            ).alias("score"),
         )
     )
-    wj = Window.partitionBy("query_id").orderBy(
-        F.desc("jac"), F.asc("neighbor_id")
+    wa = Window.partitionBy("query_id", "arm").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
     )
-    jac = (
-        jac_scored.withColumn("jac_rank", F.row_number().over(wj).cast("int"))
-        .filter(F.col("jac_rank") <= 50)
-        .select("query_id", "neighbor_id", "jac_rank")
+    # Pin hash(query_id) explicitly: left to EnsureRequirements, each
+    # downstream op would demand its own full-key exchange (q+arm, then
+    # q+neighbor, then q — three shuffles of the same tiny stream); a
+    # query_id subset partitioning satisfies all three at once.
+    ranked = (
+        cos_scored.unionByName(jac_scored)
+        .repartition("query_id")
+        .withColumn("r", F.row_number().over(wa).cast("int"))
+        .filter(F.col("r") <= 50)
     )
-    fused = cos.join(jac, ["query_id", "neighbor_id"], "full_outer").select(
+    fused = ranked.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.when(F.col("arm") == "c", F.col("r"))).alias("cos_rank"),
+        F.max(F.when(F.col("arm") == "j", F.col("r"))).alias("jac_rank"),
+    ).select(
         "query_id",
         "neighbor_id",
-        F.col("cos_rank").cast("int").alias("cos_rank"),
-        F.col("jac_rank").cast("int").alias("jac_rank"),
+        "cos_rank",
+        "jac_rank",
         (
             F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0))
             + F.coalesce(
