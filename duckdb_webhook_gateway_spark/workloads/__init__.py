@@ -22,36 +22,91 @@ from . import analytics, datapipe  # noqa: E402
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
 # round, and every query whose PHYSICAL PLAN changed re-certifies the
-# same round.  Round-10 _CHECK_FIRST (exactly 50) =
-#   (a) the TWO new queries taking their first driver certifications
-#       (ann_pq_topk, ann_ivfpq_topk);
-#   (b) ALL 35 r7-green middle entries due this round (staleness limit)
-#       — several also picked up round-10 plan changes and re-certify
-#       for both reasons (passage_savings + substring_dup_spans:
-#       count-window purge; events_sessionize, events_markov_transitions,
-#       distinct_kmv_sketch, events_hopping_windows,
-#       events_multitouch_attribution: NULL-semantics alignment);
-#   (c) the 13 non-due queries whose plans changed this round:
-#       part_pagerank (degree partial-agg rides ranks), ann_lsh_buckets
-#       + embedding_near_dup_lsh (skew-safe bucket_size + blocked
-#       scoring), doc_bm25_topk + dedup_simhash + leakage_safe_split
-#       (count/min windows -> partial-agg join-back; leakage also gains
-#       the NULL-sentinel hash), join_key_skew + split_divergence
-#       (1-row broadcast totals), doc_containment_pairs +
-#       doc_prefix_jaccard_join (lazy per_doc checkpoints),
-#       events_json_bucket (try_cast robustness),
-#       gopher_repetition_report (NULL rows + try_divide),
-#       doc_chunk_manifest (NULL fingerprint guard).
-# text_tfidf_top_terms / lm_perplexity_filter had FLAG-only
-# eager->lazy checkpoint changes (physical plan identical, values
-# identical) and rotate normally at the tail rather than displacing a
-# due or expression-changed entry; embedding_finite_gate (third new
-# query) lands mid-registry — the parity suite covers it now, first
-# driver certification r11.  The remaining r8-green middle entries are
-# due r11 at the latest; the tail is the round-9-certified block (due
-# r12 via the next rotations).  The parity suite still covers all 137
-# registry entries at sf0.1 every round.
+# same round.  Since round 11 the due set is MECHANICAL, not narrated:
+# tools/rotation.py derives each entry's last green round from the
+# CORRECTNESS_r*.json history and tests/test_rotation.py fails the suite
+# if this window misses any due entry — the round-10 slip (six
+# r7-certified queries missed their r10 window while comments claimed
+# "zero slips") cannot silently recur.  Round-11 _CHECK_FIRST
+# (exactly 50) =
+#   (a) the SIX r7-stale queries the round-10 verdict flagged, first;
+#   (b) the three first certifications: embedding_finite_gate
+#       (registered mid-r10 behind the window) and the two new round-11
+#       queries ann_pq_trained_topk + image_near_dup_phash;
+#   (c) ann_ivf_recall — not due (r9-green) but its exact arm changed
+#       plan this round (cosine_topk now rides the cosine_scores fused
+#       corpus pass);
+#   (d) ALL 36 r8-green entries due this round by the staleness rule —
+#       hybrid_rank_fusion (one-exchange fusion rewrite) and
+#       ann_cosine_topk (cosine_scores) also changed plans this round;
+#   (e) four promotions from the r9-green block to flatten the r12
+#       due bulge, chosen where early re-cert signal matters most:
+#       part_triangle_count, q5_region_revenue, lm_perplexity_filter,
+#       value_quantile_sketch.
+# The tail is the round-10-certified block (due r13); the r9-green
+# remainder sits mid-registry (due r12).  The parity suite still covers
+# all 139 registry entries at sf0.1 every round.
 _CHECK_FIRST = (
+    # (a) r7-stale — the round-10 rotation slip, served first
+    "monthly_revenue_incremental",
+    "orderkey_hll_distinct",
+    "part_basket_pairs",
+    "part_name_fuzzy_pairs",
+    "q10_returned_revenue",
+    "region_status_grouping_sets",
+    # (b) first driver certifications
+    "embedding_finite_gate",
+    "ann_pq_trained_topk",
+    "image_near_dup_phash",
+    # (c) plan-changed, not otherwise due
+    "ann_ivf_recall",
+    # (d) the 36 r8-green dues (incl. plan-changed hybrid_rank_fusion,
+    # ann_cosine_topk)
+    "hybrid_rank_fusion",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_q8_topk",
+    "corpus_top_bigrams",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dataset_split",
+    "dedup_clusters",
+    "dedup_keeplist",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "events_hourly",
+    "events_runtime_udf",
+    "gopher_quality_gate",
+    "lineitem_price_quantiles",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_image_features",
+    "orders_per_month",
+    "part_avg_qty_subquery",
+    "part_size_class",
+    "parts_never_ordered",
+    "passage_dedup",
+    "q1_pricing_summary",
+    "salted_join_orders",
+    "source_ngram_novelty",
+    "split_contamination",
+    "stratified_sample",
+    "substring_dup_spans_sa",
+    "supplier_revenue_having",
+    "text_char_stats",
+    "text_pattern_scrub",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    # (e) r9-green promotions (flatten the r12 bulge, early signal)
+    "part_triangle_count",
+    "q5_region_revenue",
+    "lm_perplexity_filter",
+    "value_quantile_sketch",
+)
+# Queries checked in round 10 — rotate to the unchecked tail (due r13);
+# the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "doc_prefix_jaccard_join",
@@ -102,55 +157,6 @@ _CHECK_FIRST = (
     "events_multitouch_attribution",
     "token_freq_cm_sketch",
     "embedding_dim_stats",
-)
-# Queries checked in round 9 — rotate to the unchecked tail (due r12);
-# the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "text_tfidf_top_terms",
-    "lm_perplexity_filter",
-    "corpus_token_coverage",
-    "orders_price_exact_quantiles",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "orders_value_quartiles",
-    "part_triangle_count",
-    "ann_ivf_recall",
-    "top_orders_by_value",
-    "part_projection",
-    "part_filter_like_in",
-    "customer_order_counts",
-    "order_priority_rate",
-    "events_recent_topk",
-    "events_type_rate",
-    "window_top_orders_per_customer",
-    "region_keys_union",
-    "lineitem_distinct_counts",
-    "rollup_region_nation",
-    "supplier_string_funcs",
-    "nation_key_intersect",
-    "cube_order_status",
-    "events_funnel",
-    "dedup_exact",
-    "text_language_id",
-    "text_quality",
-    "doc_fingerprint",
-    "events_pivot_by_type",
-    "corpus_stats",
-    "doc_length_histogram",
-    "text_repetition",
-    "sequence_packing",
-    "source_mixture",
-    "boilerplate_ratio",
-    "quality_funnel",
-    "bpe_merge_candidates",
-    "mixture_resample",
-    "split_ngram_decontamination",
-    "events_cohort_retention",
-    "events_anomaly_zscore",
-    "bloom_prefilter_join",
-    "customer_scd2_snapshot",
-    "value_quantile_sketch",
-    "brand_top_parts",
 )
 
 def all_entries() -> dict[str, Entry]:

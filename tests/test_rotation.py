@@ -1,0 +1,72 @@
+"""Rotation-staleness accounting MUST be mechanical, not narrated.
+
+Round 10's verdict found six queries whose driver certifications had
+gone three rounds stale while hand-maintained comments claimed "zero
+slips".  These tests derive the due set from the CORRECTNESS_r*.json
+history itself and fail the suite whenever the upcoming round's driver
+window (the first 50 registered queries) would miss a due entry — the
+invariant "every query driver-certified at least every third round"
+now lives in code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+import rotation  # noqa: E402
+
+from duckdb_webhook_gateway_spark import workloads
+
+
+def test_driver_window_covers_every_due_entry():
+    names = list(workloads.all_entries())
+    due = rotation.due_now(names)
+    window = set(names[:50])
+    missing = sorted(set(due) - window)
+    assert not missing, (
+        f"rotation slip: {len(missing)} entries are >= "
+        f"{rotation.MAX_STALENESS} rounds driver-stale but not in the "
+        f"upcoming round's first-50 window: "
+        f"{[(n, f'last r{due[n]}') for n in missing]}"
+    )
+
+
+def test_history_green_definition_matches_driver_records():
+    """Every record shape the driver has ever emitted must classify
+    cleanly: green iff all ran checks passed and err is empty."""
+    hist_files = rotation.correctness_files()
+    assert hist_files, "no CORRECTNESS history found"
+    import json
+
+    for _rnd, path in sorted(hist_files.items()):
+        with open(path) as fh:
+            for name, rec in json.load(fh).items():
+                green = rotation._is_green(rec)
+                if rec.get("err"):
+                    assert not green, (name, rec)
+                elif rec.get("rows_match") is True and rec.get(
+                    "schema_match"
+                ) is True:
+                    assert rec.get("hash_match") in (True, None, False), rec
+                    assert green == (
+                        rec.get("hash_match") in (True, None)
+                    ), (name, rec)
+
+
+def test_check_first_window_size_and_membership():
+    """_CHECK_FIRST must fit the driver's 50-slot window and contain
+    only real registry names (all_entries itself raises on typos)."""
+    assert len(workloads._CHECK_FIRST) <= 50
+    assert len(set(workloads._CHECK_FIRST)) == len(workloads._CHECK_FIRST)
+    names = list(workloads.all_entries())
+    assert list(names[: len(workloads._CHECK_FIRST)]) == list(
+        workloads._CHECK_FIRST
+    )

@@ -1,0 +1,120 @@
+"""Mechanical rotation-due accounting for the driver's 50-query window.
+
+THE invariant (workloads/__init__.py): every registry query is
+driver-certified at least every third round.  Round 10 proved that
+hand-enumerated due lists drift — six r7-certified queries missed their
+r10 window while the comments claimed "zero slips" — so the due set is
+now DERIVED from the CORRECTNESS_r*.json history instead of narrated:
+``tests/test_rotation.py`` fails the suite whenever the upcoming
+round's first-50 window would leave any due entry uncertified.
+
+Also usable from the command line while planning a round:
+
+    python tools/rotation.py            # print the due set + staleness
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAX_STALENESS = 3  # certified in round R -> due again by round R + 3
+
+
+def _is_green(rec: dict) -> bool:
+    """A driver record counts as a certification only if every check the
+    driver ran passed: rows + schema always, hash when an oracle was
+    paired (hash_match is None for rows-only entries), and no error."""
+    return (
+        rec.get("rows_match") is True
+        and rec.get("schema_match") is True
+        and rec.get("hash_match") in (True, None)
+        and not rec.get("err")
+    )
+
+
+def correctness_files(repo_root: str = REPO_ROOT) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            out[int(m.group(1))] = path
+    return out
+
+
+def certification_history(repo_root: str = REPO_ROOT) -> dict[str, list[int]]:
+    """query name -> sorted rounds with a GREEN driver record."""
+    hist: dict[str, list[int]] = {}
+    for rnd, path in sorted(correctness_files(repo_root).items()):
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            if _is_green(rec):
+                hist.setdefault(name, []).append(rnd)
+    return hist
+
+
+def latest_recorded_round(repo_root: str = REPO_ROOT) -> int:
+    files = correctness_files(repo_root)
+    if not files:
+        raise FileNotFoundError(f"no CORRECTNESS_r*.json under {repo_root}")
+    return max(files)
+
+
+def last_certified(
+    registry_names, repo_root: str = REPO_ROOT
+) -> dict[str, int]:
+    """query -> last green round (0 = never driver-certified)."""
+    hist = certification_history(repo_root)
+    return {n: max(hist.get(n, [0])) for n in registry_names}
+
+
+def due_now(
+    registry_names,
+    repo_root: str = REPO_ROOT,
+    upcoming_round: int | None = None,
+    max_staleness: int = MAX_STALENESS,
+) -> dict[str, int]:
+    """Entries that MUST appear in the upcoming round's driver window.
+
+    ``upcoming_round`` defaults to (latest recorded round) + 1 — the
+    round currently being built.  An entry last certified in round R is
+    due in every round >= R + max_staleness; never-certified entries
+    (last = 0, e.g. registered mid-round behind the window) are always
+    due.  Returns {name: last_certified_round}.
+    """
+    if upcoming_round is None:
+        upcoming_round = latest_recorded_round(repo_root) + 1
+    last = last_certified(registry_names, repo_root)
+    return {
+        n: r for n, r in last.items() if r + max_staleness <= upcoming_round
+    }
+
+
+def main() -> None:  # pragma: no cover - CLI convenience
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    from duckdb_webhook_gateway_spark.workloads import all_entries
+
+    names = list(all_entries())
+    upcoming = latest_recorded_round() + 1
+    due = due_now(names)
+    window = set(names[:50])
+    print(f"registry: {len(names)} entries; upcoming round r{upcoming}")
+    print(f"due ({len(due)}):")
+    for n, r in sorted(due.items(), key=lambda kv: (kv[1], kv[0])):
+        mark = "OK(window)" if n in window else "MISSING FROM WINDOW"
+        print(f"  last r{r or '-'}: {n}  [{mark}]")
+    missing = sorted(set(due) - window)
+    if missing:
+        print(f"SLIP: {len(missing)} due entries outside the first-50 window")
+        raise SystemExit(1)
+    print("window covers every due entry")
+
+
+if __name__ == "__main__":
+    main()
