@@ -109,6 +109,9 @@ EXTENDED4_QUERIES = [
     "orders_price_exact_quantiles",
     # round 10
     "ann_pq_topk",
+    # round 11
+    "ann_pq_trained_topk",
+    "image_near_dup_phash",
 ]
 
 
