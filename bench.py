@@ -112,6 +112,7 @@ EXTENDED4_QUERIES = [
     # round 11
     "ann_pq_trained_topk",
     "image_near_dup_phash",
+    "audio_near_dup_fp",
 ]
 
 

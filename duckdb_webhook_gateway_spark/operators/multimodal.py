@@ -523,18 +523,23 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def near_dup_images_phash(
-    probe_media: DataFrame, corpus_media: DataFrame, k: int = 3
+def banded_hamming_topk(
+    hashes_p: DataFrame,
+    hashes_c: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    k: int = 3,
 ) -> DataFrame:
-    """Banded perceptual-hash image near-dup search: for each probe
-    image, the ``k`` nearest corpus images by dHash Hamming distance,
-    candidates restricted to BAND COLLISIONS — the LSH banding pattern
-    (never all-pairs): a candidate must share at least one of the four
-    16-bit hash bands with the probe, so the corpus-side work is an
-    equi-join on (band, value) instead of N×M hash comparisons.
+    """Shared spine of the multimodal near-dup family: for each probe
+    fingerprint, the ``k`` nearest corpus fingerprints by Hamming
+    distance, candidates restricted to BAND COLLISIONS — the LSH
+    banding pattern (never all-pairs): a candidate must share at least
+    one of the ``n_bands`` 16-bit hash bands (columns ``b0..b{n-1}``)
+    with the probe, so the corpus-side work is an equi-join on
+    (band, value) instead of N×M hash comparisons.
 
-    Scale shape (100 TB posture): corpus hashes are computed in one
-    Arrow decode pass and banded by a 4-row in-row ``stack`` (no
+    Scale shape (100 TB posture): corpus fingerprints arrive from one
+    Arrow decode pass and are banded by an in-row ``stack`` (no
     shuffle); the probe side is small by contract and BROADCAST, so
     candidate generation is map-side; the only shuffles are the
     candidate ``distinct`` (band-cardinality keys) and the
@@ -542,14 +547,13 @@ def near_dup_images_phash(
     no Python in the verify step.  Returns
     (probe_id, match_id, hamming, rank), ties on lowest match_id.
     """
-    ph_p = image_dhash(probe_media)
-    ph_c = image_dhash(corpus_media)
-    band_expr = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, val)"
-    p_bands = ph_p.selectExpr(
-        "doc_id as probe_id", "dhash as probe_hash", band_expr
+    stack_args = ", ".join(f"{i}, b{i}" for i in range(n_bands))
+    band_expr = f"stack({n_bands}, {stack_args}) as (band, val)"
+    p_bands = hashes_p.selectExpr(
+        "doc_id as probe_id", f"{hash_col} as probe_hash", band_expr
     )
-    c_bands = ph_c.selectExpr(
-        "doc_id as match_id", "dhash as match_hash", band_expr
+    c_bands = hashes_c.selectExpr(
+        "doc_id as match_id", f"{hash_col} as match_hash", band_expr
     )
     cand = (
         c_bands.join(F.broadcast(p_bands), ["band", "val"])
@@ -570,6 +574,120 @@ def near_dup_images_phash(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "match_id", "hamming", "rank")
+    )
+
+
+def near_dup_images_phash(
+    probe_media: DataFrame, corpus_media: DataFrame, k: int = 3
+) -> DataFrame:
+    """Banded perceptual-hash image near-dup search:
+    :func:`image_dhash` fingerprints (64 bits, four 16-bit bands)
+    through the shared :func:`banded_hamming_topk` spine."""
+    return banded_hamming_topk(
+        image_dhash(probe_media), image_dhash(corpus_media), "dhash", 4, k
+    )
+
+
+def _synth_chirp(doc_id: int, n: int, level_shift: int = 0):
+    """Quadratic-phase chirp samples: s(i) = (31·d + 7·i²) mod 65536 −
+    32768 (+ clamped level shift).  Unlike the linear ``_synth_samples``
+    ramp — whose every local statistic is monotone over a ≤577-sample
+    clip, collapsing any ordering-based fingerprint to a constant — the
+    i² phase wraps ~35× per clip, so window energies vary richly and
+    the acoustic fingerprint genuinely discriminates.  ``level_shift``
+    models the re-encode/gain near-dup class (int16-clamped add)."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 31 + 7 * i * i) % 65536 - 32768 + level_shift
+    return np.clip(s, -32768, 32767).astype("<i2")
+
+
+def synth_audio_chirp_table(
+    docs: DataFrame, id_offset: int = 0, level_shift: int = 0
+) -> DataFrame:
+    """(doc_id, blob): one real PCM-WAV chirp clip per document.
+    ``id_offset`` separates a probe id space from the corpus so a probe
+    can match its own source clip (the banding spine excludes equal
+    ids); ``level_shift`` perturbs the probe copies."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(d) + id_offset,
+                    encode_wav_pcm16(
+                        _synth_chirp(int(d), int(n), level_shift),
+                        AUDIO_SAMPLE_RATE,
+                    ),
+                )
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                if int(n) > 0
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint, b0 int, b1 int"
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over decoded WAVs: 33 anchored 16-sample
+    windows at start(w) = w·(n−16) DIV 32, exact int64 energy per
+    window (sum of squared int16 samples), 32 bits of energy-delta
+    SIGN — bit(w) = 1 iff E(w+1) > E(w) — packed with two 16-bit
+    bands.  The duration-normalized anchor grid makes the fingerprint
+    length-invariant (same device as the image dHash's 9×8 resample),
+    and energy-ordering bits survive small amplitude perturbations —
+    the re-encode/level-shift near-dup class (the same
+    energy-difference sign family as the classic Haitsma-Kalker audio
+    fingerprint, reduced to one band).  Pure integer ops end to end,
+    so a SQL oracle replays every bit from the sample formulas.
+
+    Clips shorter than 16 samples carry no window and are skipped —
+    filter both engines identically.  One Arrow decode pass, no
+    shuffle; banding/join/top-k live in :func:`near_dup_audio_fp`.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames, _rate = decode_audio(bytes(blob))
+                s = frames[:, 0].astype(np.int64)
+                n = len(s)
+                if n < 16:
+                    continue
+                starts = (np.arange(33, dtype=np.int64) * (n - 16)) // 32
+                idx = starts[:, None] + np.arange(16, dtype=np.int64)[None, :]
+                e = (s[idx] ** 2).sum(axis=1)  # exact int64
+                bits = e[1:] > e[:-1]
+                hv = 0
+                for i, bit in enumerate(bits):
+                    if bit:
+                        hv |= 1 << i
+                out.append((int(d), hv, hv & 0xFFFF, (hv >> 16) & 0xFFFF))
+            yield pd.DataFrame(out, columns=["doc_id", "afp", "b0", "b1"])
+
+    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def near_dup_audio_fp(
+    probe_media: DataFrame, corpus_media: DataFrame, k: int = 3
+) -> DataFrame:
+    """Banded acoustic-fingerprint audio near-dup search:
+    :func:`audio_fingerprint` (32 bits, two 16-bit bands) through the
+    shared :func:`banded_hamming_topk` spine."""
+    return banded_hamming_topk(
+        audio_fingerprint(probe_media),
+        audio_fingerprint(corpus_media),
+        "afp",
+        2,
+        k,
     )
 
 

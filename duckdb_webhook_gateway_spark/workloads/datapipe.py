@@ -3625,6 +3625,105 @@ ENTRIES["image_near_dup_phash"] = (
 
 
 # ---------------------------------------------------------------------------
+def audio_near_dup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate retrieval by banded acoustic fingerprint —
+    find the ORIGINAL of a re-encoded clip (operators/multimodal.py::
+    audio_fingerprint + near_dup_audio_fp): the corpus is one real
+    PCM-WAV chirp clip per document; the probes are the doc_id < 10
+    clips re-encoded with a +3 level shift (int16-clamped — the
+    gain-change near-dup class) in an offset id space.  Both sides are
+    decoded and fingerprinted (33 duration-anchored 16-sample windows,
+    exact int64 energies, 32 energy-delta sign bits, two 16-bit
+    bands), candidates come from band collisions (LSH banding, never
+    all-pairs; shared banded_hamming_topk spine with image phash) and
+    rank by Hamming distance — each probe's top match is its own
+    source clip at small hamming; unrelated clips either never collide
+    on a band or rank behind.  The oracle re-computes every energy and
+    bit from the chirp formula (including the clamped level shift) at
+    the anchor positions — decode, windowing, fingerprint, banding AND
+    the Hamming verify all replayed.  Clips need >= 16 samples
+    (filtered identically in both engines)."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= 16)
+    corpus = M.synth_audio_chirp_table(docs)
+    probes = M.synth_audio_chirp_table(
+        docs.filter(F.col("doc_id") < 10), id_offset=1000000, level_shift=3
+    )
+    out = M.near_dup_audio_fp(probes, corpus, k=3)
+    return out.withColumn(
+        "probe_id", (F.col("probe_id") - F.lit(1000000)).cast("bigint")
+    )
+
+
+AUDIO_NEAR_DUP_FP_SQL = """
+WITH ws AS (SELECT CAST(i AS BIGINT) AS w FROM range(0, 33) r(i)),
+js AS (SELECT CAST(i AS BIGINT) AS j FROM range(0, 16) r(i)),
+base AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= 16),
+-- corpus clips (shift 0) plus probe re-encodes (doc_id < 10, +3 level
+-- shift, offset id space)
+src AS (
+  SELECT doc_id AS fid, doc_id AS d, n_chars, 0 AS shift FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, n_chars, 3 FROM base WHERE doc_id < 10
+),
+-- exact integer energy of the 16-sample window anchored at
+-- start(w) = w*(n-16) DIV 32; chirp s(i) = (31d + 7 i^2) % 65536 -
+-- 32768 (+ int16-clamped shift)
+e AS (
+  SELECT s.fid, ws.w,
+         sum(
+           GREATEST(-32768, LEAST(32767,
+             ((s.d * 31
+               + 7 * (((ws.w * (s.n_chars - 16)) // 32) + js.j)
+                   * (((ws.w * (s.n_chars - 16)) // 32) + js.j)) % 65536)
+             - 32768 + s.shift))
+           * GREATEST(-32768, LEAST(32767,
+             ((s.d * 31
+               + 7 * (((ws.w * (s.n_chars - 16)) // 32) + js.j)
+                   * (((ws.w * (s.n_chars - 16)) // 32) + js.j)) % 65536)
+             - 32768 + s.shift))
+         ) AS energy
+  FROM src s, ws, js
+  GROUP BY s.fid, ws.w
+),
+bits AS (
+  SELECT a.fid, a.w AS i,
+         CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.fid = a.fid AND b.w = a.w + 1
+  WHERE a.w < 32
+),
+bands AS (
+  SELECT fid, CAST(i // 16 AS INTEGER) AS band,
+         CAST(sum(bit * (1 << CAST(i % 16 AS INTEGER))) AS INTEGER) AS val
+  FROM bits GROUP BY fid, i // 16
+),
+cand AS (
+  SELECT DISTINCT p.fid AS pfid, c.fid AS match_id
+  FROM bands p JOIN bands c ON p.band = c.band AND p.val = c.val
+  WHERE p.fid >= 1000000 AND c.fid < 1000000
+),
+ham AS (
+  SELECT cd.pfid, cd.match_id,
+         CAST(sum(CASE WHEN pb.bit <> cb.bit THEN 1 ELSE 0 END)
+              AS INTEGER) AS hamming
+  FROM cand cd
+  JOIN bits pb ON pb.fid = cd.pfid
+  JOIN bits cb ON cb.fid = cd.match_id AND cb.i = pb.i
+  GROUP BY cd.pfid, cd.match_id
+)
+SELECT CAST(pfid - 1000000 AS BIGINT) AS probe_id, match_id, hamming, rank
+FROM (
+  SELECT pfid, match_id, hamming,
+         CAST(row_number() OVER (PARTITION BY pfid
+                                 ORDER BY hamming, match_id)
+              AS INTEGER) AS rank
+  FROM ham
+) WHERE rank <= 3
+"""
+
+ENTRIES["audio_near_dup_fp"] = (audio_near_dup_fp, AUDIO_NEAR_DUP_FP_SQL)
+
+
+# ---------------------------------------------------------------------------
 def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level distribution diagnostics: total/vocabulary token
     counts, unigram Shannon entropy (bits), and the Zipf slope — the OLS

@@ -189,3 +189,49 @@ def test_image_dhash_planted_near_dups(spark):
         assert getattr(hrow, col) == int(
             (hv >> np.uint64(16 * b)) & np.uint64(0xFFFF)
         )
+
+
+def test_audio_fingerprint_planted_near_dups(spark):
+    """Approx-quality gate for the acoustic-fingerprint family: a
+    level-shifted and a lightly-noised re-encode of a clip must surface
+    at the top with small Hamming distance; independent random clips
+    must not be called near-dups.  Real encode->decode WAV end to end."""
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+        near_dup_audio_fp,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-20000, 20000, size=400, dtype=np.int64)
+    shifted = np.clip(base + 50, -32768, 32767)
+    noised = np.clip(
+        base + rng.integers(-30, 31, size=400), -32768, 32767
+    )
+    rows = [(0, bytearray(encode_wav_pcm16(base.astype(np.int16))))]
+    corpus_rows = [
+        (1, bytearray(encode_wav_pcm16(shifted.astype(np.int16)))),
+        (2, bytearray(encode_wav_pcm16(noised.astype(np.int16)))),
+    ] + [
+        (10 + i, bytearray(encode_wav_pcm16(
+            rng.integers(-20000, 20000, size=400).astype(np.int16)
+        )))
+        for i in range(6)
+    ]
+    probe = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, blob binary")
+
+    got = {
+        r.match_id: (r.hamming, r.rank)
+        for r in near_dup_audio_fp(probe, corpus, k=8).collect()
+    }
+    assert 1 in got and got[1][0] <= 3, got     # level shift: tiny hamming
+    assert 2 in got and got[2][0] <= 6, got     # additive noise: small
+    for mid, (ham, _rank) in got.items():
+        if mid >= 10:                           # random clips: far or absent
+            assert ham > 8, (mid, ham)
+
+    # band slices are exact 16-bit pieces of the packed 32-bit print
+    hrow = audio_fingerprint(probe).collect()[0]
+    assert hrow.b0 == (hrow.afp & 0xFFFF)
+    assert hrow.b1 == ((hrow.afp >> 16) & 0xFFFF)
