@@ -71,6 +71,13 @@ QUERIES = [
     # empty texts / single tokens stress the zero-weight and tiny-total
     # threshold edges on both engines
     "corpus_token_coverage",
+    # round-11 multimodal near-dup queries: their blobs derive from
+    # (doc_id, n_chars) only, so random corpora fuzz the full
+    # decode->fingerprint->band->Hamming replay — NULL-text docs carry
+    # n_chars = 0 (image: 2x2 BMP still hashes; audio: < 16-sample
+    # filter drops them on both engines identically)
+    "image_near_dup_phash",
+    "audio_near_dup_fp",
 ]
 
 VOCAB = [
