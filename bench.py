@@ -113,6 +113,7 @@ EXTENDED4_QUERIES = [
     "ann_pq_trained_topk",
     "image_near_dup_phash",
     "audio_near_dup_fp",
+    "video_near_dup_phash",
 ]
 
 

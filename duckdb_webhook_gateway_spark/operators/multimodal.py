@@ -631,6 +631,54 @@ def synth_audio_chirp_table(
     )
 
 
+def video_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over decoded VIDEO clips: decode the
+    .y4m container → temporal SUM of the luma plane (exact int64 per
+    pixel — scaling-free, so no division; robust to frame drops and
+    re-encodes the way a temporal mean is) → 9×8 nearest-neighbor
+    resample → 64 adjacent-ordering bits + four 16-bit bands, exactly
+    the :func:`image_dhash` packing.  Pure integer ops end to end; one
+    Arrow decode pass, no shuffle — banding/join/top-k live in
+    :func:`near_dup_videos_phash`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr, w, h = decode_y4m(bytes(blob))
+                sum_y = arr[:, :, :, 0].astype(np.int64).sum(axis=0)
+                sx = (np.arange(9, dtype=np.int64) * w) // 9
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                gs = sum_y[sy[:, None], sx[None, :]]
+                bits = (gs[:, 1:] > gs[:, :-1]).ravel()
+                hv = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        hv |= np.uint64(1) << np.uint64(i)
+                bands = [
+                    int((hv >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                    for b in range(4)
+                ]
+                out.append((int(d), int(hv.view(np.int64)), *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dhash", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def near_dup_videos_phash(
+    probe_media: DataFrame, corpus_media: DataFrame, k: int = 3
+) -> DataFrame:
+    """Banded perceptual-hash video near-dup search:
+    :func:`video_dhash` fingerprints (64 bits, four 16-bit bands)
+    through the shared :func:`banded_hamming_topk` spine."""
+    return banded_hamming_topk(
+        video_dhash(probe_media), video_dhash(corpus_media), "dhash", 4, k
+    )
+
+
 AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint, b0 int, b1 int"
 
 

@@ -3724,6 +3724,80 @@ ENTRIES["audio_near_dup_fp"] = (audio_near_dup_fp, AUDIO_NEAR_DUP_FP_SQL)
 
 
 # ---------------------------------------------------------------------------
+def video_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate search by banded perceptual hash
+    (operators/multimodal.py::video_dhash + near_dup_videos_phash):
+    decode real .y4m clips, hash each (temporal luma SUM — the
+    frame-drop-robust integer analogue of a temporal mean — 9×8
+    resample, 64 ordering bits, four 16-bit bands), bucket by band and
+    rank band-colliding candidates by Hamming distance — the video
+    member of the multimodal dedup family, completing the
+    image/audio/video triple on the shared banded_hamming_topk spine.
+    Probe set doc_id < 10 / k=3 / lowest-id tie-breaks.  The oracle
+    re-derives every bit from the frame-generating formula summed over
+    frames at the resample's source mapping."""
+    docs = _docs(spark, sf_dir)
+    media = M.synth_video_table(docs)
+    probes = M.synth_video_table(docs.filter(F.col("doc_id") < 10))
+    return M.near_dup_videos_phash(probes, media, k=3)
+
+
+VIDEO_NEAR_DUP_PHASH_SQL = """
+WITH txs AS (SELECT CAST(i AS BIGINT) AS tx FROM range(0, 9) r(i)),
+tys AS (SELECT CAST(i AS BIGINT) AS ty FROM range(0, 8) r(i)),
+fs AS (SELECT CAST(i AS BIGINT) AS f FROM range(0, 13) r(i)),
+-- temporal SUM of the luma plane at the 9x8 nearest-neighbor source
+-- mapping; frame luma y(f,x,y) = (11 d + 17 f + 3 x + 5 y) % 256,
+-- w = n%8+2, h = n%6+2, n_frames = n%13+1
+g AS (
+  SELECT d.doc_id, tys.ty, txs.tx,
+         sum((d.doc_id * 11 + fs.f * 17
+              + ((txs.tx * ((d.n_chars % 8) + 2)) // 9) * 3
+              + ((tys.ty * ((d.n_chars % 6) + 2)) // 8) * 5) % 256)
+           AS gsum
+  FROM documents d, txs, tys, fs
+  WHERE fs.f <= (d.n_chars % 13)
+  GROUP BY d.doc_id, tys.ty, txs.tx
+),
+bits AS (
+  SELECT a.doc_id, a.ty * 8 + a.tx AS i,
+         CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.ty = a.ty
+                   AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+         CAST(sum(bit * (1 << CAST(i % 16 AS INTEGER))) AS INTEGER) AS val
+  FROM bits GROUP BY doc_id, i // 16
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS match_id
+  FROM bands p JOIN bands c ON p.band = c.band AND p.val = c.val
+  WHERE p.doc_id < 10 AND p.doc_id <> c.doc_id
+),
+ham AS (
+  SELECT cd.probe_id, cd.match_id,
+         CAST(sum(CASE WHEN pb.bit <> cb.bit THEN 1 ELSE 0 END)
+              AS INTEGER) AS hamming
+  FROM cand cd
+  JOIN bits pb ON pb.doc_id = cd.probe_id
+  JOIN bits cb ON cb.doc_id = cd.match_id AND cb.i = pb.i
+  GROUP BY cd.probe_id, cd.match_id
+)
+SELECT probe_id, match_id, hamming, rank FROM (
+  SELECT probe_id, match_id, hamming,
+         CAST(row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY hamming, match_id)
+              AS INTEGER) AS rank
+  FROM ham
+) WHERE rank <= 3
+"""
+
+ENTRIES["video_near_dup_phash"] = (video_near_dup_phash, VIDEO_NEAR_DUP_PHASH_SQL)
+
+
+# ---------------------------------------------------------------------------
 def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level distribution diagnostics: total/vocabulary token
     counts, unigram Shannon entropy (bits), and the Zipf slope — the OLS

@@ -78,6 +78,7 @@ QUERIES = [
     # filter drops them on both engines identically)
     "image_near_dup_phash",
     "audio_near_dup_fp",
+    "video_near_dup_phash",
 ]
 
 VOCAB = [

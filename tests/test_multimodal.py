@@ -235,3 +235,77 @@ def test_audio_fingerprint_planted_near_dups(spark):
     hrow = audio_fingerprint(probe).collect()[0]
     assert hrow.b0 == (hrow.afp & 0xFFFF)
     assert hrow.b1 == ((hrow.afp >> 16) & 0xFFFF)
+
+
+def test_video_dhash_planted_near_dups(spark):
+    """Approx-quality gate for the video phash: an identical clip, a
+    frame-dropped re-encode and a lightly-noised re-encode must surface
+    with small Hamming distance; independent random clips must not.
+    Real encode->decode .y4m end to end."""
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        encode_y4m,
+        near_dup_videos_phash,
+        video_dhash,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def smooth_clip(r):
+        # Real video is SPATIALLY smooth — iid pixel noise is the one
+        # content class where dropping a frame decorrelates the
+        # temporal sum.  Block-coarse luma + gentle per-frame drift
+        # models an actual clip: frame-drop then scales every pixel's
+        # sum coherently, preserving the orderings the hash reads.
+        # 4x4 blocks + a 1/column luma ramp: blocky-smooth like real
+        # footage, and the ramp breaks exact ties between thumbnail
+        # samples that land in the same block (a tie bit flips on ANY
+        # noise — that's quantizer edge behavior, not near-dup recall).
+        # Range capped so the +3/frame drift never saturates at 255.
+        coarse = r.integers(0, 200, size=(6, 8))
+        up = (
+            np.kron(coarse, np.ones((4, 4), dtype=np.int64))
+            + np.arange(32, dtype=np.int64)[None, :]
+        )  # 24x32
+        f = np.arange(8)[:, None, None]
+        y = up[None, :, :] + 3 * f
+        return np.stack([y, y, y], axis=-1).astype(np.uint8)
+
+    base = smooth_clip(rng)
+    dropped = base[:-1]                      # last frame dropped
+    # ±2 noise keeps the dHash within Hamming 3 — the radius the
+    # 4-band pigeonhole GUARANTEES a collision for (±4 measured
+    # hamming 4, which can spread one flip into every band and
+    # legitimately miss: LSH recall, not a bug)
+    noised = np.clip(
+        base.astype(np.int64) + rng.integers(-2, 3, size=base.shape),
+        0, 255,
+    ).astype(np.uint8)
+    rows = [(0, bytearray(encode_y4m(base)))]
+    corpus_rows = [
+        (1, bytearray(encode_y4m(base.copy()))),
+        (2, bytearray(encode_y4m(dropped))),
+        (3, bytearray(encode_y4m(noised))),
+    ] + [
+        (10 + i, bytearray(encode_y4m(smooth_clip(rng))))
+        for i in range(6)
+    ]
+    probe = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, blob binary")
+
+    got = {
+        r.match_id: (r.hamming, r.rank)
+        for r in near_dup_videos_phash(probe, corpus, k=9).collect()
+    }
+    assert got[1] == (0, 1), got                       # identical: exact
+    assert 2 in got and got[2][0] <= 6, got            # frame drop: small
+    assert 3 in got and got[3][0] <= 6, got            # noise: small
+    for mid, (ham, _rank) in got.items():
+        if mid >= 10:
+            assert ham > 12, (mid, ham)                # random: far/absent
+
+    hrow = video_dhash(probe).collect()[0]
+    hv = np.uint64(hrow.dhash & 0xFFFFFFFFFFFFFFFF)
+    for b, col in enumerate(["b0", "b1", "b2", "b3"]):
+        assert getattr(hrow, col) == int(
+            (hv >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        )
