@@ -190,6 +190,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 # deterministic integer functions of (doc_id, n_chars) so the DuckDB
 # oracle reproduces every downstream feature without parsing WAV/BMP —
 # what the driver then hashes is a genuine encode→decode→aggregate path.
+#
+# Contract: doc_id >= 0.  The formulas use `%`, and the two engines
+# disagree on negative dividends (numpy returns the non-negative residue,
+# DuckDB the sign of the dividend) — a negative doc_id would synthesize
+# DIFFERENT media than the oracle replays.  All test corpora (driver
+# parquet, fuzz generators) use non-negative ids; real pipelines feed
+# real blobs and never touch these synth devices.
 
 AUDIO_SAMPLE_RATE = 8000
 AUDIO_FEATURE_SCHEMA = (

@@ -439,6 +439,14 @@ def ivf_topk(
             .orderBy("centroid_id")
             .toPandas()
         )
+    if len(cent_pd) == 0:
+        raise ValueError(
+            "ivf_topk: empty centroid relation — the default device "
+            f"selects corpus rows with {id_col} < num_centroids "
+            f"({num_centroids}) and requires corpus ids starting at 0 "
+            "(the differential-oracle convention); on a sparse or offset "
+            "id space pass centroids=kmeans_fit(corpus, k) explicitly"
+        )
     c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
     c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
     c_norm = np.linalg.norm(c_mat, axis=1)

@@ -494,3 +494,23 @@ def test_lsh_suggest_planes_sizing_rule():
     assert p == 17
     assert 1_000_000_000 / (1 << p) <= 8192          # avg bucket <= target
     assert 1_000_000_000 / (1 << (p - 1)) > 8192     # and p is minimal
+
+
+def test_ivf_family_rejects_offset_id_space(spark):
+    """The default centroid devices (ids < num_centroids) assume ids
+    start at 0; on an offset id space they must fail LOUDLY with the
+    explicit-centroids remedy, not die in an opaque np.stack."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    offset = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    qs = offset.limit(2)
+    with pytest.raises(ValueError, match="ids starting at 0"):
+        S.ivf_topk(qs, offset).collect()
+    with pytest.raises(ValueError, match="ids starting at 0"):
+        S.ivfpq_topk(qs, offset).collect()
