@@ -114,6 +114,8 @@ EXTENDED4_QUERIES = [
     "image_near_dup_phash",
     "audio_near_dup_fp",
     "video_near_dup_phash",
+    "part_kcore",
+    "ann_ivfq8_topk",
 ]
 
 

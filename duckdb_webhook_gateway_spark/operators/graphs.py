@@ -293,3 +293,95 @@ def pagerank_micro(
             ).alias("r"),
         )
     return ranks.select("node", "r")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int = 64,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < ``k`` until a fixpoint (Seidman 1983; the distributed peel loop is
+    the standard synchronous schedule, e.g. Montresor et al. 2013).
+
+    ``edges`` is a deduplicated canonical undirected edge list with
+    ``a < b``.  Returns ``(node, core_degree)`` for every node of the
+    k-core, where ``core_degree`` counts the node's neighbors INSIDE the
+    core (>= k at a fixpoint by definition).
+
+    Two modes sharing one loop:
+
+    - ``rounds=None`` (production): peel to the fixpoint, checking
+      convergence by edge count each round and raising if ``max_rounds``
+      is exceeded — loud, never a silently-truncated core.
+    - ``rounds=R`` (differential-oracle mode): peel EXACTLY R rounds as
+      the semantics.  The DuckDB oracle unrolls the same R rounds as a
+      CTE chain, so the identity holds for ANY input, converged or not;
+      peel rounds past convergence are no-ops (every surviving degree is
+      already >= k, the keep set keeps everything), so when the data
+      converges within R the result IS the true k-core.  Convergence is
+      still detected (same count) purely to stop early — the skipped
+      rounds cannot change the result.
+
+    Plan shape per round: degrees via union-all endpoints + groupBy
+    (map-side partial combine — a count window would pin a hub's edge
+    set on one task, the repo-wide banned shape), then two semi-joins
+    keep edges whose BOTH endpoints survive.  ``O(rounds)`` linear
+    passes, the textbook schedule; each round's edge relation is
+    eagerly localCheckpoint-ed — the convergence count has to
+    materialize it anyway, and truncation keeps the next round's plan
+    flat (a lazy chain would double the e_i subtree per round: keep_i
+    references e_i, so e_{i+1} embeds e_i twice).  Nothing
+    node-cardinality is collected or broadcast; the keep-set join
+    strategy is left to the planner/AQE (node relations do not fit a
+    forced broadcast at scale).
+
+    Reference parity: the reference gateway has no graph surface
+    (/root/reference/src/app.py:175-239 is DuckDB SQL passthrough) —
+    this is a beyond-reference scale operator (dense-cohort extraction
+    over co-occurrence graphs: spam/template cluster cores in training
+    corpora, influence cohorts in item graphs).
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    total = rounds if rounds is not None else max_rounds
+    for r in range(total):
+        if n_edges == 0:
+            break
+        keep = (
+            e.select(F.col("ea").alias("node"))
+            .unionByName(e.select(F.col("eb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = (
+            e.join(keep.withColumnRenamed("node", "ea"), "ea", "leftsemi")
+            .join(keep.withColumnRenamed("node", "eb"), "eb", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        e = nxt
+        if n_nxt == n_edges:  # fixpoint: every degree >= k
+            n_edges = n_nxt
+            break
+        n_edges = n_nxt
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"kcore: no fixpoint within max_rounds={max_rounds} "
+                f"(still {n_edges} edges changing); raise max_rounds"
+            )
+    return (
+        e.select(F.col("ea").alias("node"))
+        .unionByName(e.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

@@ -938,6 +938,201 @@ def quantized_topk(
     )
 
 
+def _q8_encode_np(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Symmetric int8 quantization of a (n, d) float64 matrix, matching
+    quantize_int8's expression semantics: q_i = round(x_i * 127 / max|x|)
+    with HALF-AWAY-FROM-ZERO rounding (Spark round / DuckDB round), NOT
+    numpy's banker's round.  Returns (q int64 (n, d), sq int64 (n,)).
+
+    Zero-norm rows are the caller's contract to reject (the DataFrame
+    path degrades them to NULL via try_divide; a fused numpy path has no
+    NULL, so silence would diverge — raise loudly instead)."""
+    mx = np.abs(mat).max(axis=1)
+    if (mx == 0).any():
+        raise ValueError(
+            "int8 quantization undefined for zero vectors — filter them "
+            "out first (finite_gate covers NaN/Inf; an all-zero embedding "
+            "is an upstream bug, not a searchable vector)"
+        )
+    scaled = mat * (127.0 / mx[:, None])
+    q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+    return q, (q * q).sum(axis=1)
+
+
+def ivfq8_topk(
+    queries,
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF + int8 scalar quantization (the FAISS "IVF,SQ8" composition):
+    the IVF coarse quantizer restricts each query's search to its
+    ``nprobe`` nearest inverted lists, and WITHIN the probed lists
+    candidates are ranked by INT8-quantized cosine instead of float.
+
+    Where it sits in the quantization matrix: ``quantized_topk`` is
+    flat-SQ8 (every vector scored), ``ivf_topk`` is IVF-flat (probed
+    lists, float scores), ``ivfpq_topk`` is IVF-PQ (probed lists, 8-byte
+    codes).  IVF-SQ8 keeps 1 byte/dim — 4x less scan/shuffle bandwidth
+    than float32 with near-flat recall (SQ8 quantization error is tiny
+    next to PQ's), the standard middle rung when PQ recall is too low
+    and float memory is too high.  Integer dot products are EXACT (no
+    summation-order drift), so in-list scores hash bit-identically
+    across engines; the coarse assignment reuses ``ivf_topk``'s rounded
+    float cosine and tie rules.
+
+    Differential-testing device, same as the siblings: the default
+    centroids are the ``num_centroids`` lowest-id corpus vectors, so the
+    DuckDB oracle rebuilds the exact index; production passes
+    ``centroids=kmeans_fit(corpus, k)`` (plan shape identical).
+    Input contract: zero-norm vectors are REJECTED loudly (the fused
+    numpy path has no NULL to degrade to, and engines diverge
+    structurally on NaN ordering — same class as ``finite_gate``).
+    Remaining float caveat: the np.round of the assignment cosine and
+    the final sqrt-normalized score can land within 1 ulp of a rounding
+    boundary (measure-zero; the INTEGER dot itself cannot drift).
+
+    Execution — ONE Arrow pass over the partitioned corpus (queries and
+    centroids broadcast, both small by contract): each batch is
+    assigned to its list (argmax vs centroids), int8-encoded, and
+    scored against the queries probing that list by exact integer dot.
+    Nothing corpus-cardinality is collected, broadcast, or joined; the
+    only shuffle is the final top-k window (WindowGroupLimit: partial
+    top-k before the exchange).
+
+    Returns (query_id, neighbor_id, q8_cosine, rank), rank <= k.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    if isinstance(centroids, pd.DataFrame):
+        cent_pd = centroids.rename(columns={vec_col: "cv"})[
+            ["centroid_id", "cv"]
+        ].sort_values("centroid_id")
+    else:
+        cent_pd = (
+            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
+            .orderBy("centroid_id")
+            .toPandas()
+        )
+    if len(cent_pd) == 0:
+        raise ValueError(
+            "ivfq8_topk: empty centroid relation — the default device "
+            f"selects corpus rows with {id_col} < num_centroids "
+            f"({num_centroids}) and requires corpus ids starting at 0 "
+            "(the differential-oracle convention); on a sparse or offset "
+            "id space pass centroids=kmeans_fit(corpus, k) explicitly"
+        )
+    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
+    c_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in cent_pd["cv"].values]
+    )
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(
+            columns={id_col: "query_id", vec_col: "qv"}
+        )[["query_id", "qv"]].sort_values("query_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            .orderBy("query_id")
+            .toPandas()
+        )
+    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in q_pd["qv"].values]
+    )
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_q8, q_sq = _q8_encode_np(q_mat)
+
+    # Probe map (query -> nprobe nearest lists), exactly ivf_topk's
+    # device: rounded float cosine, NaN (zero-norm centroid) -> -inf so
+    # the stable argsort mirrors the oracle's NULLS-LAST rank.  Queries
+    # themselves were just validated non-zero by the q8 encode.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_sims = np.round(
+            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
+        )
+    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
+    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probed_by_centroid: dict[int, "np.ndarray"] = {}
+    for ci in np.unique(probe_order.ravel()):
+        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
+        probed_by_centroid[int(c_ids[ci])] = qidx
+
+    bc = spark.sparkContext.broadcast(
+        (c_ids, c_mat, c_norm, q_ids, q_q8, q_sq, probed_by_centroid)
+    )
+
+    def fused_block(batches):
+        b_cids, b_cmat, b_cnorm, b_qids, b_qq8, b_qsq, b_probe = bc.value
+        for pdf in batches:
+            a = np.stack(pdf["v"].values).astype("float64")
+            a_norm = np.linalg.norm(a, axis=1)
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_sims = np.round(
+                    (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]),
+                    6,
+                )
+            a_sims = np.where(np.isnan(a_sims), -np.inf, a_sims)
+            assigned = b_cids[np.argmax(a_sims, axis=1)]
+            a_q8, a_sq = _q8_encode_np(a)
+            out_q, out_n, out_c = [], [], []
+            for cid, qidx in b_probe.items():
+                mask = assigned == cid
+                if not mask.any():
+                    continue
+                n_ids = ids[mask]
+                # exact integer dots; the sqrt normalization mirrors
+                # quantized_topk's dot/(sqrt(sa)*sqrt(sb)) association
+                dots = (a_q8[mask] @ b_qq8[qidx].T).astype("float64")
+                sims = np.round(
+                    dots
+                    / (
+                        np.sqrt(a_sq[mask].astype("float64"))[:, None]
+                        * np.sqrt(b_qsq[qidx].astype("float64"))[None, :]
+                    ),
+                    6,
+                )
+                ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
+                out_q.append(b_qids[qidx][qi])
+                out_n.append(n_ids[ni])
+                out_c.append(sims[ni, qi])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "q8_cosine": np.concatenate(out_c),
+                    }
+                )
+
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cand = src.mapInPandas(
+        fused_block, "query_id bigint, neighbor_id bigint, q8_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("q8_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "q8_cosine", "rank")
+    )
+
+
 def pq_topk(
     queries,
     corpus: DataFrame,

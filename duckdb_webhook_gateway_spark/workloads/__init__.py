@@ -30,21 +30,22 @@ from . import analytics, datapipe  # noqa: E402
 # "zero slips") cannot silently recur.  Round-11 _CHECK_FIRST
 # (exactly 50) =
 #   (a) the SIX r7-stale queries the round-10 verdict flagged, first;
-#   (b) the five first certifications: embedding_finite_gate
-#       (registered mid-r10 behind the window) and the four new
+#   (b) the seven first certifications: embedding_finite_gate
+#       (registered mid-r10 behind the window) and the six new
 #       round-11 queries ann_pq_trained_topk + image_near_dup_phash +
-#       audio_near_dup_fp + video_near_dup_phash;
+#       audio_near_dup_fp + video_near_dup_phash + part_kcore +
+#       ann_ivfq8_topk;
 #   (c) ann_ivf_recall — not due (r9-green) but its exact arm changed
 #       plan this round (cosine_topk now rides the cosine_scores fused
 #       corpus pass);
 #   (d) ALL 36 r8-green entries due this round by the staleness rule —
 #       hybrid_rank_fusion (one-exchange fusion rewrite) and
 #       ann_cosine_topk (cosine_scores) also changed plans this round;
-#   (e) two promotions from the r9-green block to flatten the r12
-#       due bulge, chosen where early re-cert signal matters most:
-#       part_triangle_count, q5_region_revenue (lm_perplexity_filter /
-#       value_quantile_sketch were promoted until the audio/video
-#       first-certs took the slots — first certs outrank promotions).
+#   (e) NO r9-green promotions this round: the part_kcore +
+#       ann_ivfq8_topk first certifications took the final two slots
+#       (first certs outrank promotions — part_triangle_count /
+#       q5_region_revenue held them until these landed; they are
+#       r9-green, due r12 with the rest of their block).
 # The tail is the round-10-certified block (due r13); the r9-green
 # remainder sits mid-registry (due r12).  The parity suite still covers
 # EVERY registry entry at sf0.1 every round (count-free on purpose —
@@ -63,6 +64,8 @@ _CHECK_FIRST = (
     "image_near_dup_phash",
     "audio_near_dup_fp",
     "video_near_dup_phash",
+    "part_kcore",
+    "ann_ivfq8_topk",
     # (c) plan-changed, not otherwise due
     "ann_ivf_recall",
     # (d) the 36 r8-green dues (incl. plan-changed hybrid_rank_fusion,
@@ -103,9 +106,6 @@ _CHECK_FIRST = (
     "text_pattern_scrub",
     "text_tfidf_top_terms",
     "text_token_stats",
-    # (e) r9-green promotions (flatten the r12 bulge, early signal)
-    "part_triangle_count",
-    "q5_region_revenue",
 )
 # Queries checked in round 10 — rotate to the unchecked tail (due r13);
 # the parity suite still covers them at sf0.1 every round.

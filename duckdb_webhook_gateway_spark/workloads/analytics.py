@@ -1837,6 +1837,92 @@ ENTRIES["part_triangle_count"] = (part_triangle_count, PART_TRIANGLE_COUNT_SQL)
 
 
 # ---------------------------------------------------------------------------
+# part_kcore — k-core decomposition of the co-purchase graph
+# (operators/graphs.py::kcore): iteratively peel nodes of degree < k
+# until the dense cohesive core remains; the query reports the top-20
+# core members by in-core degree.  k = 80 sits in the graph's
+# non-trivial band (the co-purchase graph is near-random with mean
+# degree ~116-120 at sf0.01-0.1: below ~70 peeling is a no-op, at ~85
+# the core avalanches to empty — 80 prunes a real fringe, ~7% of nodes
+# at sf0.01, and converges in 5 peel rounds at both driver scales).
+# Differential identity: the operator runs EXACTLY 10 peel rounds
+# (rounds past the fixpoint are no-ops) and the oracle unrolls the same
+# 10 rounds as a MATERIALIZED CTE chain (inlined CTEs would re-expand
+# e_i three times per round — exponential), so Spark and DuckDB agree
+# for ANY input, converged or not; tests pin that 10 rounds reaches the
+# true fixpoint at both driver scales.  All arithmetic is integer
+# degree counting — bit-exact on any engine and partitioning.
+# Reference surface: beyond-reference scale operator; the gateway's SQL
+# endpoint (/root/reference/src/app.py:175-239) has no graph tools.
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import basket_pairs, kcore
+    from ..plans.spread import scan_splits
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    # Same basket-keyed pre-partition as part_pagerank/part_triangle_count
+    # (and for the same measured reasons): the basket groupBy's
+    # distribution is satisfied up front, so the heavy collect_set +
+    # in-row pair expansion runs on all cores with no second exchange.
+    # No AQE edge-materialization gate needed here: kcore eagerly
+    # checkpoints the edge relation itself (the peel loop needs the
+    # initial edge count anyway).
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if scan_splits(spark, li) < target:
+        op = op.repartition(target, "basket")
+    edges = basket_pairs(op).select("a", "b")
+    core = kcore(edges, k=80, rounds=10)
+    return (
+        core.select(F.col("node").alias("part_key"), "core_degree")
+        .orderBy(F.desc("core_degree"), "part_key")
+        .limit(20)
+    )
+
+
+def _kcore_cte_chain(rounds: int, k: int) -> str:
+    """Unrolled peel rounds for the oracle — one (keep-set, edge-filter)
+    MATERIALIZED CTE pair per round, mirroring kcore(rounds=rounds)."""
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"""k{i + 1} AS MATERIALIZED (
+  SELECT x FROM (SELECT a AS x FROM e{i} UNION ALL SELECT b FROM e{i})
+  GROUP BY x HAVING count(*) >= {k})"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT x FROM k{i + 1}) AND b IN (SELECT x FROM k{i + 1}))"""
+        )
+    return ",\n".join(parts)
+
+
+PART_KCORE_SQL = f"""
+WITH op AS MATERIALIZED (
+  SELECT ok, pk FROM (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= 1024),
+e0 AS MATERIALIZED (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2),
+{_kcore_cte_chain(10, 80)}
+SELECT x AS part_key, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS x FROM e10 UNION ALL SELECT b FROM e10)
+GROUP BY x
+ORDER BY core_degree DESC, part_key
+LIMIT 20
+"""
+
+ENTRIES["part_kcore"] = (part_kcore, PART_KCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # part_name_fuzzy_pairs — blocked fuzzy entity resolution.  Collapse the
 # corpus to DISTINCT names first (corpus-cardinality -> vocab-cardinality
 # before anything quadratic), block on the first token, and run

@@ -288,3 +288,99 @@ def test_bitmap_bloom_filter_widens_integral_keys_and_rejects_mismatch(spark):
     probe_d = spark.createDataFrame([(float(k),) for k in range(5)], "id_v double")
     with pytest.raises(TypeError, match="type-sensitive"):
         bitmap_bloom_filter(probe_d, build, ["id_v"], ["v"])
+
+
+# ---------------------------------------------------------------------------
+# kcore — iterative peel to the k-core (operators/graphs.py::kcore)
+
+
+def _python_kcore(edges, k):
+    """Plain-Python reference: peel degree < k to fixpoint, return
+    {node: in-core degree}."""
+    es = set(edges)
+    while True:
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    deg = Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+def _edges_df(spark, edges, partitions=None):
+    df = spark.createDataFrame(sorted(edges), "a bigint, b bigint")
+    return df.repartition(partitions) if partitions else df
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} + pendant 4: the 2-core is exactly the triangle
+    e = _edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["core_degree"] for r in G.kcore(e, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_to_empty(spark):
+    # path graph: peeling the endpoints cascades until nothing survives
+    e = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    df = G.kcore(e, 2)
+    assert df.count() == 0
+    assert df.columns == ["node", "core_degree"]
+
+
+@pytest.mark.parametrize("partitions", [None, 1, 7])
+def test_kcore_matches_python_reference_random(spark, partitions):
+    # deterministic pseudo-random graph with planted density gradient
+    edges = set()
+    for i in range(60):
+        for j in range(i + 1, 60):
+            if (i * 37 + j * 101) % 13 < (3 if j < 30 else 1):
+                edges.add((i, j))
+    for k in (2, 3, 4):
+        want = _python_kcore(edges, k)
+        got = {
+            r["node"]: r["core_degree"]
+            for r in G.kcore(_edges_df(spark, edges, partitions), k).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_kcore_exact_rounds_matches_fixpoint_when_converged(spark):
+    # rounds past the fixpoint are no-ops: rounds=10 == fixpoint mode
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 4)]
+    e = _edges_df(spark, edges)
+    fix = sorted(map(tuple, G.kcore(e, 2).collect()))
+    exact = sorted(map(tuple, G.kcore(e, 2, rounds=10).collect()))
+    assert fix == exact and fix  # non-empty core
+
+
+def test_kcore_exact_rounds_truncates_like_oracle(spark):
+    # a 4-chain peel: rounds=1 stops mid-peel (the oracle-parity
+    # semantics — the unrolled SQL chain stops at the same depth)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    e = _edges_df(spark, edges)
+    # round 1 drops nodes 1 and 5; edges (2,3),(3,4) remain
+    got = {
+        r["node"]: r["core_degree"]
+        for r in G.kcore(e, 2, rounds=1).collect()
+    }
+    assert got == {2: 1, 3: 2, 4: 1}
+
+
+def test_kcore_raises_without_fixpoint_budget(spark):
+    e = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        G.kcore(e, 2, max_rounds=1)
+
+
+def test_kcore_rejects_bad_k(spark):
+    e = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        G.kcore(e, 0)
