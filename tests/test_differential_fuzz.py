@@ -436,7 +436,11 @@ def test_df_family_matches_oracle_on_skewed_corpus(
 # engines), and a DEGENERATE >MAX_BASKET_ITEMS basket that exercises the
 # 1024-item truncation cap and its row_number oracle mirror.
 
-BASKET_QUERIES = ["part_basket_pairs", "part_pagerank"]
+# part_kcore at k=80 on this corpus: the organic 40-part graph peels to
+# nothing (degrees ~20) while basket 9999's truncated 1024-item clique
+# survives whole — a planted non-trivial core exercising both the
+# avalanche and the survivor paths of the unrolled oracle chain.
+BASKET_QUERIES = ["part_basket_pairs", "part_pagerank", "part_kcore"]
 
 
 def _rand_lineitem(seed: int) -> list[tuple]:
@@ -690,3 +694,45 @@ def test_finite_gate_matches_oracle_on_nonfinite_vectors(
     assert srows == drows
     assert any(not r[2] for r in srows)      # the corpus was dirty
     assert any(r[2] for r in srows)          # and partly clean
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_ivfq8_matches_oracle_on_random_nonzero_vectors(
+    spark, tmp_path_factory, entries, seed
+):
+    """ann_ivfq8_topk on the random corpora with the zero-norm salt
+    REMOVED (zero vectors are the operator's documented reject class —
+    int8 scale undefined); on everything else (exact dups, scaled dups,
+    tiny magnitudes) it must match the composed oracle value-by-value.
+    The salted corpus itself must RAISE, not silently diverge."""
+    d = str(tmp_path_factory.mktemp(f"iqfuzz{seed}"))
+    salted = _rand_embeddings(seed)
+    clean = [r for r in salted if any(x != 0.0 for x in r[1])]
+    assert len(clean) < len(salted)  # the salt was present
+    spark.createDataFrame(
+        clean, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'embeddings.parquet')}/*.parquet')"
+    )
+    fn, sql = entries["ann_ivfq8_topk"]
+    srows = Counter(
+        tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+    )
+    drows = Counter(
+        tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+    )
+    assert srows == drows
+
+    dz = str(tmp_path_factory.mktemp(f"iqfuzzz{seed}"))
+    spark.createDataFrame(
+        salted, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dz, "embeddings.parquet")
+    )
+    with pytest.raises(Exception, match="zero vectors"):
+        fn(spark, dz).collect()

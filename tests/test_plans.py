@@ -1089,3 +1089,43 @@ def test_ivfpq_topk_single_pass_window_group_limited(spark):
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfq8_topk_single_pass_window_group_limited(spark):
+    """IVF-SQ8 (round 11): list assignment + int8 encode + integer-dot
+    scoring fuse into ONE Arrow pass (centroids/quantized queries
+    broadcast driver-side); the only shuffle is the WindowGroupLimit
+    top-k — identical shape to the PQ/IVF-PQ pins."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_ivfq8_topk
+
+    plan = _plan(ann_ivfq8_topk(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_round_plan_partial_agg_no_window(spark):
+    """k-core peel round (round 11): the degree count must be a hash
+    aggregate with a map-side partial (skew-safe — a count window would
+    pin a hub's edge set on one task), and the survivor filter must be
+    semi-joins, never a cartesian or a broadcast of the node relation
+    forced from the operator."""
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.graphs import kcore
+
+    edges = (
+        spark.read.parquet(sf_dir() + "/lineitem.parquet")
+        .select(
+            F.col("l_orderkey").alias("a"), F.col("l_partkey").alias("b")
+        )
+        .limit(500)
+    )
+    # one peel round, lazily: build the round's plan by hand from the
+    # operator's own building blocks via rounds=0 (degree relation only)
+    core = kcore(edges, k=2, rounds=1)
+    # the returned relation is the post-peel degree aggregate
+    plan = _plan(core)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "unboundedpreceding$(), unboundedfollowing$()" not in plan
