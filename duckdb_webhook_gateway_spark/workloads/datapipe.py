@@ -1477,12 +1477,21 @@ def ann_ivfq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF CTEs are ``ANN_IVF_TOPK_SQL``'s, the q8 encode/score CTEs
     are ``ANN_Q8_TOPK_SQL``'s, composed."""
     emb = _emb(spark, sf_dir)
+    # queries (vec_id < 10) and centroids (vec_id < 16) are id-prefixes
+    # of the corpus: one 16-row head collect, sliced locally — the
+    # ann_ivf_recall device (saves a driver job per relation).
+    head = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
     return S.ivfq8_topk(
-        emb.filter(F.col("vec_id") < 10),
+        head[head["vec_id"] < 10],
         emb,
         num_centroids=16,
         nprobe=2,
         k=5,
+        centroids=head.rename(columns={"vec_id": "centroid_id"}),
     )
 
 
