@@ -736,3 +736,67 @@ def test_ivfq8_matches_oracle_on_random_nonzero_vectors(
     )
     with pytest.raises(Exception, match="zero vectors"):
         fn(spark, dz).collect()
+
+
+def test_new_r11_queries_match_oracle_on_degenerate_inputs(
+    spark, tmp_path_factory, entries
+):
+    """Degenerate-input corner probes for the round-11 second batch:
+    part_kcore on an EMPTY fact table (the kcore zero-edge early break
+    must agree with the oracle's vacuous CTE chain) and on a one-edge
+    graph (immediate avalanche); ann_ivfq8_topk on a 3-vector corpus
+    (fewer candidates than k, fewer rows than num_centroids) and on a
+    gappy id space that still has ids below the query/centroid cutoffs."""
+    import random
+
+    def run(name, d, views):
+        con = duckdb.connect()
+        for t, p in views.items():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{p}/*.parquet')"
+            )
+        fn, sql = entries[name]
+        srows = sorted(
+            tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+        )
+        drows = sorted(
+            tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert srows == drows, (name, srows[:3], drows[:3])
+
+    d1 = str(tmp_path_factory.mktemp("kc_empty"))
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(os.path.join(d1, "lineitem.parquet"))
+    run("part_kcore", d1, {"lineitem": os.path.join(d1, "lineitem.parquet")})
+
+    d2 = str(tmp_path_factory.mktemp("kc_one"))
+    spark.createDataFrame(
+        [(1, 7), (1, 9)], "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(os.path.join(d2, "lineitem.parquet"))
+    run("part_kcore", d2, {"lineitem": os.path.join(d2, "lineitem.parquet")})
+
+    rng = random.Random(3)
+    d3 = str(tmp_path_factory.mktemp("iq_tiny"))
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], 1) for i in range(3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d3, "embeddings.parquet"))
+    run(
+        "ann_ivfq8_topk", d3,
+        {"embeddings": os.path.join(d3, "embeddings.parquet")},
+    )
+
+    d4 = str(tmp_path_factory.mktemp("iq_gappy"))
+    rows = [
+        (i * 3, [rng.uniform(-1, 1) for _ in range(64)], 1)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d4, "embeddings.parquet"))
+    run(
+        "ann_ivfq8_topk", d4,
+        {"embeddings": os.path.join(d4, "embeddings.parquet")},
+    )
