@@ -116,6 +116,11 @@ EXTENDED4_QUERIES = [
     "video_near_dup_phash",
     "part_kcore",
     "ann_ivfq8_topk",
+    # round 11, third batch
+    "part_communities_lpa",
+    "ann_rerank_topk",
+    "embedding_hard_negatives",
+    "streaming_user_sessions",
 ]
 
 

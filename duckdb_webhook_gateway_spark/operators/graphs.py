@@ -385,3 +385,81 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+def lpa_labels(
+    edges: DataFrame,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007): every node
+    starts labeled with its own id; each round every node adopts the
+    label MOST FREQUENT among its neighbors' current labels, ties
+    broken by the smallest label.  Returns ``(node, label)`` after
+    EXACTLY ``rounds`` rounds — fixed-round semantics because
+    synchronous LPA can oscillate (a 2-cycle swaps labels forever), so
+    "run to convergence" is not well-defined; a fixed unrolled schedule
+    is also what makes the operator differentially testable (the DuckDB
+    oracle replays the same R rounds as a MATERIALIZED CTE chain, so
+    the identity holds for ANY input, oscillating or not).
+
+    Plan shape per round: one shuffle-join of the arc relation against
+    the current labels (keyed on the neighbor endpoint), a
+    (node, label)-keyed partial-agg vote count (map-side combine
+    absorbs hub neighborhoods — a per-node window over raw votes would
+    pin a hub's whole arc set on one task, the repo-wide banned shape),
+    and an argmin-style ``min(struct(-cnt, label))`` aggregate per node
+    — pure integer arithmetic, bit-exact on any engine/partitioning.
+    Labels are eagerly localCheckpoint-ed each round (the kcore rule:
+    a lazy chain would re-embed every prior round's subtree), and the
+    arc relation derives from an eagerly checkpointed edge list so its
+    lineage is flat across rounds.  Nothing node-cardinality is ever
+    collected or broadcast.
+
+    Reference parity: beyond-reference scale operator (no graph
+    surface in the gateway, /root/reference/src/app.py:175-239) —
+    community structure over co-occurrence graphs (template/boilerplate
+    families in training corpora, product communities in item graphs).
+    """
+    if rounds < 1:
+        raise ValueError(f"lpa_labels: rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+        .localCheckpoint(eager=True)
+    )
+    arcs = e.select(
+        F.col("ea").alias("node"), F.col("eb").alias("nbr")
+    ).unionByName(e.select(F.col("eb").alias("node"), F.col("ea").alias("nbr")))
+    labels = (
+        arcs.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        labels = _lpa_round(arcs, labels).localCheckpoint(eager=True)
+    return labels
+
+
+def _lpa_round(arcs: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA vote round (plan-pinned in tests/test_plans.py):
+    arc⋈label join keyed on the neighbor endpoint, (node, label) partial-agg
+    vote count, argmin-style ``min(struct(-cnt, label))`` per node."""
+    votes = (
+        arcs.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        votes.groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("label").alias("lb"),
+                )
+            ).alias("best")
+        )
+        .select("node", F.col("best.lb").alias("label"))
+    )

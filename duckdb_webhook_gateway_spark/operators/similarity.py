@@ -69,6 +69,7 @@ def cosine_scores(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """All query×corpus rounded cosines — (query_id, neighbor_id,
     cosine), self-pairs excluded — in ONE fused Arrow pass over the
@@ -81,6 +82,13 @@ def cosine_scores(
     each batch scores against all queries with one matmul.  Zero-norm
     vectors yield NaN deliberately (cosine undefined → Arrow NULL →
     the NULLS-LAST path, same contract as ``with_cosine``).
+
+    ``carry`` names corpus columns to pass through IN-ROW onto each
+    scored pair (appended after ``cosine``, corpus types preserved) —
+    a consumer that needs a neighbor attribute (e.g. its label for
+    hard-negative mining) gets it for free inside the Arrow pass
+    instead of equi-joining the Q×N pair stream back against the
+    corpus, which would add a corpus-cardinality shuffle.
     """
     spark = corpus.sparkSession
     if isinstance(queries, pd.DataFrame):
@@ -94,6 +102,12 @@ def cosine_scores(
             )
             .orderBy("_id")
             .toPandas()
+        )
+    if len(q_pd) == 0:
+        raise ValueError(
+            "cosine_scores: empty query block — the query relation "
+            "selected no rows (id-prefix query devices require corpus "
+            "ids starting at 0; pass an explicit non-empty query set)"
         )
     q_ids = q_pd["_id"].to_numpy(dtype="int64")
     q_mat = np.stack(
@@ -115,20 +129,29 @@ def cosine_scores(
                     (b_qmat @ x.T) / (b_qnorm[:, None] * x_norm[None, :]), 6
                 )
             qi, ni = np.nonzero(b_qids[:, None] != ids[None, :])
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qi],
-                    "neighbor_id": ids[ni],
-                    "cosine": sims[qi, ni],
-                }
-            )
+            out = {
+                "query_id": b_qids[qi],
+                "neighbor_id": ids[ni],
+                "cosine": sims[qi, ni],
+            }
+            for c in carry:
+                out[c] = pdf[c].values[ni]
+            yield pd.DataFrame(out)
 
     src = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        *[F.col(c) for c in carry],
     )
-    return src.mapInPandas(
-        fused, "query_id bigint, neighbor_id bigint, cosine double"
+    carry_types = {
+        f.name: f.dataType.simpleString()
+        for f in src.schema.fields
+        if f.name in carry
+    }
+    schema = "query_id bigint, neighbor_id bigint, cosine double" + "".join(
+        f", {c} {carry_types[c]}" for c in carry
     )
+    return src.mapInPandas(fused, schema)
 
 
 def cosine_topk(
@@ -154,6 +177,61 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most-similar corpus rows whose label DIFFERS from the anchor's —
+    the highest-loss negatives for a contrastive/embedding training
+    batch (in-batch negatives miss these; mining them from the corpus
+    is the standard curriculum, e.g. the ANCE/DPR hard-negative
+    recipe).
+
+    Plan shape: one :func:`cosine_scores` fused Arrow pass over the
+    partitioned corpus (anchor block broadcast), with the neighbor's
+    label CARRIED IN-ROW by the pass itself — joining the Q×N pair
+    stream back to the corpus for the label would add a
+    corpus-cardinality shuffle; carrying it is free.  The anchor's own
+    label arrives via a broadcast hash join against the
+    query-cardinality label relation, the mismatch filter runs
+    map-side, and the only shuffle is the WindowGroupLimit top-k.
+    Rank is deterministic: rounded cosine desc, then neighbor id.
+
+    Reference parity: beyond-reference scale operator (the gateway's
+    SQL endpoint, /root/reference/src/app.py:175-239, has no vector
+    surface); differential oracle in ``workloads/datapipe.py``.
+    """
+    scored = cosine_scores(
+        queries, corpus, id_col, vec_col, carry=(label_col,)
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.join(F.broadcast(q_lab), "query_id")
+        .filter(F.col(label_col) != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            F.col(label_col).alias("neighbor_label"),
+            "cosine",
+            "rank",
+        )
     )
 
 
@@ -935,6 +1013,73 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "q8_cosine", "rank")
+    )
+
+
+def rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: an int8-quantized scan shortlists
+    ``m`` candidates per query (:func:`quantized_topk` — 4× less memory
+    traffic than float over the full corpus), then EXACT float cosine
+    re-scores only the shortlist and keeps the top ``k`` — the standard
+    production ANN cascade (cheap representation over everything,
+    expensive scoring over almost nothing).
+
+    Scale shape: stage 1 is the quantized brute scan (its only shuffle
+    the WindowGroupLimit top-m); stage 2 never rescans the corpus at
+    full width — the Q×m shortlist ids broadcast as a semi-join that
+    prunes the corpus MAP-SIDE before the exact :func:`cosine_scores`
+    pass, so the float matmul touches at most Q×m vectors regardless of
+    corpus size, and the shortlist membership filter is a broadcast
+    hash join against the same Q×m relation.  Final rank breaks ties on
+    rounded exact cosine desc, then neighbor id.
+
+    Returns (query_id, neighbor_id, cosine, q8_rank, rank) — q8_rank is
+    the stage-1 position, letting callers measure how much the rerank
+    reordered (the recall-repair the cascade exists for).
+
+    Reference parity: beyond-reference scale operator (no vector
+    surface in the gateway, /root/reference/src/app.py:175-239);
+    differential oracle composes the q8 and exact-cosine replays.
+    """
+    if not 1 <= k <= m:
+        raise ValueError(f"rerank_topk: need 1 <= k <= m, got k={k} m={m}")
+    s1 = quantized_topk(queries, corpus, k=m, id_col=id_col, vec_col=vec_col)
+    # The Q×m shortlist feeds TWO consumers (the candidate semi-join and
+    # the membership join) — without a checkpoint each reference would
+    # re-embed the whole stage-1 corpus scan (Catalyst does not share
+    # subplans across DataFrame references), doubling the quantized
+    # pass.  EAGER, deliberately against the repo's lazy-checkpoint
+    # default: both consumers here are BROADCAST-exchange builds, which
+    # run as separate driver jobs over plan COPIES before a lazy
+    # checkpoint would have materialized anything — measured at sf1 the
+    # lazy form ran the q8 scan twice (14.2 s) and the eager form once
+    # (6.8 s).  The materialized relation is Q×m rows — trivial.
+    shortlist = s1.select(
+        "query_id", "neighbor_id", F.col("rank").alias("q8_rank")
+    ).localCheckpoint(eager=True)
+    cand = corpus.join(
+        F.broadcast(
+            shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
+        ),
+        id_col,
+        "leftsemi",
+    )
+    rescored = cosine_scores(queries, cand, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.join(F.broadcast(shortlist), ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "q8_rank", "rank")
     )
 
 

@@ -138,3 +138,84 @@ def replay_hourly_counts(
 
         shutil.rmtree(landing_dir, ignore_errors=True)
     return result
+
+
+def replay_user_sessions(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "30 minutes",
+    landing_dir: Optional[str] = None,
+) -> DataFrame:
+    """Replay a batch events relation through a STATEFUL Structured
+    Streaming session-window aggregation and return the per-user gap
+    sessions — the second stream/batch equivalence bridge (the first,
+    :func:`replay_hourly_counts`, is stateless tumbling windows; this
+    one exercises the session-merge state machine: ``F.session_window``
+    merges windows across micro-batches as late members arrive).
+
+    Boundary semantics (pinned in tests/test_streaming.py): an event at
+    EXACTLY ``last_ts + gap`` still merges into the open session —
+    Spark merges while ``ts <= session_end`` — so a new session starts
+    strictly after the gap, and ``session_end = last_ts + gap``.  The
+    DuckDB oracle mirrors this with ``ts - lag(ts) > gap`` as its
+    session-break predicate.
+
+    Same replay scaffolding as :func:`replay_hourly_counts`:
+    TIMESTAMP_NTZ event time (wall-clock semantics matching DuckDB's
+    naive timestamps), complete mode + ``availableNow`` (a bounded
+    replay retracts nothing and needs no watermark; the session state
+    is user-cardinality and freed when the drain terminates).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    owns_landing = landing_dir is None
+    if owns_landing:
+        landing_dir = tempfile.mkdtemp(prefix="stream_sessions_")
+    # Microsecond-explicit NTZ format on BOTH sides: the default JSON
+    # timestamp format truncates to milliseconds, which silently moves
+    # session boundaries (hourly replay never noticed — its windows
+    # truncate to the hour; session bounds are raw event times).
+    ntz_us = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events.coalesce(4).write.mode("overwrite").option(
+        "timestampNTZFormat", ntz_us
+    ).json(landing_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP_NTZ"
+        )
+        .option("timestampNTZFormat", ntz_us)
+        .json(landing_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = "session_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    result = (
+        spark.table(name)
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    if owns_landing:
+        shutil.rmtree(landing_dir, ignore_errors=True)
+    return result

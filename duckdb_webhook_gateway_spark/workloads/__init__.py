@@ -50,6 +50,30 @@ from . import analytics, datapipe  # noqa: E402
 # remainder sits mid-registry (due r12).  The parity suite still covers
 # EVERY registry entry at sf0.1 every round (count-free on purpose —
 # tools/rotation.py is the ledger now, not this comment).
+# First-certification ledger for entries registered mid-round BEHIND an
+# already-full driver window: a never-certified entry becomes due the
+# round AFTER its registration round (the embedding_finite_gate
+# precedent, registered mid-r10 → first certification r11).  The r11
+# window was exactly full (49 genuinely-due entries + the plan-changed
+# ann_ivf_recall), so the late-r11 additions below are due r12 —
+# tools/rotation.py consumes this map and tests/test_rotation.py
+# asserts every never-certified registry entry is annotated here (an
+# unannotated new entry FAILS the suite, so the ledger cannot drift).
+_REGISTERED_ROUND = {
+    "embedding_finite_gate": 10,
+    "ann_pq_trained_topk": 11,
+    "image_near_dup_phash": 11,
+    "audio_near_dup_fp": 11,
+    "video_near_dup_phash": 11,
+    "part_kcore": 11,
+    "ann_ivfq8_topk": 11,
+    # late-r11 registrations (window full) — first certification r12:
+    "part_communities_lpa": 11,
+    "ann_rerank_topk": 11,
+    "embedding_hard_negatives": 11,
+    "streaming_user_sessions": 11,
+}
+
 _CHECK_FIRST = (
     # (a) r7-stale — the round-10 rotation slip, served first
     "monthly_revenue_incremental",

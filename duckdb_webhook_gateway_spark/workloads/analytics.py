@@ -1923,6 +1923,101 @@ ENTRIES["part_kcore"] = (part_kcore, PART_KCORE_SQL)
 
 
 # ---------------------------------------------------------------------------
+# part_communities_lpa — synchronous label-propagation communities
+# (operators/graphs.py::lpa_labels) over the STRONG co-purchase graph:
+# item pairs co-purchased in >= 2 baskets (the >= 2 threshold keeps the
+# graph at its non-random core — raw pairs are near-complete at this
+# mean degree, one giant trivial community; the thresholded graph keeps
+# ~2.3-3.6k edges across driver scales with real component structure).
+# EXACTLY 4 synchronous rounds (init label = node id; each round a node
+# adopts its neighbors' modal label, ties to the smallest), reported as
+# the top-20 communities by member count.  Differential identity: the
+# oracle unrolls the same 4 rounds as a MATERIALIZED CTE chain —
+# synchronous LPA oscillates on some inputs, so fixed rounds IS the
+# semantics and Spark/DuckDB agree for ANY input.  All arithmetic is
+# integer label voting (min(struct(-cnt, label))) — bit-exact on any
+# engine and partitioning.
+# Reference surface: beyond-reference scale operator; the gateway's SQL
+# endpoint (/root/reference/src/app.py:175-239) has no graph tools.
+def part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import basket_pairs, lpa_labels
+    from ..plans.spread import scan_splits
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    # Same basket-keyed pre-partition as part_kcore (same measured
+    # reason: satisfy the basket groupBy's distribution up front).
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if scan_splits(spark, li) < target:
+        op = op.repartition(target, "basket")
+    edges = (
+        basket_pairs(op).filter(F.col("n_baskets") >= 2).select("a", "b")
+    )
+    lab = lpa_labels(edges, rounds=4)
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+def _lpa_cte_chain(rounds: int) -> str:
+    """Unrolled vote rounds for the oracle — one (vote-count, argmin)
+    MATERIALIZED CTE pair per round, mirroring lpa_labels(rounds=rounds):
+    modal neighbor label, ties to the smallest label."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT ar.node, l.label AS lbl, count(*) AS cnt
+  FROM arcs ar JOIN l{i - 1} l ON ar.nbr = l.node
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, min(lbl) AS label FROM (
+    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+    FROM c{i})
+  WHERE cnt = mx GROUP BY node)"""
+        )
+    return ",\n".join(parts)
+
+
+PART_COMMUNITIES_LPA_SQL = f"""
+WITH op AS MATERIALIZED (
+  SELECT ok, pk FROM (
+    SELECT l_orderkey AS ok, l_partkey AS pk,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= 1024),
+e0 AS MATERIALIZED (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+arcs AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM e0),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS label FROM arcs),
+{_lpa_cte_chain(4)}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l4
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+ENTRIES["part_communities_lpa"] = (part_communities_lpa, PART_COMMUNITIES_LPA_SQL)
+
+
+# ---------------------------------------------------------------------------
 # part_name_fuzzy_pairs — blocked fuzzy entity resolution.  Collapse the
 # corpus to DISTINCT names first (corpus-cardinality -> vocab-cardinality
 # before anything quadratic), block on the first token, and run

@@ -1465,6 +1465,113 @@ ENTRIES["ann_q8_topk"] = (ann_q8_topk, ANN_Q8_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank cascade (operators/similarity.py::
+    rerank_topk): an int8-quantized scan shortlists m=20 candidates per
+    query, exact float cosine re-scores ONLY the shortlist and keeps the
+    top 5 — the standard production ANN shape (cheap representation over
+    everything, expensive scoring over almost nothing; the float matmul
+    touches Q×m vectors regardless of corpus size).  Same query set /
+    k / tie-breaks as ``ann_cosine_topk``/``ann_q8_topk`` so the
+    cascade's recall repair is directly measurable against both
+    single-stage arms; q8_rank carries the stage-1 position.  The
+    oracle replays both stages declaratively: the shortlist CTEs are
+    ``ANN_Q8_TOPK_SQL``'s, the rerank re-scores with
+    ``ANN_COSINE_TOPK_SQL``'s exact-cosine expression, composed."""
+    emb = _emb(spark, sf_dir)
+    return S.rerank_topk(emb.filter(F.col("vec_id") < 10), emb, m=20, k=5)
+
+
+ANN_RERANK_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, embedding, {_ORACLE_Q8.format(v='embedding')} AS q
+  FROM embeddings
+),
+sized AS (
+  SELECT vec_id, embedding, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq
+  FROM qv
+),
+s1 AS (
+  SELECT query_id, neighbor_id, q8_rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(
+               CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                            x -> x[1] * x[2])) AS DOUBLE)
+               / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))),
+               6) DESC, b.vec_id) AS INTEGER) AS q8_rank
+    FROM sized a JOIN sized b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+  ) WHERE q8_rank <= 20
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id, s.q8_rank,
+         round({_ORACLE_COS.format(a='q.embedding', b='c.embedding')}, 6)
+           AS cosine
+  FROM s1 s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine, q8_rank,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, q8_rank, rank
+FROM ranked WHERE rank <= 5
+"""
+
+ENTRIES["ann_rerank_topk"] = (ann_rerank_topk, ANN_RERANK_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py::
+    hard_negatives): for each anchor (vec_id < 10), the 5 most-similar
+    corpus vectors whose LABEL differs from the anchor's — the
+    highest-loss negatives for a contrastive training batch (the
+    ANCE/DPR mining recipe).  One fused Arrow pass over the partitioned
+    corpus with the neighbor label carried IN-ROW (no corpus-cardinality
+    join-back); the anchor label arrives via a 10-row broadcast; the
+    only shuffle is the WindowGroupLimit top-k.  Ties break on rounded
+    cosine desc, then neighbor id — same determinism rules as
+    ``ann_cosine_topk``."""
+    emb = _emb(spark, sf_dir)
+    return S.hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+EMBEDDING_HARD_NEGATIVES_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({_ORACLE_COS.format(a='q.embedding', b='c.embedding')}, 6)
+           AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+ENTRIES["embedding_hard_negatives"] = (
+    embedding_hard_negatives,
+    EMBEDDING_HARD_NEGATIVES_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 def ann_ivfq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + int8 scalar quantization (operators/similarity.py::
     ivfq8_topk, the FAISS "IVF,SQ8" composition): probe the 2 nearest of
@@ -3995,6 +4102,55 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 ENTRIES["streaming_hourly_counts"] = (
     streaming_hourly_counts,
     STREAMING_HOURLY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming entry in the correctness gate: the events
+    table replays through a file-source stream into a per-user
+    ``session_window`` aggregation (``streaming/aggregates.py::
+    replay_user_sessions`` — the session-merge state machine, not a
+    stateless window), and the result must hash-match the oracle's
+    batch gaps-and-islands sessionization.  Boundary pinned both sides:
+    an event at exactly ``last_ts + gap`` merges (Spark merges while
+    ``ts <= session_end``), so the oracle breaks sessions on
+    ``ts - lag(ts) > gap`` strictly."""
+    from ..streaming.aggregates import replay_user_sessions
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    return replay_user_sessions(spark, ev, gap="30 minutes")
+
+
+STREAMING_SESSIONS_SQL = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT min(ts)                       AS session_start,
+       max(ts) + INTERVAL 30 MINUTE  AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT)      AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+ENTRIES["streaming_user_sessions"] = (
+    streaming_user_sessions,
+    STREAMING_SESSIONS_SQL,
 )
 
 

@@ -581,3 +581,92 @@ def test_ivfq8_rejects_zero_vectors(spark):
     qs = zeroed.filter(F.col("vec_id") < 10)
     with pytest.raises(Exception, match="zero vectors"):
         S.ivfq8_topk(qs, zeroed, k=5).collect()
+
+
+def test_hard_negatives_consistency_and_label_guarantee(spark):
+    """hard_negatives must equal the brute reconstruction from its own
+    components (all cosine_scores pairs, filtered by label mismatch,
+    top-5 by (cosine desc, neighbor_id)) and may never return a
+    neighbor sharing the anchor's label."""
+    import pandas as pd
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    got = S.hard_negatives(queries, emb, k=5).toPandas()
+    assert len(got) == 50
+    assert (got["neighbor_label"] != got["query_label"]).all()
+
+    scored = S.cosine_scores(queries, emb, carry=("label",)).toPandas()
+    q_lab = {
+        r["vec_id"]: r["label"]
+        for _, r in queries.select("vec_id", "label").toPandas().iterrows()
+    }
+    want_rows = []
+    for qid, grp in scored.groupby("query_id"):
+        neg = grp[grp["label"] != q_lab[qid]]
+        neg = neg.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(5)
+        for rank, (_, r) in enumerate(neg.iterrows(), 1):
+            want_rows.append(
+                (qid, q_lab[qid], r["neighbor_id"], r["label"],
+                 r["cosine"], rank)
+            )
+    want = sorted(want_rows)
+    got_rows = sorted(
+        map(
+            tuple,
+            got[
+                ["query_id", "query_label", "neighbor_id",
+                 "neighbor_label", "cosine", "rank"]
+            ].itertuples(index=False),
+        )
+    )
+    assert got_rows == want
+
+
+def test_rerank_full_shortlist_equals_exact_topk(spark):
+    """With the shortlist covering the whole corpus the rerank cascade
+    must reproduce exact cosine_topk bit-for-bit — the full-probe
+    identity the IVF family pins, applied to the q8→float cascade."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    n = emb.count()
+    full = S.rerank_topk(queries, emb, m=n, k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+    exact = S.cosine_topk(queries, emb, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_rerank_recall_not_below_q8_only(spark):
+    """Any exact-top-5 member that survives the q8 top-20 shortlist is
+    kept by the exact re-score, so rerank recall@5 >= q8-only recall@5
+    holds structurally — a drop means the cascade's stage wiring broke."""
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    d = sf_dir("sf0.01")
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.quantized_topk(queries, emb, k=5).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in S.rerank_topk(queries, emb, m=20, k=5).collect()
+    }
+    recall_q8 = len(exact & q8) / len(exact)
+    recall_rr = len(exact & rr) / len(exact)
+    assert recall_rr >= recall_q8, (recall_rr, recall_q8)
+    assert recall_rr >= 0.8, f"rerank recall@5 {recall_rr:.2f}"

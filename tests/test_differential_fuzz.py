@@ -574,6 +574,9 @@ EMB_QUERIES = [
     # round-10 addition: PQ/ADC ranking (L2 — defined on zero vectors)
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-11 third batch: label-filtered mining + q8→float cascade
+    "embedding_hard_negatives",
+    "ann_rerank_topk",
 ]
 
 
@@ -800,3 +803,130 @@ def test_new_r11_queries_match_oracle_on_degenerate_inputs(
         "ann_ivfq8_topk", d4,
         {"embeddings": os.path.join(d4, "embeddings.parquet")},
     )
+
+
+def test_new_r11_third_batch_queries_on_degenerate_inputs(
+    spark, tmp_path_factory, entries
+):
+    """Degenerate-input corner probes for the late-round-11 batch:
+    part_communities_lpa on an EMPTY fact table and on a graph whose
+    every pair co-occurs only once (the >= 2 threshold empties the edge
+    set — both engines must return zero communities, exercising the
+    empty-arc LPA loop vs the vacuous CTE chain); on a doubled
+    two-triangle graph (threshold passes, hand-checkable communities);
+    embedding_hard_negatives when EVERY label matches the anchors'
+    (zero negatives exist) and on a 3-vector corpus (fewer candidates
+    than k); ann_rerank_topk on the same tiny corpus (m far exceeds the
+    corpus).  An empty query block (gappy id space with nothing below
+    the vec_id < 10 device) must RAISE loudly, not np.stack-crash."""
+    import random
+
+    def run(name, d, views):
+        con = duckdb.connect()
+        for t, p in views.items():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{p}/*.parquet')"
+            )
+        fn, sql = entries[name]
+        srows = sorted(
+            tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+        )
+        drows = sorted(
+            tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert srows == drows, (name, srows[:3], drows[:3])
+        return srows
+
+    d1 = str(tmp_path_factory.mktemp("lpa_empty"))
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(os.path.join(d1, "lineitem.parquet"))
+    assert run(
+        "part_communities_lpa",
+        d1,
+        {"lineitem": os.path.join(d1, "lineitem.parquet")},
+    ) == []
+
+    # every pair co-occurs exactly once -> thresholded edge set empty
+    d2 = str(tmp_path_factory.mktemp("lpa_sparse"))
+    spark.createDataFrame(
+        [(1, 7), (1, 9), (2, 7), (2, 11)], "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(os.path.join(d2, "lineitem.parquet"))
+    assert run(
+        "part_communities_lpa",
+        d2,
+        {"lineitem": os.path.join(d2, "lineitem.parquet")},
+    ) == []
+
+    # two triangles + bridge, every basket duplicated so each edge has
+    # n_baskets = 2; LPA(4) settles each triangle on its min label
+    d3 = str(tmp_path_factory.mktemp("lpa_tri"))
+    baskets = [(1, 2, 3), (4, 5, 6), (3, 4)]
+    rows = []
+    ok = 0
+    for copy in range(2):
+        for items in baskets:
+            ok += 1
+            rows += [(ok, it) for it in items]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(os.path.join(d3, "lineitem.parquet"))
+    got = run(
+        "part_communities_lpa",
+        d3,
+        {"lineitem": os.path.join(d3, "lineitem.parquet")},
+    )
+    assert sorted(got) == [(1, 3), (3, 3)]  # the two triangle communities
+
+    rng = random.Random(11)
+
+    # all labels identical: zero hard negatives exist on either engine
+    d4 = str(tmp_path_factory.mktemp("hn_onelabel"))
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 1) for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d4, "embeddings.parquet"))
+    assert run(
+        "embedding_hard_negatives",
+        d4,
+        {"embeddings": os.path.join(d4, "embeddings.parquet")},
+    ) == []
+
+    # 3-vector corpus: fewer candidates than k for both queries
+    d5 = str(tmp_path_factory.mktemp("hn_tiny"))
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 2) for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d5, "embeddings.parquet"))
+    run(
+        "embedding_hard_negatives",
+        d5,
+        {"embeddings": os.path.join(d5, "embeddings.parquet")},
+    )
+    run(
+        "ann_rerank_topk",
+        d5,
+        {"embeddings": os.path.join(d5, "embeddings.parquet")},
+    )
+
+    # gappy id space with NOTHING below the query device cutoff: the
+    # fused pass must reject the empty query block loudly
+    d6 = str(tmp_path_factory.mktemp("hn_gappy"))
+    rows = [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d6, "embeddings.parquet"))
+    fn, _ = entries["embedding_hard_negatives"]
+    with pytest.raises(ValueError, match="empty query block"):
+        fn(spark, d6).collect()
+    fn, _ = entries["ann_rerank_topk"]
+    with pytest.raises(ValueError, match="empty query block"):
+        fn(spark, d6).collect()

@@ -384,3 +384,82 @@ def test_kcore_rejects_bad_k(spark):
     e = _edges_df(spark, [(1, 2)])
     with pytest.raises(ValueError, match="k must be >= 1"):
         G.kcore(e, 0)
+
+
+# ---------------------------------------------------------------------------
+# lpa_labels — synchronous label propagation (operators/graphs.py::lpa_labels)
+
+
+def _python_lpa(edges, rounds):
+    """Plain-Python reference: synchronous rounds, modal neighbor label,
+    ties to the smallest label."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = Counter(lab[m] for m in ns)
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    # two triangles joined by one bridge edge: 4 synchronous rounds
+    # settle each triangle on its own community label
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = {
+        r["node"]: r["label"]
+        for r in G.lpa_labels(_edges_df(spark, edges), rounds=4).collect()
+    }
+    assert got == _python_lpa(edges, 4)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_oscillation_is_fixed_round_deterministic(spark):
+    # a single edge swaps labels every synchronous round — fixed-round
+    # semantics make both depths deterministic and oracle-replayable
+    edges = [(1, 2)]
+    e3 = {
+        r["node"]: r["label"]
+        for r in G.lpa_labels(_edges_df(spark, edges), rounds=3).collect()
+    }
+    e4 = {
+        r["node"]: r["label"]
+        for r in G.lpa_labels(_edges_df(spark, edges), rounds=4).collect()
+    }
+    assert e3 == _python_lpa(edges, 3) == {1: 2, 2: 1}
+    assert e4 == _python_lpa(edges, 4) == {1: 1, 2: 2}
+
+
+@pytest.mark.parametrize("partitions", [None, 1, 7])
+def test_lpa_matches_python_reference_random(spark, partitions):
+    # same planted-density pseudo-random graph as the kcore battery;
+    # every depth 1..4 must match the Python reference exactly for any
+    # input partitioning (integer voting is partitioning-invariant)
+    edges = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if (i * 37 + j * 101) % 13 < (3 if j < 20 else 1):
+                edges.add((i, j))
+    for rounds in (1, 2, 4):
+        want = _python_lpa(edges, rounds)
+        got = {
+            r["node"]: r["label"]
+            for r in G.lpa_labels(
+                _edges_df(spark, edges, partitions), rounds=rounds
+            ).collect()
+        }
+        assert got == want, f"rounds={rounds}"
+
+
+def test_lpa_empty_edges_and_bad_rounds(spark):
+    empty = _edges_df(spark, [(1, 2)]).filter("a > 100")
+    out = G.lpa_labels(empty, rounds=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "label"]
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        G.lpa_labels(_edges_df(spark, [(1, 2)]), rounds=0)

@@ -1005,6 +1005,8 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
     bnlj_ok = {
         "ann_cosine_topk",       # broadcast query set x corpus (by design)
         "ann_q8_topk",           # same, int8 variant
+        "ann_rerank_topk",       # same int8 scan as its stage 1; stage 2
+                                 # joins are broadcast-hash on Q×m ids
         "semantic_dedup",        # 1-row stats / K-row centroid pairing
         "value_quantile_sketch", # 1-row min/max stats
         "events_hourly_gapfill", # 1-row calendar bounds
@@ -1128,4 +1130,82 @@ def test_kcore_round_plan_partial_agg_no_window(spark):
     plan = _plan(core)
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+    assert "unboundedpreceding$(), unboundedfollowing$()" not in plan
+
+
+def test_hard_negatives_fused_pass_broadcast_label_join(spark):
+    """Hard-negative mining (round 11): the neighbor label must ride the
+    fused cosine Arrow pass IN-ROW (an equi-join of the Q×N pair stream
+    back against the corpus would add a corpus-cardinality shuffle — the
+    plan may contain exactly one join, the broadcast-hash join against
+    the 10-row anchor-label relation), and the only shuffle is the
+    WindowGroupLimit top-k."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        embedding_hard_negatives,
+    )
+
+    plan = _plan(embedding_hard_negatives(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rerank_topk_stage2_never_rescans_corpus_wide(spark):
+    """Retrieve-then-rerank (round 11): stage 1 is the quantized scan
+    (its BNLJ is the whitelisted broadcast-query shape); stage 2 must
+    prune the corpus with a broadcast semi-join on the Q×m shortlist ids
+    BEFORE the exact cosine pass, and both stages' top-k windows keep
+    WindowGroupLimit.  No sort-merge join anywhere — every pairing is
+    against a bounded broadcast side."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        ann_rerank_topk,
+    )
+
+    df = ann_rerank_topk(spark, sf_dir())
+    df.collect()  # materialize the lazy shortlist checkpoint + AQE plan
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan  # stage-2 top-k (stage 1 is behind
+    # the materialized checkpoint: both consumers read Scan ExistingRDD,
+    # so the quantized corpus pass planned/ran ONCE, not once per branch)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_communities_lpa_round_plan_partial_agg_no_window(spark):
+    """LPA vote round (round 11): the per-(node, label) vote count must
+    be a hash aggregate with a map-side partial (a per-node window over
+    raw votes would pin a hub's arc set on one task), and the argmin
+    over votes is itself an aggregate — no window function, no
+    cartesian, nothing node-cardinality broadcast from the operator."""
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators.graphs import (
+        _lpa_round,
+        undirect,
+    )
+
+    edges = (
+        spark.read.parquet(sf_dir() + "/lineitem.parquet")
+        .select(
+            F.col("l_orderkey").alias("a"), F.col("l_partkey").alias("b")
+        )
+        .limit(500)
+    )
+    arcs = undirect(edges).withColumnRenamed(
+        "src", "node"
+    ).withColumnRenamed("dst", "nbr")
+    labels = arcs.select("node").distinct().withColumn(
+        "label", F.col("node")
+    )
+    plan = _plan(_lpa_round(arcs, labels))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "unboundedpreceding$(), unboundedfollowing$()" not in plan

@@ -28,7 +28,9 @@ from duckdb_webhook_gateway_spark import workloads
 
 def test_driver_window_covers_every_due_entry():
     names = list(workloads.all_entries())
-    due = rotation.due_now(names)
+    due = rotation.due_now(
+        names, registered_rounds=workloads._REGISTERED_ROUND
+    )
     window = set(names[:50])
     missing = sorted(set(due) - window)
     assert not missing, (
@@ -37,6 +39,29 @@ def test_driver_window_covers_every_due_entry():
         f"upcoming round's first-50 window: "
         f"{[(n, f'last r{due[n]}') for n in missing]}"
     )
+
+
+def test_every_never_certified_entry_has_a_registration_round():
+    """A never-certified entry gets its due round from _REGISTERED_ROUND
+    (due strictly after registration — the embedding_finite_gate
+    precedent).  Every such entry MUST be annotated, every annotation
+    must name a real registry entry, and no annotation may claim a
+    FUTURE round — otherwise a new query could silently defer its first
+    certification forever."""
+    names = list(workloads.all_entries())
+    last = rotation.last_certified(names)
+    upcoming = rotation.latest_recorded_round() + 1
+    reg = workloads._REGISTERED_ROUND
+    unknown = sorted(set(reg) - set(names))
+    assert not unknown, f"_REGISTERED_ROUND names not in registry: {unknown}"
+    never = sorted(n for n, r in last.items() if r == 0)
+    unannotated = sorted(set(never) - set(reg))
+    assert not unannotated, (
+        f"never-certified entries missing a _REGISTERED_ROUND "
+        f"annotation: {unannotated}"
+    )
+    future = {n: r for n, r in reg.items() if r >= upcoming + 1}
+    assert not future, f"registration rounds beyond the upcoming: {future}"
 
 
 def test_history_green_definition_matches_driver_records():

@@ -983,3 +983,54 @@ def test_session_group_sorts_across_chunks():
     assert str(closed["session_end"]).startswith("2026-01-01 10:10")
     # open tail = the 12:00 event
     assert st.val[2] == 1
+
+
+def test_replay_user_sessions_boundary_and_micro_precision(spark):
+    """The stream/batch session-equivalence bridge (round 11): an event
+    at EXACTLY last_ts + gap must MERGE into the open session (Spark
+    merges while ts <= session_end; the DuckDB oracle mirrors with a
+    strict ts - lag(ts) > gap break), session_end must equal
+    last_ts + gap, and MICROSECOND timestamps must survive the JSON
+    landing round-trip (the default JSON timestamp format truncates to
+    milliseconds, which silently moves session bounds)."""
+    import datetime as dt
+
+    from duckdb_webhook_gateway_spark.streaming.aggregates import (
+        replay_user_sessions,
+    )
+
+    rows = [
+        (1, 10, dt.datetime(2026, 1, 1, 0, 0, 0, 123456)),
+        (2, 10, dt.datetime(2026, 1, 1, 0, 10, 0)),
+        # exactly gap after the previous event: still the same session
+        (3, 10, dt.datetime(2026, 1, 1, 0, 40, 0)),
+        # 1 microsecond past the gap from event 3's end: a NEW session
+        (4, 10, dt.datetime(2026, 1, 1, 1, 10, 0, 1)),
+        (5, 20, dt.datetime(2026, 1, 1, 0, 0, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp_ntz"
+    )
+    got = sorted(
+        map(tuple, replay_user_sessions(spark, ev, gap="30 minutes").collect())
+    )
+    assert got == [
+        (
+            dt.datetime(2026, 1, 1, 0, 0, 0),
+            dt.datetime(2026, 1, 1, 0, 30, 0),
+            20,
+            1,
+        ),
+        (
+            dt.datetime(2026, 1, 1, 0, 0, 0, 123456),
+            dt.datetime(2026, 1, 1, 1, 10, 0),
+            10,
+            3,
+        ),
+        (
+            dt.datetime(2026, 1, 1, 1, 10, 0, 1),
+            dt.datetime(2026, 1, 1, 1, 40, 0, 1),
+            10,
+            1,
+        ),
+    ]

@@ -77,20 +77,32 @@ def due_now(
     repo_root: str = REPO_ROOT,
     upcoming_round: int | None = None,
     max_staleness: int = MAX_STALENESS,
+    registered_rounds: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Entries that MUST appear in the upcoming round's driver window.
 
     ``upcoming_round`` defaults to (latest recorded round) + 1 — the
     round currently being built.  An entry last certified in round R is
-    due in every round >= R + max_staleness; never-certified entries
-    (last = 0, e.g. registered mid-round behind the window) are always
-    due.  Returns {name: last_certified_round}.
+    due in every round >= R + max_staleness.  Never-certified entries
+    (last = 0) are due in every round STRICTLY AFTER their registration
+    round from ``registered_rounds`` (workloads._REGISTERED_ROUND — an
+    entry registered mid-round behind an already-full window takes its
+    first certification the next round, the embedding_finite_gate
+    precedent); an unannotated never-certified entry is ALWAYS due.
+    Returns {name: last_certified_round}.
     """
     if upcoming_round is None:
         upcoming_round = latest_recorded_round(repo_root) + 1
+    reg = registered_rounds or {}
     last = last_certified(registry_names, repo_root)
     return {
-        n: r for n, r in last.items() if r + max_staleness <= upcoming_round
+        n: r
+        for n, r in last.items()
+        if (
+            (r + max_staleness <= upcoming_round)
+            if r
+            else (upcoming_round > reg.get(n, 0))
+        )
     }
 
 
@@ -98,11 +110,14 @@ def main() -> None:  # pragma: no cover - CLI convenience
     import sys
 
     sys.path.insert(0, REPO_ROOT)
-    from duckdb_webhook_gateway_spark.workloads import all_entries
+    from duckdb_webhook_gateway_spark.workloads import (
+        _REGISTERED_ROUND,
+        all_entries,
+    )
 
     names = list(all_entries())
     upcoming = latest_recorded_round() + 1
-    due = due_now(names)
+    due = due_now(names, registered_rounds=_REGISTERED_ROUND)
     window = set(names[:50])
     print(f"registry: {len(names)} entries; upcoming round r{upcoming}")
     print(f"due ({len(due)}):")
