@@ -95,3 +95,32 @@ def test_check_first_window_size_and_membership():
     assert list(names[: len(workloads._CHECK_FIRST)]) == list(
         workloads._CHECK_FIRST
     )
+
+
+def test_bench_suite_names_are_registry_entries():
+    """bench.py runs `[n for n in SUITE if n in entries]` — a typo'd or
+    renamed suite name would silently vanish from the timing instead of
+    failing, making a round's bench row quietly incomparable.  Every
+    name in every suite must be a real registry entry."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    entries = set(workloads.all_entries())
+    for suite in (
+        bench.BENCH_QUERIES,
+        bench.EXTENDED_QUERIES,
+        bench.EXTENDED2_QUERIES,
+        bench.EXTENDED3_QUERIES,
+        bench.EXTENDED4_QUERIES,
+    ):
+        missing = [n for n in suite if n not in entries]
+        assert not missing, f"bench suite names not in registry: {missing}"
