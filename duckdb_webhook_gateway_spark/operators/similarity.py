@@ -103,6 +103,13 @@ def cosine_scores(
             .orderBy("_id")
             .toPandas()
         )
+    clash = {"query_id", "neighbor_id", "cosine"}.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"cosine_scores: carry columns {sorted(clash)} collide with "
+            "the fixed output columns (query_id, neighbor_id, cosine) — "
+            "alias them on the corpus relation first"
+        )
     if len(q_pd) == 0:
         raise ValueError(
             "cosine_scores: empty query block — the query relation "

@@ -670,3 +670,17 @@ def test_rerank_recall_not_below_q8_only(spark):
     recall_rr = len(exact & rr) / len(exact)
     assert recall_rr >= recall_q8, (recall_rr, recall_q8)
     assert recall_rr >= 0.8, f"rerank recall@5 {recall_rr:.2f}"
+
+
+def test_cosine_scores_rejects_colliding_carry_names(spark):
+    """A carry column named like a fixed output column (query_id /
+    neighbor_id / cosine) would silently overwrite the score in the
+    fused pass's output dict — reject it loudly instead."""
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    bad = emb.withColumn("cosine", emb.label)
+    with pytest.raises(ValueError, match="collide with"):
+        S.cosine_scores(bad.filter("vec_id < 10"), bad, carry=("cosine",))
