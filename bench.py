@@ -121,6 +121,10 @@ EXTENDED4_QUERIES = [
     "ann_rerank_topk",
     "embedding_hard_negatives",
     "streaming_user_sessions",
+    # round 11, fourth batch
+    "ann_mmr_topk",
+    "doc_cdc_chunks",
+    "streaming_dedup_events",
 ]
 
 

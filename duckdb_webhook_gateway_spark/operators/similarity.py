@@ -1819,3 +1819,136 @@ def lsh_suggest_planes(
     return max(
         4, math.ceil(math.log2(max(1.0, n_rows / target_bucket_members)))
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` of the ``m`` most-relevant
+    candidates, scoring each remaining candidate as
+
+        mmr = lam * rel(q, d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    so every pick is relevant to the query but dissimilar from what is
+    already selected — the standard redundancy filter on a retrieval
+    shortlist (a corpus full of near-duplicates otherwise returns k
+    copies of one document).
+
+    Scale shape: stage 1 is the :func:`cosine_scores` fused Arrow pass
+    (query block broadcast, corpus scanned once) with the corpus vector
+    CARRIED IN-ROW, and a WindowGroupLimit keeps top-``m`` per query —
+    the greedy stage then runs per query over ≤ m rows via
+    ``applyInPandas``, which REUSES the window's hash(query_id)
+    partitioning (one exchange total; plan-pinned).  Greedy selection
+    over the raw Q×N scored stream instead would hold a corpus-size
+    group per task — the shortlist bound is what makes MMR distributable.
+
+    Determinism (differential-oracle contract): rel is the stage-1
+    rounded cosine; every pairwise sim is rounded to 1e-6; the combined
+    mmr is rounded at 1e-7 — ONE DIGIT FINER than its 1e-6 inputs:
+    lam=0.7 times a 6dp value is mathematically a 7dp value, so rounding
+    at 6dp would sit exactly on half-way points and split between
+    numpy's banker's rounding and SQL round's half-away (observed on the
+    very first differential run); at 7dp the score is ~1e-16 off the
+    grid and both engines agree bit-for-bit.  (Oracle replay therefore
+    wants a lam with a single decimal digit.)  Ties break on neighbor id
+    ascending.  The first pick is the pure-relevance argmax scored as
+    round(lam*rel, 7) (the selected set is empty — the diversity term
+    does not exist yet).
+
+    Returns (query_id, neighbor_id, cosine, mmr, rank), rank 1..k in
+    selection order.  lam=1 degenerates to :func:`cosine_topk` order on
+    the shortlist (pinned in tests).
+
+    Reference parity: beyond-reference scale operator (no vector surface
+    in the gateway, /root/reference/src/app.py:175-239); the DuckDB
+    oracle unrolls the same greedy rounds as SQL stages.
+    """
+    if not 1 <= k <= m:
+        raise ValueError(f"mmr_topk: need 1 <= k <= m, got k={k} m={m}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_topk: need 0 <= lam <= 1, got {lam}")
+    corp = corpus.withColumn("_mv", F.col(vec_col))
+    scored = cosine_scores(queries, corp, id_col, vec_col, carry=("_mv",))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .drop("_r")
+    )
+
+    lam_ = float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+        rel = pdf["cosine"].to_numpy(dtype="float64")
+        mat = np.stack(
+            [np.asarray(v, dtype="float64") for v in pdf["_mv"].values]
+        )
+        norm = np.linalg.norm(mat, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.round(
+                (mat @ mat.T) / (norm[:, None] * norm[None, :]), 6
+            )
+        # NULL/NaN contract, mirroring the oracle exactly: a zero-norm
+        # cosine arrives as NULL (DuckDB's x/0 -> NULL; the Arrow
+        # pandas->null conversion on the Spark side), NULL scores sort
+        # LAST (both engines' DESC default), and the diversity max
+        # IGNORES NULL pair-sims (SQL max) -> np.nanmax here, with an
+        # all-NaN group collapsing back to NaN (= SQL all-NULL max).
+        import math
+        import warnings
+
+        avail = list(range(len(pdf)))
+        picked: list[tuple[int, float]] = []
+        sel: list[int] = []
+        while avail and len(picked) < k:
+            best = None
+            for i in avail:
+                if sel:
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        msim = float(np.nanmax(sims[i, np.asarray(sel)]))
+                    score = float(
+                        np.round(lam_ * rel[i] - (1.0 - lam_) * msim, 7)
+                    )
+                else:
+                    score = float(np.round(lam_ * rel[i], 7))
+                key = -math.inf if math.isnan(score) else score
+                cand = (-key, ids[i], i, score)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+            bi, bscore = best[2], best[3]
+            picked.append((bi, bscore))
+            sel.append(bi)
+            avail.remove(bi)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": [ids[i] for i, _ in picked],
+                "cosine": [rel[i] for i, _ in picked],
+                "mmr": [s for _, s in picked],
+                "rank": np.arange(1, len(picked) + 1, dtype="int32"),
+            }
+        )
+
+    # No explicit repartition: the top-m window already hash-partitions
+    # on query_id and EnsureRequirements lets the grouped-map reuse that
+    # exchange (pinned in tests/test_plans.py).
+    return shortlist.groupBy("query_id").applyInPandas(
+        greedy,
+        schema=(
+            "query_id bigint, neighbor_id bigint, cosine double, "
+            "mmr double, rank int"
+        ),
+    )

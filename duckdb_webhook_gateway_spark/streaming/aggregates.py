@@ -219,3 +219,82 @@ def replay_user_sessions(
     if owns_landing:
         shutil.rmtree(landing_dir, ignore_errors=True)
     return result
+
+
+def replay_dedup_daily_users(
+    spark: SparkSession,
+    events: DataFrame,
+    landing_dir: Optional[str] = None,
+) -> DataFrame:
+    """Replay a batch events relation through Structured Streaming's
+    NATIVE ``dropDuplicates`` state store and return per (event_type,
+    day) distinct-user counts — the third stream/batch equivalence
+    bridge (``replay_hourly_counts``: stateless tumbling windows;
+    ``replay_user_sessions``: the session-merge state machine; this
+    one: the built-in dedup state operator, distinct from the custom
+    ``applyInPandasWithState`` dedup in ``streaming/stateful.py``).
+
+    Design for determinism: ``dropDuplicates`` keeps an ARBITRARY first
+    row per key (whichever micro-batch partition wins), so no test may
+    depend on which duplicate survives.  The replay therefore dedups on
+    the full key (user_id, event_type, day) and a BATCH aggregate over
+    the append-sink output counts keys per (event_type, day) — a pure
+    function of the key SET, identical no matter which row the state
+    store kept.  The dedup→aggregate split also sidesteps chaining two
+    stateful operators (dedup + streaming agg needs watermarks on both;
+    a bounded availableNow replay has nothing to bound).
+
+    State posture: an unbounded production stream would use
+    ``dedup_within_watermark_stream`` (stateful.py) to cap state; the
+    bounded replay drains and frees it at termination.  Day derivation
+    happens STREAM-SIDE from the NTZ event time (millisecond JSON
+    round-trip truncation is harmless at day granularity — the
+    sessions-bridge microsecond caveat does not bite here).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    owns_landing = landing_dir is None
+    if owns_landing:
+        landing_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    events.coalesce(4).write.mode("overwrite").json(landing_dir)
+    stream = spark.readStream.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"
+    ).json(landing_dir)
+    # NULL key components are excluded EXPLICITLY on both sides of the
+    # bridge: dropDuplicates treats NULL as an ordinary key value while
+    # SQL's count(DISTINCT user_id) silently skips NULLs — the exact
+    # equi-join-vs-grouping NULL divergence class the r10 corner probes
+    # hunted.  Pinning the filter here keeps the contract visible.
+    deduped = (
+        stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .withColumn("day", F.to_date("ts"))
+        .select("user_id", "event_type", "day")
+        .dropDuplicates(["user_id", "event_type", "day"])
+    )
+    name = "dedup_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    result = (
+        spark.table(name)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+        .orderBy("event_type", "day")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    if owns_landing:
+        shutil.rmtree(landing_dir, ignore_errors=True)
+    return result

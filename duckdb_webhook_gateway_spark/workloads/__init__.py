@@ -72,6 +72,9 @@ _REGISTERED_ROUND = {
     "ann_rerank_topk": 11,
     "embedding_hard_negatives": 11,
     "streaming_user_sessions": 11,
+    "ann_mmr_topk": 11,
+    "doc_cdc_chunks": 11,
+    "streaming_dedup_events": 11,
 }
 
 _CHECK_FIRST = (

@@ -1529,6 +1529,111 @@ ENTRIES["ann_rerank_topk"] = (ann_rerank_topk, ANN_RERANK_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.py::mmr_topk):
+    cosine top-20 shortlist per probe (vec_id < 10), then greedy
+    Maximal-Marginal-Relevance selection of 5 at lam=0.7 — each pick
+    trades relevance against similarity to what is already selected,
+    the standard redundancy filter over a near-dup-heavy corpus.  The
+    oracle unrolls the same greedy rounds as SQL stages (argmax +
+    NOT-EXISTS exclusion per round), so every selection, score, and
+    tie-break is replayed end-to-end."""
+    emb = _emb(spark, sf_dir)
+    return S.mmr_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, m=20, lam=0.7
+    )
+
+
+def _mmr_sql(k: int = 5, m: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: stage n scores every unselected
+    shortlist member as round(lam*rel - (1-lam)*max sim-to-selected, 7)
+    and takes the per-query argmax (ties on neighbor_id).  ``1 - lam``
+    is spelled via repr() so the SQL multiplies by the SAME IEEE double
+    the Spark greedy uses (1.0 - 0.7 != literal 0.3 at the last bit);
+    the 7dp (not 6dp) mmr rounding is the half-way-point fix — see
+    mmr_topk's docstring."""
+    cos = _ORACLE_COS.format(a="q.embedding", b="c.embedding")
+    pcos = _ORACLE_COS.format(a="e1.embedding", b="e2.embedding")
+    lam_r = repr(float(lam))
+    oml_r = repr(1.0 - float(lam))
+    parts = [
+        f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+sl AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {m}
+),
+ps AS (
+  SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+         round({pcos}, 6) AS sim
+  FROM sl s1
+  JOIN sl s2 ON s1.query_id = s2.query_id
+            AND s1.neighbor_id <> s2.neighbor_id
+  JOIN embeddings e1 ON e1.vec_id = s1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = s2.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, cosine, mmr FROM (
+    SELECT query_id, neighbor_id, cosine,
+           round({lam_r} * cosine, 7) AS mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round({lam_r} * cosine, 7) DESC,
+                                       neighbor_id) AS rr
+    FROM sl) WHERE rr = 1
+),
+acc1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for n in range(2, k + 1):
+        parts.append(
+            f""",
+cand{n} AS (
+  SELECT p.query_id, p.a AS neighbor_id, max(p.sim) AS msim
+  FROM ps p
+  JOIN acc{n - 1} v ON v.query_id = p.query_id AND v.neighbor_id = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM acc{n - 1} w
+                    WHERE w.query_id = p.query_id
+                      AND w.neighbor_id = p.a)
+  GROUP BY p.query_id, p.a
+),
+sel{n} AS (
+  SELECT query_id, neighbor_id, cosine, mmr FROM (
+    SELECT c.query_id, c.neighbor_id, s.cosine,
+           round({lam_r} * s.cosine - {oml_r} * c.msim, 7) AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY round({lam_r} * s.cosine
+                                             - {oml_r} * c.msim, 7) DESC,
+                                       c.neighbor_id) AS rr
+    FROM cand{n} c
+    JOIN sl s ON s.query_id = c.query_id
+             AND s.neighbor_id = c.neighbor_id)
+  WHERE rr = 1
+),
+acc{n} AS (SELECT query_id, neighbor_id FROM acc{n - 1}
+           UNION ALL SELECT query_id, neighbor_id FROM sel{n})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, cosine, mmr, "
+        f"CAST({i} AS INTEGER) AS rank FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+ANN_MMR_TOPK_SQL = _mmr_sql(k=5, m=20, lam=0.7)
+
+ENTRIES["ann_mmr_topk"] = (ann_mmr_topk, ANN_MMR_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.py::
     hard_negatives): for each anchor (vec_id < 10), the 5 most-similar
@@ -2466,6 +2571,121 @@ ORDER BY stage
 
 ENTRIES["boilerplate_ratio"] = (boilerplate_ratio, BOILERPLATE_RATIO_SQL)
 ENTRIES["doc_chunk_manifest"] = (doc_chunk_manifest, DOC_CHUNK_MANIFEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): the rsync/LBFS boundary trick — a chunk
+# ends wherever a rolling hash of the last 8 characters hits 0 mod 64, so
+# boundaries are a function of CONTENT, not position.  Insert a paragraph
+# at the front of a document and every fixed-size chunk after it changes;
+# CDC boundaries re-synchronize at the first untouched window, so all
+# downstream chunks keep their hashes — the property that makes
+# chunk-level dedup incremental at 100 TB (only genuinely new chunks are
+# new).  Pure integer arithmetic → bit-exact on any partitioning.
+_CDC_B, _CDC_M, _CDC_MASK = 257, 1_000_003, 64
+_CDC_CAP = 4000  # same explicit both-engine cap as the 4000-token rule
+
+
+def _cdc_hash_terms(cap: str, pos: str) -> str:
+    """The 8-term window polynomial Σ ascii(cap[pos-7+t]) * B^(7-t) mod M,
+    spelled identically for Spark SQL and DuckDB (both have ascii/substr
+    with 1-based offsets; every term is BIGINT so the ~2e9 sum never
+    touches 32-bit overflow)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr({cap}, {pos}-{7 - t}, 1)) AS BIGINT) * "
+        f"{pow(_CDC_B, 7 - t, _CDC_M)}"
+        for t in range(8)
+    )
+    return f"(({terms}) % {_CDC_M})"
+
+
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CDC manifest: chunk count, longest chunk, and an
+    order-sensitive fingerprint (md5 of the concatenated per-chunk md5s,
+    the ``doc_chunk_manifest`` convention) under content-defined
+    boundaries (rolling 8-char hash == 0 mod 64, final boundary at end
+    of text).
+
+    Everything is IN-ROW with filter/sequence/transform higher-order
+    functions — whole-stage codegen, zero Python, zero shuffles beyond
+    the input spread and presentation sort; the chunk list itself never
+    leaves the row.  NULL text propagates NULL; empty text is 0 chunks.
+    """
+    docs = _docs(spark, sf_dir, spread=True)
+    pred = f"{_cdc_hash_terms('cap', 'i')} % {_CDC_MASK} = 0"
+    ends = (
+        "CASE WHEN cap IS NULL THEN NULL "
+        "WHEN length(cap) = 0 THEN array() "
+        "ELSE array_distinct(concat("
+        "  CASE WHEN length(cap) >= 8 "
+        f"       THEN filter(sequence(8, length(cap)), i -> {pred}) "
+        "       ELSE array() END, "
+        "  array(length(cap)))) END"
+    )
+    prev = "CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END"
+    return (
+        docs.select(
+            "doc_id", F.expr(f"substr(text, 1, {_CDC_CAP})").alias("cap")
+        )
+        .select("doc_id", "cap", F.expr(ends).alias("ends"))
+        .select(
+            "doc_id",
+            F.expr("CAST(length(cap) AS BIGINT)").alias("n_chars"),
+            F.expr("CAST(size(ends) AS BIGINT)").alias("n_chunks"),
+            F.expr(
+                f"CAST(array_max(transform(ends, (e, j) -> e - ({prev})))"
+                " AS BIGINT)"
+            ).alias("max_chunk_len"),
+            F.expr(
+                "CASE WHEN ends IS NULL OR size(ends) = 0 THEN NULL "
+                "ELSE md5(concat_ws('', transform(ends, (e, j) -> "
+                f"md5(substr(cap, ({prev}) + 1, e - ({prev})))))) END"
+            ).alias("chunk_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_CDC_CHUNKS_SQL = f"""
+WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, {_CDC_CAP + 1}) r(i)),
+docs AS (SELECT doc_id, substr(text, 1, {_CDC_CAP}) AS cap FROM documents),
+b AS (
+  SELECT d.doc_id, CAST(n.i AS BIGINT) AS e
+  FROM docs d JOIN nums n ON n.i BETWEEN 8 AND length(d.cap)
+  WHERE {_cdc_hash_terms('d.cap', 'n.i')} % {_CDC_MASK} = 0
+),
+ends AS (
+  SELECT doc_id, e FROM b
+  UNION
+  SELECT doc_id, length(cap) AS e FROM docs WHERE length(cap) >= 1
+),
+chunks AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+  FROM ends
+),
+per AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(max(e - prev) AS BIGINT) AS max_chunk_len,
+         md5(string_agg(md5(substr(d.cap, CAST(prev + 1 AS INTEGER),
+                                   CAST(e - prev AS INTEGER))),
+                        '' ORDER BY e)) AS chunk_fingerprint
+  FROM chunks c JOIN docs d USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.cap) AS BIGINT) AS n_chars,
+       coalesce(p.n_chunks,
+                CASE WHEN d.cap IS NULL THEN NULL ELSE CAST(0 AS BIGINT) END)
+         AS n_chunks,
+       p.max_chunk_len,
+       p.chunk_fingerprint
+FROM docs d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+ENTRIES["doc_cdc_chunks"] = (doc_cdc_chunks, DOC_CDC_CHUNKS_SQL)
 ENTRIES["quality_funnel"] = (quality_funnel, QUALITY_FUNNEL_SQL)
 
 
@@ -4151,6 +4371,51 @@ ORDER BY user_id, session_start
 ENTRIES["streaming_user_sessions"] = (
     streaming_user_sessions,
     STREAMING_SESSIONS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUP-state streaming entry in the correctness gate: the
+    events table replays through a file-source stream into the native
+    ``dropDuplicates`` state store keyed (user_id, event_type, day),
+    and a batch aggregate over the deduped append output must
+    hash-match the oracle's COUNT(DISTINCT user_id) — stream/batch
+    equivalence for the third stateful operator class (dedup), after
+    tumbling windows and session merge.  The result is a pure function
+    of the surviving KEY SET, so it is deterministic even though
+    dropDuplicates keeps an arbitrary first row per key; NULL key
+    components are filtered explicitly on both sides (dropDuplicates
+    keys NULLs, COUNT(DISTINCT) skips them — see
+    replay_dedup_daily_users)."""
+    from ..streaming.aggregates import replay_dedup_daily_users
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = replay_dedup_daily_users(spark, ev)
+    # day as an ISO string, not DATE: this is the registry's first
+    # DATE-typed output column and the external driver's hasher has no
+    # proven DATE row yet — both engines' CAST(DATE AS STRING) is the
+    # identical 'yyyy-MM-dd', which removes the type from the equation
+    return out.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "n_active_users",
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day
+"""
+
+ENTRIES["streaming_dedup_events"] = (
+    streaming_dedup_events,
+    STREAMING_DEDUP_SQL,
 )
 
 

@@ -684,3 +684,67 @@ def test_cosine_scores_rejects_colliding_carry_names(spark):
     bad = emb.withColumn("cosine", emb.label)
     with pytest.raises(ValueError, match="collide with"):
         S.cosine_scores(bad.filter("vec_id < 10"), bad, carry=("cosine",))
+
+
+def test_mmr_lam1_is_pure_relevance_and_diversity_reorders(spark):
+    """MMR semantics pinned two ways.  (1) lam=1 kills the diversity
+    term, so selection order must equal cosine_topk's (rounded cosine
+    desc, neighbor id) bit-for-bit on the shared shortlist.  (2) On a
+    planted corpus where the two most-relevant vectors are EXACT
+    duplicates of each other, pure relevance returns the duplicate at
+    rank 2 while MMR at lam=0.5 must skip it for the distinct
+    direction — the redundancy filter the operator exists for."""
+    import pyspark.sql.functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    pure = S.mmr_topk(qs, emb, k=5, m=20, lam=1.0).collect()
+    base = S.cosine_topk(qs, emb, k=5).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows
+    )
+    assert key(pure) == key(base)
+
+    # planted: the query must DIFFER from the top hit (if q == top hit,
+    # every candidate's sim-to-selected equals its relevance and MMR
+    # ties to zero across the board).  e100 leans toward q, e101 is its
+    # exact duplicate (sim 1.0 -> mmr goes negative), e102 is slightly
+    # less relevant but far from e100 -> MMR must pick it at rank 2.
+    q_v = [1.0] + [0.0] * 63
+    top_v = [1.0, 0.2] + [0.0] * 62
+    off_v = [1.0, 0.0, 0.9] + [0.0] * 61
+    rows = [
+        (0, q_v),      # the query device (id<10)
+        (100, top_v),  # top hit (rel ~0.981)
+        (101, top_v),  # exact duplicate of 100
+        (102, off_v),  # distinct direction (rel ~0.743, sim-to-100 ~0.729)
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = (
+        S.mmr_topk(
+            planted.filter("vec_id = 0"), planted, k=3, m=10, lam=0.5
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in got] == [100, 102, 101]
+    # the duplicate's mmr is negative (0.5*rel - 0.5*1.0 with rel < 1)
+    assert got[2].mmr < 0 < got[1].mmr
+
+
+def test_mmr_guards(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="1 <= k <= m"):
+        S.mmr_topk(qs, emb, k=21, m=20)
+    with pytest.raises(ValueError, match="0 <= lam <= 1"):
+        S.mmr_topk(qs, emb, lam=1.5)

@@ -440,3 +440,97 @@ def test_text_repetition_single_token_and_empty_docs(spark, tmp_path):
     assert out[0]["max_run"] == 1 and out[0]["dup_bigram_frac"] is None
     assert out[2]["max_run"] == 1 and out[2]["dup_bigram_frac"] is None
     assert out[1]["max_run"] == 3 and out[1]["dup_token_frac"] == 0.5
+
+
+def _cdc_ref(text, cap=4000, B=257, M=1_000_003, mask=64):
+    """Independent plain-Python CDC reference: 8-char window polynomial
+    hash, boundary where (h % M) % mask == 0, final boundary at end.
+    Returns the chunk list (None text -> None, empty -> [])."""
+    if text is None:
+        return None
+    s = text[:cap]
+    L = len(s)
+    ends = []
+    for i in range(8, L + 1):  # 1-based window-end positions
+        h = sum(ord(s[i - 8 + t]) * pow(B, 7 - t, M) for t in range(8)) % M
+        if h % mask == 0:
+            ends.append(i)
+    if L >= 1 and (not ends or ends[-1] != L):
+        ends.append(L)
+    chunks, prev = [], 0
+    for e in ends:
+        chunks.append(s[prev:e])
+        prev = e
+    return chunks
+
+
+def test_cdc_chunks_match_python_reference_and_resync_property(
+    spark, tmp_path
+):
+    """doc_cdc_chunks vs an independent Python reference on a corner
+    battery (empty, <8 chars, exactly 8, long random, NULL), plus the
+    property the operator exists for: chunks REASSEMBLE to the text,
+    and inserting a prefix re-synchronizes — all chunks after the
+    first untouched boundary keep their identity (a fixed-size chunker
+    would shift every one of them)."""
+    import hashlib
+    import random
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        doc_cdc_chunks,
+    )
+
+    rng = random.Random(11)
+    long_doc = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz      ") for _ in range(520)
+    )
+    docs = [
+        (0, ""),
+        (1, "abc"),
+        (2, "exactly8"),
+        (3, long_doc),
+        (4, "inserted prefix " + long_doc),
+        (5, None),
+    ]
+    # _write_docs computes len(text) and cannot carry NULL text
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t or "")) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    got = {r.doc_id: r for r in doc_cdc_chunks(spark, sf).collect()}
+
+    for i, t in docs:
+        ref = _cdc_ref(t)
+        r = got[i]
+        if ref is None:
+            assert r.n_chunks is None and r.chunk_fingerprint is None
+            continue
+        assert "".join(ref) == (t or "")[:4000]  # reassembly
+        assert r.n_chunks == len(ref)
+        if ref:
+            assert r.max_chunk_len == max(len(c) for c in ref)
+            fp = hashlib.md5(
+                "".join(
+                    hashlib.md5(c.encode()).hexdigest() for c in ref
+                ).encode()
+            ).hexdigest()
+            assert r.chunk_fingerprint == fp
+        else:
+            assert r.max_chunk_len is None and r.chunk_fingerprint is None
+
+    # content-defined re-sync: the prefixed doc shares the tail of the
+    # original's chunk list (boundaries are content-local), losing at
+    # most the chunks overlapping the insertion
+    a, b = _cdc_ref(long_doc), _cdc_ref("inserted prefix " + long_doc)
+    assert len(a) >= 4, "long doc too short for the property to bite"
+    shared = 0
+    while (
+        shared < min(len(a), len(b))
+        and a[-1 - shared] == b[-1 - shared]
+    ):
+        shared += 1
+    assert shared >= len(a) - 2, (shared, len(a))

@@ -71,6 +71,10 @@ QUERIES = [
     # empty texts / single tokens stress the zero-weight and tiny-total
     # threshold edges on both engines
     "corpus_token_coverage",
+    # round-11 fourth batch: content-defined chunk boundaries (pure
+    # integer rolling hash; NULL text -> NULL manifest, empty -> 0
+    # chunks, the 4000-CHAR both-engine cap rides the kind-6 long doc)
+    "doc_cdc_chunks",
     # round-11 multimodal near-dup queries: their blobs derive from
     # (doc_id, n_chars) only, so random corpora fuzz the full
     # decode->fingerprint->band->Hamming replay — NULL-text docs carry
@@ -577,6 +581,10 @@ EMB_QUERIES = [
     # round-11 third batch: label-filtered mining + q8→float cascade
     "embedding_hard_negatives",
     "ann_rerank_topk",
+    # round-11 fourth batch: greedy MMR over the shortlist — zero-norm
+    # NULL cosines must sort last and nanmax must mirror SQL max's
+    # NULL-skipping through every greedy round
+    "ann_mmr_topk",
 ]
 
 

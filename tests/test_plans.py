@@ -1209,3 +1209,59 @@ def test_communities_lpa_round_plan_partial_agg_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "unboundedpreceding$(), unboundedfollowing$()" not in plan
+
+
+def test_mmr_topk_one_exchange_grouped_map_reuses_window_partitioning(spark):
+    """MMR (round 11 fourth batch): the fused cosine pass feeds a top-m
+    WindowGroupLimit whose hash(query_id) exchange must ALSO satisfy the
+    greedy stage's FlatMapGroupsInPandas — one Exchange in the whole
+    plan (ENSURE_REQUIREMENTS), partial+final group limits around it,
+    and no join of any kind (the query block rides a broadcast variable
+    inside the Arrow pass, the shortlist group is <= m rows per task)."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_mmr_topk
+
+    plan = _plan(ann_mmr_topk(spark, sf_dir()))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ENSURE_REQUIREMENTS" in plan
+    for bad in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin",
+    ):
+        assert bad not in plan, bad
+
+
+def test_cdc_chunks_pure_projection_pruned_scan(spark):
+    """Content-defined chunking (round 11 fourth batch): the whole
+    operator is IN-ROW higher-order-function projection — the plan may
+    contain only the input-spread and presentation-sort exchanges (no
+    hash partitioning at all), no window, no join, and no Python
+    evaluation of any kind; the parquet scan must read exactly
+    (doc_id, text)."""
+    import re
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        doc_cdc_chunks,
+    )
+
+    plan = _plan(doc_cdc_chunks(spark, sf_dir()))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "hashpartitioning" not in plan
+    for bad in (
+        "Window",
+        "Join",
+        "CartesianProduct",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "HashAggregate",
+    ):
+        assert bad not in plan, bad

@@ -1034,3 +1034,50 @@ def test_replay_user_sessions_boundary_and_micro_precision(spark):
             1,
         ),
     ]
+
+
+def test_replay_dedup_daily_users_state_and_null_contract(spark):
+    """The stream/batch DEDUP-equivalence bridge (round 11): planted
+    duplicate (user, type, day) triples must collapse in the native
+    dropDuplicates state store no matter how many raw events carry
+    them, the same user must still count once per DISTINCT day/type,
+    and rows with NULL key components must be EXCLUDED (dropDuplicates
+    keys NULLs, COUNT(DISTINCT) skips them — the bridge pins the filter
+    on both sides rather than letting the engines disagree)."""
+    import datetime as dt
+
+    from duckdb_webhook_gateway_spark.streaming.aggregates import (
+        replay_dedup_daily_users,
+    )
+
+    d1 = dt.datetime(2026, 2, 1, 9, 0, 0)
+    d1b = dt.datetime(2026, 2, 1, 22, 30, 0)  # same day, later
+    d2 = dt.datetime(2026, 2, 2, 9, 0, 0)
+    rows = [
+        # user 10 clicks 3x on day 1 (one survivor) and once on day 2
+        (1, 10, "click", d1),
+        (2, 10, "click", d1),
+        (3, 10, "click", d1b),
+        (4, 10, "click", d2),
+        # user 20: one click day 1, one view day 1
+        (5, 20, "click", d1),
+        (6, 20, "view", d1),
+        # NULL key components: all excluded
+        (7, None, "click", d1),
+        (8, 30, None, d1),
+        (9, 30, "click", None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp_ntz",
+    )
+    got = sorted(
+        (r.event_type, str(r.day), r.n_active_users)
+        for r in replay_dedup_daily_users(spark, ev).collect()
+    )
+    assert got == [
+        ("click", "2026-02-01", 2),
+        ("click", "2026-02-02", 1),
+        ("view", "2026-02-01", 1),
+    ]
