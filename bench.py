@@ -125,6 +125,8 @@ EXTENDED4_QUERIES = [
     "ann_mmr_topk",
     "doc_cdc_chunks",
     "streaming_dedup_events",
+    # round 11, fifth batch
+    "embedding_pca_topdir",
 ]
 
 

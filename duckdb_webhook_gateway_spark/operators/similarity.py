@@ -1952,3 +1952,154 @@ def mmr_topk(
             "mmr double, rank int"
         ),
     )
+
+
+def pca_topdir(
+    vectors: DataFrame,
+    iters: int = 3,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction of the embedding cloud by power
+    iteration, plus the ``k`` vectors with the largest |projection| on
+    it — the first step of PCA whitening / spectral outlier triage over
+    an embedding table (the extreme-projection rows are the cloud's
+    axis-defining outliers).
+
+    Scale shape: ONE fused Arrow pass computes per-batch second-moment
+    partial sums (the SYMMETRIC half of X^T X plus the column sums — at
+    any corpus size each batch emits d*(d+1)/2 + d + 1 rows), a hash
+    aggregate reduces them, and the driver collects only that
+    dimension-cardinality summary (2,145 rows at d=64 — same bounded
+    class as the codebook collects).  The power iteration itself is a
+    d×d problem, free on the driver; a second Arrow pass projects with
+    the broadcast component and the top-k is TakeOrderedAndProject.
+    Nothing vector-cardinality ever reaches the driver.
+
+    Cross-engine determinism (the differential-oracle contract): the
+    DATA-SCALE sums (second moments, column sums) are rounded at 1e-6 —
+    their summation-order drift grows with N and this is where it is
+    absorbed.  Everything downstream (covariance, 3 power iterations,
+    Rayleigh quotient, projections) is pure float64 arithmetic on those
+    identical rounded inputs with NO intermediate rounding: numpy and
+    SQL then differ by ~1e-15 relative (64-term sum orderings), far
+    from the final 1e-6 output rounding.  Rounding the iteration's
+    intermediates instead would QUANTIZE them onto a decimal grid whose
+    products sit exactly on half-way points — the mmr_topk lesson; keep
+    intermediates off-grid and round once at the edges.  The all-ones
+    start vector makes the eigenvector sign deterministic (no sign
+    ambiguity to reconcile).  Ties at the top-k boundary break on
+    vec_id ascending over the ROUNDED |projection|.
+
+    Raises on corpora the iteration cannot define: fewer than 2 rows,
+    or a zero covariance / zero trace (a constant cloud has no
+    principal direction; both engines would otherwise diverge on the
+    0/0).  Finite-input contract as everywhere in this module — run
+    ``finite_gate`` first.
+
+    Reference parity: beyond-reference scale operator (no vector
+    surface in the gateway, /root/reference/src/app.py:175-239); the
+    DuckDB oracle replays sums, covariance, all three iterations, and
+    the projection from the embedding table alone.
+    """
+    if iters < 1:
+        raise ValueError(f"pca_topdir: need iters >= 1, got {iters}")
+    spark = vectors.sparkSession
+    src = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(r, dtype="float64") for r in pdf["v"].values]
+            )
+            d = x.shape[1]
+            g = x.T @ x
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(d), np.array([-1])]
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), np.array([-1])]
+                    ).astype("int32"),
+                    "val": np.concatenate(
+                        [g[iu, ju], x.sum(axis=0), [float(len(pdf))]]
+                    ),
+                }
+            )
+
+    summary = (
+        src.mapInPandas(stats, "i int, j int, val double")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    if not summary:
+        raise ValueError("pca_topdir: empty corpus")
+    n = 0.0
+    s_map, g_map = {}, {}
+    for r in summary:
+        if r.i == -1:
+            n = r.val
+        elif r.j == -1:
+            s_map[r.i] = r.val
+        else:
+            g_map[(r.i, r.j)] = r.val
+    d = len(s_map)
+    if n < 2:
+        raise ValueError(
+            f"pca_topdir: need >= 2 vectors, got {int(n)} — a covariance "
+            "needs a spread to measure"
+        )
+    # the ONLY rounding of data-scale sums (see docstring)
+    s = np.round(np.array([s_map[i] for i in range(d)]), 6)
+    g = np.zeros((d, d))
+    for (i, j), val in g_map.items():
+        g[i, j] = g[j, i] = np.round(val, 6)
+    cov = (g - np.outer(s, s) / n) / n
+    v = np.ones(d)
+    for _ in range(iters):
+        w = cov @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        if nrm == 0.0:
+            raise ValueError(
+                "pca_topdir: zero covariance — a constant embedding "
+                "cloud has no principal direction"
+            )
+        v = w / nrm
+    tr = float(np.trace(cov))
+    if tr == 0.0:
+        raise ValueError("pca_topdir: zero trace — constant cloud")
+    lam = float(np.round(v @ (cov @ v), 6))
+    expl = float(np.round((v @ (cov @ v)) / tr, 6))
+    mu = s / n
+    bc = spark.sparkContext.broadcast((mu, v))
+
+    def project(batches):
+        b_mu, b_v = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(r, dtype="float64") for r in pdf["v"].values]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "pc_proj": np.round((x - b_mu) @ b_v, 6),
+                }
+            )
+
+    return (
+        src.mapInPandas(project, "vec_id bigint, pc_proj double")
+        .withColumn("lambda1", F.lit(lam))
+        .withColumn("explained_ratio", F.lit(expl))
+        .orderBy(F.abs(F.col("pc_proj")).desc(), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -75,6 +75,7 @@ _REGISTERED_ROUND = {
     "ann_mmr_topk": 11,
     "doc_cdc_chunks": 11,
     "streaming_dedup_events": 11,
+    "embedding_pca_topdir": 11,
 }
 
 _CHECK_FIRST = (

@@ -1634,6 +1634,74 @@ ENTRIES["ann_mmr_topk"] = (ann_mmr_topk, ANN_MMR_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
+def embedding_pca_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding cloud
+    (operators/similarity.py::pca_topdir): one fused Arrow pass reduces
+    the corpus to a dimension-cardinality second-moment summary, the
+    driver power-iterates the 64x64 covariance (3 iterations, all-ones
+    seed — sign-deterministic), and the 20 extreme |projection| rows
+    come back via TakeOrderedAndProject.  The oracle replays sums,
+    covariance, every iteration, the Rayleigh quotient, and the
+    projection in SQL from the embeddings table alone; only the
+    data-scale sums are rounded (1e-6) — the iteration runs on
+    identical doubles in both engines (see the operator docstring for
+    why rounding intermediates would be WRONG here)."""
+    return S.pca_topdir(_emb(spark, sf_dir), iters=3, k=20)
+
+
+def _pca_sql(iters: int = 3, k: int = 20, dim: int = 64) -> str:
+    parts = [
+        f"""
+WITH dims AS (SELECT CAST(d AS INTEGER) AS d FROM range(1, {dim + 1}) r(d)),
+x AS (SELECT e.vec_id, d.d - 1 AS d, CAST(e.embedding[d.d] AS DOUBLE) AS v
+      FROM embeddings e, dims d),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+s AS (SELECT d, round(sum(v), 6) AS s FROM x GROUP BY d),
+gh AS (SELECT a.d AS i, b.d AS j, round(sum(a.v * b.v), 6) AS gij
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+       GROUP BY a.d, b.d),
+g AS (SELECT i, j, gij FROM gh
+      UNION ALL SELECT j AS i, i AS j, gij FROM gh WHERE i < j),
+cov AS (SELECT g.i, g.j, (g.gij - si.s * sj.s / nn.n) / nn.n AS c
+        FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j, nn),
+v0 AS (SELECT d, 1.0 AS v FROM s)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS (SELECT cov.j AS d, sum(cov.c * v{t - 1}.v) AS w
+        FROM cov JOIN v{t - 1} ON v{t - 1}.d = cov.i GROUP BY cov.j),
+m{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t}),
+v{t} AS (SELECT d, w / nrm AS v FROM w{t}, m{t})"""
+        )
+    vf = f"v{iters}"
+    parts.append(
+        f""",
+wl AS (SELECT cov.j AS d, sum(cov.c * {vf}.v) AS w
+       FROM cov JOIN {vf} ON {vf}.d = cov.i GROUP BY cov.j),
+ray AS (SELECT sum({vf}.v * wl.w) AS lam_raw FROM {vf} JOIN wl USING (d)),
+trc AS (SELECT sum(c) AS tr FROM cov WHERE i = j),
+cst AS (SELECT round(lam_raw, 6) AS lambda1,
+               round(lam_raw / tr, 6) AS explained_ratio
+        FROM ray, trc),
+mu AS (SELECT s.d, s.s / nn.n AS m FROM s, nn),
+proj AS (SELECT x.vec_id, round(sum((x.v - mu.m) * {vf}.v), 6) AS pc_proj
+         FROM x JOIN mu ON mu.d = x.d JOIN {vf} ON {vf}.d = x.d
+         GROUP BY x.vec_id)
+SELECT p.vec_id, p.pc_proj, c.lambda1, c.explained_ratio
+FROM proj p, cst c
+ORDER BY abs(p.pc_proj) DESC, p.vec_id
+LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+EMBEDDING_PCA_SQL = _pca_sql(iters=3, k=20)
+
+ENTRIES["embedding_pca_topdir"] = (embedding_pca_topdir, EMBEDDING_PCA_SQL)
+
+
+# ---------------------------------------------------------------------------
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.py::
     hard_negatives): for each anchor (vec_id < 10), the 5 most-similar

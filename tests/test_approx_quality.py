@@ -748,3 +748,44 @@ def test_mmr_guards(spark):
         S.mmr_topk(qs, emb, k=21, m=20)
     with pytest.raises(ValueError, match="0 <= lam <= 1"):
         S.mmr_topk(qs, emb, lam=1.5)
+
+
+def test_pca_topdir_finds_planted_direction_and_guards(spark):
+    """Power-iteration PCA on a PLANTED anisotropic cloud: 60 isotropic
+    low-variance vectors plus 6 spread along one axis must put every
+    planted outlier in the extreme-|projection| set with a dominant
+    explained-variance ratio; degenerate clouds (constant, singleton)
+    must RAISE rather than emit a 0/0 the engines would disagree on."""
+    import pytest
+    import random
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-0.05, 0.05) for _ in range(64)])
+        for i in range(60)
+    ]
+    for j, mag in enumerate([4.0, -4.0, 3.0, -3.0, 2.0, -2.0]):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(64)]
+        v[7] = mag  # the planted axis
+        rows.append((100 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.pca_topdir(emb, iters=3, k=6).collect()
+    assert {r.vec_id for r in got} == {100, 101, 102, 103, 104, 105}
+    assert got[0].explained_ratio > 0.8  # the axis dominates the trace
+    # signs must oppose for the +4 / -4 pair (one component, two sides)
+    by_id = {r.vec_id: r.pc_proj for r in got}
+    assert by_id[100] * by_id[101] < 0
+
+    const = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="zero covariance"):
+        S.pca_topdir(const).collect()
+    single = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        S.pca_topdir(single).collect()

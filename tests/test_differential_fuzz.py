@@ -585,6 +585,10 @@ EMB_QUERIES = [
     # NULL cosines must sort last and nanmax must mirror SQL max's
     # NULL-skipping through every greedy round
     "ann_mmr_topk",
+    # round-11 fifth batch: power-iteration PCA — the iteration runs on
+    # identical rounded sums in both engines; zero vectors are ordinary
+    # cloud members here (they pull the mean, project to -mu.v)
+    "embedding_pca_topdir",
 ]
 
 

@@ -1265,3 +1265,28 @@ def test_cdc_chunks_pure_projection_pruned_scan(spark):
         "HashAggregate",
     ):
         assert bad not in plan, bad
+
+
+def test_pca_topdir_bounded_summary_take_ordered(spark):
+    """Power-iteration PCA (round 11 fifth batch): the returned plan is
+    projection-pass -> TakeOrderedAndProject over the broadcast
+    component — no window, no join; the corpus never shuffles on a
+    data key (the stats pass collects a dimension-cardinality summary
+    in a separate bounded job)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        embedding_pca_topdir,
+    )
+
+    df = embedding_pca_topdir(spark, sf_dir())
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    for bad in (
+        "Window",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin",
+    ):
+        assert bad not in plan, bad
