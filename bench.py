@@ -127,6 +127,8 @@ EXTENDED4_QUERIES = [
     "streaming_dedup_events",
     # round 11, fifth batch
     "embedding_pca_topdir",
+    # round 11, sixth batch
+    "doc_winnow_pairs",
 ]
 
 

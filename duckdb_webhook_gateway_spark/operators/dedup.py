@@ -1396,3 +1396,123 @@ def prefix_containment_join(
             ).alias("containment"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_tokens: int = 4000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram, then
+    from every window of ``w`` consecutive gram hashes select the
+    MINIMUM (rightmost position on ties) and keep the distinct selected
+    (hash, position) pairs.  The guarantee that makes it the standard
+    plagiarism/near-dup fingerprint: any shared token run of length
+    >= w + k - 1 contributes at least one shared fingerprint, while the
+    stored set is ~2/(w+1) of all grams — position-robust substring
+    matching at a fraction of the index size.
+
+    Everything below the explode is IN-ROW higher-order functions over
+    the token array (grams, windows, argmin, distinct) — whole-stage
+    friendly, embarrassingly parallel; integer md5-prefix hashes make
+    the result bit-exact on any partitioning.  Docs shorter than
+    ``k + w - 1`` tokens have no full window and emit NO fingerprints
+    (pinned; the oracle's join conditions agree by construction).  The
+    token array is capped at ``max_tokens`` on BOTH engines (the
+    4000-token oracle convention).
+
+    Returns exploded (``id_col``, fp_hash BIGINT, fp_pos INT).
+
+    Reference parity: beyond-reference scale operator (the gateway has
+    no text surface, /root/reference/src/app.py:175-239); differential
+    oracle in ``workloads/datapipe.py``.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow: need k >= 1 and w >= 1, got k={k} w={w}")
+    from ..functions.hashing import md5_int_expr
+
+    gram = "concat(" + ", ' ', ".join(
+        f"element_at(t, p + {i})" for i in range(k)
+    ) + ")"
+    grams = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"p -> struct({md5_int_expr(gram, 'spark')} AS h, p AS p)) "
+        "ELSE array() END"
+    )
+    # argmin by (h asc, pos desc): rightmost minimal hash per window —
+    # struct ordering is lexicographic, so min over (h, -p) IS the tie
+    # rule; unpack via field access on the min-struct
+    sel = (
+        f"CASE WHEN size(g) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(g) - {w - 1}), "
+        f"j -> named_struct("
+        f"'h', array_min(transform(slice(g, j, {w}), "
+        f"x -> named_struct('a', x.h, 'b', -x.p))).a, "
+        f"'p', -array_min(transform(slice(g, j, {w}), "
+        f"x -> named_struct('a', x.h, 'b', -x.p))).b))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"slice(split(coalesce({text_col}, ''), ' '), 1, "
+                f"{max_tokens})"
+            ).alias("t"),
+        )
+        .select(id_col, F.expr(grams).alias("g"))
+        .select(id_col, F.explode(F.expr(sel)).alias("fp"))
+        .select(
+            id_col,
+            F.col("fp.h").alias("fp_hash"),
+            F.col("fp.p").cast("int").alias("fp_pos"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+    max_tokens: int = 4000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document near-dup pairs by shared winnowing fingerprints:
+    (doc_a < doc_b, n_shared = distinct shared fingerprint hashes),
+    kept when n_shared >= ``min_shared``.
+
+    Scale shape: the pair join is keyed on fingerprint hash (the LSH
+    banding pattern — candidates meet only inside a posting list,
+    never all-pairs), and STOP fingerprints — hashes appearing in more
+    than ``max_doc_freq`` docs — are dropped first via a partial-agg
+    doc-frequency relation joined back (no count window), exactly the
+    boilerplate-gram problem MOSS documents: a ubiquitous gram's
+    posting list would otherwise contribute O(df^2) candidate pairs
+    while carrying no dedup signal.  With the filter, any hash
+    contributes at most max_doc_freq^2/2 pairs regardless of corpus
+    size.
+    """
+    fp = (
+        winnow_fingerprints(docs, k, w, max_tokens, id_col, text_col)
+        .select(F.col(id_col).alias("d"), "fp_hash")
+        .distinct()
+    )
+    dfreq = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
+    kept = fp.join(dfreq, "fp_hash").filter(F.col("df") <= max_doc_freq)
+    a = kept.select(F.col("d").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("d").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

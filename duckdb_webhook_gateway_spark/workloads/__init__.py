@@ -76,6 +76,7 @@ _REGISTERED_ROUND = {
     "doc_cdc_chunks": 11,
     "streaming_dedup_events": 11,
     "embedding_pca_topdir": 11,
+    "doc_winnow_pairs": 11,
 }
 
 _CHECK_FIRST = (

@@ -1702,6 +1702,62 @@ ENTRIES["embedding_pca_topdir"] = (embedding_pca_topdir, EMBEDDING_PCA_SQL)
 
 
 # ---------------------------------------------------------------------------
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS near-dup pairs (operators/dedup.py::winnow_pairs):
+    3-gram md5 hashes, window w=4, rightmost-minimum selection, stop
+    fingerprints (doc-frequency > 50) dropped, pairs sharing >= 2
+    distinct fingerprint hashes.  Any shared token run of length >= 6
+    (w + k - 1) is guaranteed a shared fingerprint — position-robust
+    substring matching the shingle/minhash families cannot promise.
+    The oracle replays gram hashing, the per-window argmin (row_number
+    ordered h asc, pos desc), the stop filter, and the pair count."""
+    return D.winnow_pairs(
+        _docs(spark, sf_dir, spread=True),
+        k=3,
+        w=4,
+        min_shared=2,
+        max_doc_freq=50,
+    )
+
+
+DOC_WINNOW_PAIRS_SQL = f"""
+WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 4001) r(i)),
+toks AS (SELECT doc_id, (string_split(coalesce(text, ''), ' '))[1:4000] AS t
+         FROM documents),
+grams AS (
+  SELECT doc_id, i AS p,
+         {md5_int_expr("t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]",
+                       'duckdb')} AS h
+  FROM toks JOIN nums ON i <= len(t) - 2
+),
+gm AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS m FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT gm.doc_id, n2.i AS j
+  FROM gm JOIN nums n2 ON n2.i <= gm.m - 3
+),
+sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT w.doc_id, w.j, g.h,
+           row_number() OVER (PARTITION BY w.doc_id, w.j
+                              ORDER BY g.h, g.p DESC) AS rn
+    FROM wins w
+    JOIN grams g ON g.doc_id = w.doc_id AND g.p BETWEEN w.j AND w.j + 3
+  ) WHERE rn = 1
+),
+dfreq AS (SELECT h, count(*) AS df FROM sel GROUP BY h),
+kept AS (SELECT sel.doc_id, sel.h FROM sel JOIN dfreq USING (h)
+         WHERE df <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+ENTRIES["doc_winnow_pairs"] = (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.py::
     hard_negatives): for each anchor (vec_id < 10), the 5 most-similar

@@ -75,6 +75,10 @@ QUERIES = [
     # integer rolling hash; NULL text -> NULL manifest, empty -> 0
     # chunks, the 4000-CHAR both-engine cap rides the kind-6 long doc)
     "doc_cdc_chunks",
+    # round-11 sixth batch: winnowing/MOSS fingerprint pairs — repeated
+    # tokens exercise the rightmost-minimum tie rule, dup/subset docs
+    # the shared-run guarantee, the stop filter the boilerplate grams
+    "doc_winnow_pairs",
     # round-11 multimodal near-dup queries: their blobs derive from
     # (doc_id, n_chars) only, so random corpora fuzz the full
     # decode->fingerprint->band->Hamming replay — NULL-text docs carry

@@ -435,3 +435,55 @@ def test_incremental_dedup_reingest_no_self_pairs(spark):
     assert all(a != b for a, b in pairs), pairs
     assert len(pairs) == len(set(pairs)), pairs  # no duplicated rows
     assert (1, 3) in pairs
+
+
+def test_winnowing_guarantee_ties_and_stop_filter(spark):
+    """The three winnowing contracts.  (1) Detection guarantee: any
+    shared token run of length >= w + k - 1 (= 6 at the defaults)
+    yields a shared fingerprint — two docs sharing an 8-token run must
+    pair.  (2) Rightmost-minimum tie rule: a constant-token doc has ONE
+    distinct gram hash, every window selects it, and the fingerprint
+    set collapses to a single hash (array_distinct) — no blowup, no
+    divergence.  (3) Stop filter: a gram shared by more than
+    max_doc_freq docs is boilerplate and must not create pairs."""
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, "x y a b c d e f g h w q"),  # shared 8-token run
+            (2, "z z z z z z z z"),
+            (3, "p q"),  # shorter than k + w - 1: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert len(by_doc[2]) == 1  # constant doc: one distinct hash
+    assert 3 not in by_doc  # too short
+
+    # boilerplate: the same text in 5 docs with max_doc_freq=4 -> the
+    # fingerprints all exceed the stop threshold, zero pairs survive
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate line repeated here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert (
+        winnow_pairs(boiler, min_shared=1, max_doc_freq=4).collect() == []
+    )
+    # ...and with the threshold above the df, all 10 pairs appear
+    assert (
+        len(winnow_pairs(boiler, min_shared=1, max_doc_freq=5).collect())
+        == 10
+    )

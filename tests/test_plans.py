@@ -1290,3 +1290,26 @@ def test_pca_topdir_bounded_summary_take_ordered(spark):
         "BroadcastHashJoin",
     ):
         assert bad not in plan, bad
+
+
+def test_winnow_pairs_in_row_selection_no_window(spark):
+    """Winnowing (round 11 sixth batch): gram hashing, the per-window
+    rightmost-minimum, and fingerprint dedup are all IN-ROW array ops —
+    no window function anywhere (the oracle's row_number is the SQL
+    replay, not the plan); the stop-filter doc-frequency is a partial
+    hash aggregate joined back, and the pair join is keyed on the
+    fingerprint hash (posting lists, never all-pairs)."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        doc_winnow_pairs,
+    )
+
+    plan = _plan(doc_winnow_pairs(spark, sf_dir()))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    for bad in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert bad not in plan, bad
