@@ -946,3 +946,82 @@ def test_new_r11_third_batch_queries_on_degenerate_inputs(
     fn, _ = entries["ann_rerank_topk"]
     with pytest.raises(ValueError, match="empty query block"):
         fn(spark, d6).collect()
+
+
+def test_new_r11_fourth_batch_queries_on_degenerate_inputs(
+    spark, tmp_path_factory, entries
+):
+    """Degenerate-input corner probes for the late-round-11 fourth/fifth
+    batch: ann_mmr_topk on a 3-vector corpus (fewer candidates than k —
+    both engines emit the short selection) and on a gappy id space with
+    nothing below the vec_id < 10 device (the fused pass must RAISE
+    loudly, the cosine_scores contract); streaming_dedup_events on an
+    EMPTY events table (the replay drains zero envelopes and the batch
+    aggregate, like the oracle, returns zero rows); doc_cdc_chunks on a
+    single-doc table whose text is exactly the 8-char window (one
+    boundary candidate position — the smallest non-trivial input)."""
+    import random
+
+    def run(name, d, views):
+        con = duckdb.connect()
+        for t, p in views.items():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{p}/*.parquet')"
+            )
+        fn, sql = entries[name]
+        srows = sorted(
+            tuple(_norm(v) for v in r) for r in fn(spark, d).collect()
+        )
+        drows = sorted(
+            tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert srows == drows, (name, srows[:3], drows[:3])
+        return srows
+
+    rng = random.Random(23)
+
+    d1 = str(tmp_path_factory.mktemp("mmr_tiny"))
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(os.path.join(d1, "embeddings.parquet"))
+    got = run(
+        "ann_mmr_topk", d1, {"embeddings": os.path.join(d1, "embeddings.parquet")}
+    )
+    assert len(got) == 6  # 3 queries x 2 candidates each
+
+    d2 = str(tmp_path_factory.mktemp("mmr_gappy"))
+    rows = [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(os.path.join(d2, "embeddings.parquet"))
+    fn, _ = entries["ann_mmr_topk"]
+    with pytest.raises(ValueError, match="empty query block"):
+        fn(spark, d2).collect()
+
+    d3 = str(tmp_path_factory.mktemp("sdedup_empty"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d3, "events.parquet"))
+    assert run(
+        "streaming_dedup_events",
+        d3,
+        {"events": os.path.join(d3, "events.parquet")},
+    ) == []
+
+    d4 = str(tmp_path_factory.mktemp("cdc_window"))
+    spark.createDataFrame(
+        [(0, "exactly8", "en", "s0", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d4, "documents.parquet"))
+    got = run(
+        "doc_cdc_chunks",
+        d4,
+        {"documents": os.path.join(d4, "documents.parquet")},
+    )
+    assert len(got) == 1 and got[0][2] in (1, 2)  # n_chunks
