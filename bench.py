@@ -129,6 +129,7 @@ EXTENDED4_QUERIES = [
     "embedding_pca_topdir",
     # round 11, sixth batch
     "doc_winnow_pairs",
+    "ann_ivf_pruned_topk",
 ]
 
 

@@ -2103,3 +2103,221 @@ def pca_topdir(
         .orderBy(F.abs(F.col("pc_proj")).desc(), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_layout_write(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Write the corpus as an IVF-PARTITIONED parquet layout: one
+    partition directory per coarse list (``list_id=<centroid_id>``),
+    assignment identical to :func:`ivf_topk`'s fused argmax (rounded
+    cosine, NaN→-inf, first-max ties → lowest centroid id).
+
+    This is the storage half of ANN at 100 TB: with the corpus laid out
+    by list, a query's ``nprobe`` probes prune at the FILE level —
+    Spark's partition pruning skips (1 - nprobe/C) of the BYTES before
+    a single task launches, instead of scanning everything and
+    discarding in compute (what :func:`ivf_topk` must do over an
+    unorganized table).  The same trade as ``TableStore.bucket_events``
+    made for the audit join: pay one organized write, read forever.
+
+    Returns the sorted list ids present (centroid-cardinality).
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    if isinstance(centroids, pd.DataFrame):
+        cent_pd = centroids.rename(columns={vec_col: "cv"})[
+            ["centroid_id", "cv"]
+        ].sort_values("centroid_id")
+    else:
+        cent_pd = (
+            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
+            .orderBy("centroid_id")
+            .toPandas()
+        )
+    if len(cent_pd) == 0:
+        raise ValueError(
+            "ivf_layout_write: empty centroid relation — same contract "
+            "as ivf_topk (ids from 0, or pass centroids explicitly)"
+        )
+    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
+    c_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in cent_pd["cv"].values]
+    )
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches):
+        b_cids, b_cmat, b_cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["v"].values).astype("float64")
+            a_norm = np.linalg.norm(a, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round(
+                    (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
+                )
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": pdf["v"],
+                    "list_id": b_cids[np.argmax(sims, axis=1)],
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    vec_type = src.schema["v"].dataType.simpleString()
+    assigned = src.mapInPandas(
+        assign, f"vec_id bigint, v {vec_type}, list_id bigint"
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return sorted(int(c) for c in c_ids)
+
+
+def ivf_pruned_topk(
+    spark,
+    layout_path: str,
+    queries,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 3,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over an :func:`ivf_layout_write` layout with PARTITION
+    PRUNING: the driver computes the probe map (query-cardinality), the
+    union of probed list ids becomes a partition filter on the layout
+    scan — `PartitionFilters: [list_id IN (...)]` in the plan, so
+    unprobed lists' FILES are never opened — and one Arrow pass scores
+    each surviving row against exactly the queries probing its list.
+
+    Bit-identical to ``ivf_topk(queries, corpus, ...)`` on the
+    unorganized corpus (pinned in tests): same probe map, same rounded
+    cosines, same tie rules — the assignment is simply read back from
+    the layout instead of recomputed, which is also why the layout and
+    the query MUST share the centroid relation (same contract as any
+    index: the reader uses the writer's quantizer).
+    """
+    if centroids is None:
+        corpus = spark.read.parquet(layout_path)
+        centroids = corpus.filter(F.col("vec_id") < num_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v")
+        ).withColumnRenamed("v", vec_col)
+    if isinstance(centroids, pd.DataFrame):
+        cent_pd = centroids.rename(columns={vec_col: "cv"})[
+            ["centroid_id", "cv"]
+        ].sort_values("centroid_id")
+    else:
+        cent_pd = (
+            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
+            .orderBy("centroid_id")
+            .toPandas()
+        )
+    if len(cent_pd) == 0:
+        raise ValueError(
+            "ivf_pruned_topk: empty centroid relation (ids from 0, or "
+            "pass centroids explicitly)"
+        )
+    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
+    c_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in cent_pd["cv"].values]
+    )
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(
+            columns={id_col: "query_id", vec_col: "qv"}
+        )[["query_id", "qv"]].sort_values("query_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            .orderBy("query_id")
+            .toPandas()
+        )
+    if len(q_pd) == 0:
+        raise ValueError("ivf_pruned_topk: empty query block")
+    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in q_pd["qv"].values]
+    )
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_sims = np.round(
+            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
+        )
+    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
+    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probed_by_centroid: dict[int, "np.ndarray"] = {}
+    for ci in np.unique(probe_order.ravel()):
+        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
+        probed_by_centroid[int(c_ids[ci])] = qidx
+    probed_lists = sorted(probed_by_centroid)
+
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm, probed_by_centroid)
+    )
+
+    def score(batches):
+        b_qids, b_qmat, b_qnorm, b_probe = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["v"].values).astype("float64")
+            a_norm = np.linalg.norm(a, axis=1)
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            lids = pdf["list_id"].to_numpy(dtype="int64")
+            out_q, out_n, out_c = [], [], []
+            for cid in np.unique(lids):
+                qidx = b_probe.get(int(cid))
+                if qidx is None:
+                    continue
+                mask = lids == cid
+                n_ids = ids[mask]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = np.round(
+                        (a[mask] @ b_qmat[qidx].T)
+                        / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
+                        6,
+                    )
+                ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
+                out_q.append(b_qids[qidx][qi])
+                out_n.append(n_ids[ni])
+                out_c.append(sims[ni, qi])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    corpus = spark.read.parquet(layout_path).filter(
+        F.col("list_id").isin(*[int(x) for x in probed_lists])
+    )
+    cand = corpus.select("vec_id", "v", "list_id").mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -77,6 +77,7 @@ _REGISTERED_ROUND = {
     "streaming_dedup_events": 11,
     "embedding_pca_topdir": 11,
     "doc_winnow_pairs": 11,
+    "ann_ivf_pruned_topk": 11,
 }
 
 _CHECK_FIRST = (

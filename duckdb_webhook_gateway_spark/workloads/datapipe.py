@@ -1758,6 +1758,41 @@ ENTRIES["doc_winnow_pairs"] = (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL)
 
 
 # ---------------------------------------------------------------------------
+def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout half of IVF ANN (operators/similarity.py::
+    ivf_layout_write + ivf_pruned_topk): the corpus is written
+    PARTITIONED BY coarse list, the probe map becomes a partition
+    filter (`PartitionFilters: [list_id IN ...]` — unprobed lists'
+    files are never opened, the 100 TB point of an IVF index), and the
+    pruned scan is scored in one Arrow pass.  Same parameters as
+    ann_ivf_topk and BIT-IDENTICAL to it by construction, so the
+    oracle is ANN_IVF_TOPK_SQL shared verbatim — the driver check
+    proves the layout round-trip changes nothing.  The per-invocation
+    temp layout follows the streaming-replay scaffolding precedent
+    (write, drain, checkpoint the small result, remove)."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    d = tempfile.mkdtemp(prefix="ivf_layout_")
+    try:
+        S.ivf_layout_write(emb, d, centroids=cents)
+        out = S.ivf_pruned_topk(
+            spark, d, qs, nprobe=2, k=3, centroids=cents
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+ENTRIES["ann_ivf_pruned_topk"] = (ann_ivf_pruned_topk, ANN_IVF_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.py::
     hard_negatives): for each anchor (vec_id < 10), the 5 most-similar

@@ -593,6 +593,10 @@ EMB_QUERIES = [
     # identical rounded sums in both engines; zero vectors are ordinary
     # cloud members here (they pull the mean, project to -mu.v)
     "embedding_pca_topdir",
+    # round-11 seventh entry: the IVF-partitioned layout round-trip must
+    # change NOTHING — same oracle as ann_ivf_topk, scored off the
+    # pruned partitioned scan (zero-norm centroids/vectors included)
+    "ann_ivf_pruned_topk",
 ]
 
 

@@ -395,3 +395,48 @@ def test_store_bucketed_layout_survives_store_reopen(spark, tmp_path):
     )
     assert "raw_events_bucketed" not in plan2   # plain-parquet fallback
     assert fresh.table("raw_events").count() == 30
+
+
+def test_ivf_layout_prunes_partitions_and_matches_unorganized_scan(
+    spark, tmp_path
+):
+    """The IVF storage layout (round 11): ivf_layout_write partitions
+    the corpus by coarse list; ivf_pruned_topk's probe map must appear
+    as a PARTITION filter on the layout scan (unprobed lists' files are
+    never opened — the byte-level point of the index) and the result
+    must be BIT-IDENTICAL to ivf_topk over the unorganized table (same
+    probe map, same rounded cosines, same ties — the layout round-trip
+    changes nothing)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = sorted(
+        map(tuple, S.ivf_topk(qs, emb, nprobe=2, k=3).collect())
+    )
+    d = str(tmp_path / "ivf_layout")
+    lists = S.ivf_layout_write(emb, d, centroids=cents)
+    assert lists == list(range(16))
+    pruned = S.ivf_pruned_topk(spark, d, qs, nprobe=2, k=3, centroids=cents)
+    assert sorted(map(tuple, pruned.collect())) == base
+
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "list_id" in pf[0] and "INSET" in pf[0], pf
+    # with nprobe=2 over 16 lists and 10 queries, SOME list must be
+    # unprobed — the filter is a real subset, not the full range
+    import re
+
+    inset = re.findall(r"INSET ([\d, ]+)", pf[0])[0]
+    assert len(inset.split(",")) < 16
