@@ -21,8 +21,17 @@ from . import analytics, datapipe  # noqa: E402
 
 # The correctness driver checks the first 50 registered queries per round.
 # Rotation policy: every query is driver-re-verified at least every third
-# round, and every query whose PHYSICAL PLAN changed re-certifies the
-# same round.  Since round 11 the due set is MECHANICAL, not narrated:
+# round CAPACITY PERMITTING, and every query whose PHYSICAL PLAN changed
+# re-certifies the same round.  The registry outgrew the window's
+# 3-round capacity late in round 11 (153 entries > 3 x 50 slots), so the
+# policy gained a mechanical second tier: when a round's due set exceeds
+# 50, the window is filled with dues STALEST-FIRST and only the
+# least-stale dues defer (by construction at most one round — the
+# tools/rotation.py HARD_CEILING of 4 rounds is unconditional and
+# arithmetically satisfiable at 4 x 50 = 200 >= registry size).
+# tests/test_rotation.py enforces both tiers; tools/rotation.py
+# prioritized_dues() emits the exact window order to use.
+# Since round 11 the due set is MECHANICAL, not narrated:
 # tools/rotation.py derives each entry's last green round from the
 # CORRECTNESS_r*.json history and tests/test_rotation.py fails the suite
 # if this window misses any due entry — the round-10 slip (six

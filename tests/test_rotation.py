@@ -27,18 +27,49 @@ from duckdb_webhook_gateway_spark import workloads
 
 
 def test_driver_window_covers_every_due_entry():
+    """Two-tier capacity-aware invariant (the registry outgrew the
+    window's 3-round capacity in round 11: 153 entries > 3 x 50).
+    Tier 1 (HARD, unconditional): no entry may sit past MAX_STALENESS
+    rounds un-served — anything already over the line must be in the
+    window, so nothing ever crosses the MAX_STALENESS + 1 ceiling.
+    Tier 2: when the due set fits the 50-slot window it must be fully
+    covered (the original rule); when OVERSUBSCRIBED, deferral must be
+    minimal (the window is entirely dues) and only the LEAST-stale dues
+    may defer — a stale entry can never be bumped by a younger one."""
     names = list(workloads.all_entries())
-    due = rotation.due_now(
-        names, registered_rounds=workloads._REGISTERED_ROUND
-    )
+    reg = workloads._REGISTERED_ROUND
+    upcoming = rotation.latest_recorded_round() + 1
+    due = rotation.due_now(names, registered_rounds=reg)
+    eff = rotation.effective_last(names, registered_rounds=reg)
     window = set(names[:50])
     missing = sorted(set(due) - window)
-    assert not missing, (
-        f"rotation slip: {len(missing)} entries are >= "
-        f"{rotation.MAX_STALENESS} rounds driver-stale but not in the "
-        f"upcoming round's first-50 window: "
-        f"{[(n, f'last r{due[n]}') for n in missing]}"
+    hard = [
+        n for n in missing if upcoming - eff[n] > rotation.MAX_STALENESS
+    ]
+    assert not hard, (
+        f"HARD rotation slip: {len(hard)} entries would cross the "
+        f"{rotation.HARD_CEILING}-round ceiling: "
+        f"{[(n, f'clock r{eff[n]}') for n in hard]}"
     )
+    if len(due) <= 50:
+        assert not missing, (
+            f"rotation slip: {len(missing)} due entries missing from a "
+            f"non-full window: "
+            f"{[(n, f'clock r{eff[n]}') for n in missing]}"
+        )
+    else:
+        assert len(missing) == len(due) - 50, (
+            f"oversubscribed round must defer the MINIMUM: "
+            f"{len(due)} dues, 50 slots, but {len(missing)} deferred "
+            f"(window holds a non-due entry while a due one waits)"
+        )
+        newest_served = max(eff[n] for n in due if n in window)
+        bumped = [n for n in missing if eff[n] < newest_served]
+        assert not bumped, (
+            f"staler dues deferred while younger ones served: "
+            f"{[(n, f'clock r{eff[n]}') for n in bumped]} vs newest "
+            f"served clock r{newest_served}"
+        )
 
 
 def test_every_never_certified_entry_has_a_registration_round():
@@ -124,3 +155,60 @@ def test_bench_suite_names_are_registry_entries():
     ):
         missing = [n for n in suite if n not in entries]
         assert not missing, f"bench suite names not in registry: {missing}"
+
+
+def test_oversubscription_mechanism_is_satisfiable_for_next_round(
+    tmp_path,
+):
+    """Forward simulation of the capacity problem the registry created
+    in round 11 (153 entries > 3 x 50): pretend the current window all
+    certifies green this round, build the NEXT round's window as
+    prioritized_dues()[:50] (what the next builder must do), and assert
+    it satisfies both tiers — the hard ceiling holds, deferral is
+    minimal, and only the least-stale dues defer.  If this ever fails,
+    the policy has become arithmetically unsatisfiable (registry grew
+    past 4 x 50) and must be revisited BEFORE a round discovers it."""
+    import json
+    import shutil
+
+    names = list(workloads.all_entries())
+    reg = workloads._REGISTERED_ROUND
+    # clone the history and append a synthetic green round for the
+    # current window
+    for _rnd, path in rotation.correctness_files().items():
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    this_round = rotation.latest_recorded_round() + 1
+    synth = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for n in names[:50]
+    }
+    (tmp_path / f"CORRECTNESS_r{this_round}.json").write_text(
+        json.dumps(synth)
+    )
+    root = str(tmp_path)
+    upcoming = this_round + 1
+    due = rotation.due_now(
+        names, root, upcoming, registered_rounds=reg
+    )
+    eff = rotation.effective_last(names, root, registered_rounds=reg)
+    window = set(
+        rotation.prioritized_dues(
+            names, root, upcoming, registered_rounds=reg
+        )[:50]
+    )
+    missing = sorted(set(due) - window)
+    hard = [
+        n for n in missing if upcoming - eff[n] > rotation.MAX_STALENESS
+    ]
+    assert not hard, hard
+    if len(due) > 50:
+        assert len(missing) == len(due) - 50
+        newest_served = max(eff[n] for n in due if n in window)
+        assert not [n for n in missing if eff[n] < newest_served]
+    else:
+        assert not missing
