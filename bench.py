@@ -130,6 +130,7 @@ EXTENDED4_QUERIES = [
     # round 11, sixth batch
     "doc_winnow_pairs",
     "ann_ivf_pruned_topk",
+    "doc_cdc_dup_chunks",
 ]
 
 

@@ -87,6 +87,7 @@ _REGISTERED_ROUND = {
     "embedding_pca_topdir": 11,
     "doc_winnow_pairs": 11,
     "ann_ivf_pruned_topk": 11,
+    "doc_cdc_dup_chunks": 11,
 }
 
 _CHECK_FIRST = (

@@ -2845,6 +2845,96 @@ ORDER BY doc_id
 """
 
 ENTRIES["doc_cdc_chunks"] = (doc_cdc_chunks, DOC_CDC_CHUNKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+def doc_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff half of content-defined chunking: the cross-document
+    chunk-dedup ledger.  Same in-row boundary machinery as
+    ``doc_cdc_chunks``, but the chunk (md5, len) list EXPLODES into a
+    corpus-wide relation and groups by content hash — every chunk hash
+    occurring more than once is storage/training duplication that
+    chunk-level dedup would eliminate, quantified as
+    ``saved_chars = (n_occurrences - 1) * chunk_len`` (chunk_len is a
+    function of the hash: identical content, identical length).  At
+    sf0.01 the synthetic corpus carries ~215 duplicated chunk hashes,
+    one shared by 38 docs — the planted passage reuse, surfaced at
+    chunk granularity.  All-integer arithmetic: no rounding anywhere.
+
+    Plan shape: explode -> one hash aggregate keyed on the 16-byte
+    chunk hash (partial count/max map-side; count(DISTINCT doc_id)
+    expands to the standard two-level aggregate, still key-partitioned
+    — no window, no join)."""
+    docs = _docs(spark, sf_dir, spread=True)
+    pred = f"{_cdc_hash_terms('cap', 'i')} % {_CDC_MASK} = 0"
+    ends = (
+        "CASE WHEN cap IS NULL THEN NULL "
+        "WHEN length(cap) = 0 THEN array() "
+        "ELSE array_distinct(concat("
+        "  CASE WHEN length(cap) >= 8 "
+        f"       THEN filter(sequence(8, length(cap)), i -> {pred}) "
+        "       ELSE array() END, "
+        "  array(length(cap)))) END"
+    )
+    prev = "CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END"
+    chunk_structs = (
+        "transform(ends, (e, j) -> named_struct("
+        f"'h', md5(substr(cap, ({prev}) + 1, e - ({prev}))), "
+        f"'l', CAST(e - ({prev}) AS BIGINT)))"
+    )
+    return (
+        docs.select(
+            "doc_id", F.expr(f"substr(text, 1, {_CDC_CAP})").alias("cap")
+        )
+        .select("doc_id", "cap", F.expr(ends).alias("ends"))
+        .select("doc_id", F.explode(F.expr(chunk_structs)).alias("c"))
+        .groupBy(F.col("c.h").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("c.l").alias("chunk_len"),
+            ((F.count(F.lit(1)) - 1) * F.max("c.l")).alias("saved_chars"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+DOC_CDC_DUP_CHUNKS_SQL = f"""
+WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, {_CDC_CAP + 1}) r(i)),
+docs AS (SELECT doc_id, substr(text, 1, {_CDC_CAP}) AS cap FROM documents),
+b AS (
+  SELECT d.doc_id, CAST(n.i AS BIGINT) AS e
+  FROM docs d JOIN nums n ON n.i BETWEEN 8 AND length(d.cap)
+  WHERE {_cdc_hash_terms('d.cap', 'n.i')} % {_CDC_MASK} = 0
+),
+ends AS (
+  SELECT doc_id, e FROM b
+  UNION
+  SELECT doc_id, length(cap) AS e FROM docs WHERE length(cap) >= 1
+),
+chunks AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+  FROM ends
+),
+ch AS (
+  SELECT c.doc_id,
+         md5(substr(d.cap, CAST(prev + 1 AS INTEGER),
+                    CAST(e - prev AS INTEGER))) AS h,
+         CAST(e - prev AS BIGINT) AS l
+  FROM chunks c JOIN docs d USING (doc_id)
+)
+SELECT h AS chunk_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       max(l) AS chunk_len,
+       CAST((count(*) - 1) * max(l) AS BIGINT) AS saved_chars
+FROM ch
+GROUP BY h
+HAVING count(*) >= 2
+"""
+
+ENTRIES["doc_cdc_dup_chunks"] = (doc_cdc_dup_chunks, DOC_CDC_DUP_CHUNKS_SQL)
 ENTRIES["quality_funnel"] = (quality_funnel, QUALITY_FUNNEL_SQL)
 
 

@@ -79,6 +79,9 @@ QUERIES = [
     # tokens exercise the rightmost-minimum tie rule, dup/subset docs
     # the shared-run guarantee, the stop filter the boilerplate grams
     "doc_winnow_pairs",
+    # ...and the CDC chunk-dedup ledger (all-integer; exact-dup docs
+    # produce shared chunk hashes, NULL/empty docs contribute nothing)
+    "doc_cdc_dup_chunks",
     # round-11 multimodal near-dup queries: their blobs derive from
     # (doc_id, n_chars) only, so random corpora fuzz the full
     # decode->fingerprint->band->Hamming replay — NULL-text docs carry

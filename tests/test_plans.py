@@ -1313,3 +1313,25 @@ def test_winnow_pairs_in_row_selection_no_window(spark):
         "FlatMapGroupsInPandas",
     ):
         assert bad not in plan, bad
+
+
+def test_cdc_dup_chunks_single_keyed_aggregate_no_window(spark):
+    """The CDC dedup ledger (round 11): explode -> hash aggregate keyed
+    on the chunk hash (count-distinct expands to the standard two-level
+    keyed aggregate) — no window, no join, pruned 2-column scan."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        doc_cdc_dup_chunks,
+    )
+
+    plan = _plan(doc_cdc_dup_chunks(spark, sf_dir()))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "HashAggregate" in plan
+    assert "Generate" in plan  # the chunk-list explode
+    for bad in (
+        "Window",
+        "Join",
+        "CartesianProduct",
+        "MapInPandas",
+        "BatchEvalPython",
+    ):
+        assert bad not in plan, bad
