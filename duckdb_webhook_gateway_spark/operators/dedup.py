@@ -1446,15 +1446,15 @@ def winnow_fingerprints(
     )
     # argmin by (h asc, pos desc): rightmost minimal hash per window —
     # struct ordering is lexicographic, so min over (h, -p) IS the tie
-    # rule; unpack via field access on the min-struct
+    # rule.  The (h, -p) min-struct itself is kept through the distinct
+    # (Catalyst does not CSE a repeated array_min inside a lambda, so
+    # unpacking both fields inline would evaluate the O(w) scan twice
+    # per window); the negated position un-negates after the explode.
     sel = (
         f"CASE WHEN size(g) >= {w} THEN "
         f"array_distinct(transform(sequence(1, size(g) - {w - 1}), "
-        f"j -> named_struct("
-        f"'h', array_min(transform(slice(g, j, {w}), "
-        f"x -> named_struct('a', x.h, 'b', -x.p))).a, "
-        f"'p', -array_min(transform(slice(g, j, {w}), "
-        f"x -> named_struct('a', x.h, 'b', -x.p))).b))) "
+        f"j -> array_min(transform(slice(g, j, {w}), "
+        f"x -> named_struct('a', x.h, 'b', -x.p))))) "
         "ELSE array() END"
     )
     return (
@@ -1469,8 +1469,8 @@ def winnow_fingerprints(
         .select(id_col, F.explode(F.expr(sel)).alias("fp"))
         .select(
             id_col,
-            F.col("fp.h").alias("fp_hash"),
-            F.col("fp.p").cast("int").alias("fp_pos"),
+            F.col("fp.a").alias("fp_hash"),
+            (-F.col("fp.b")).cast("int").alias("fp_pos"),
         )
     )
 

@@ -468,6 +468,91 @@ def ivf_assign(
     )
 
 
+# --- shared IVF quantizer machinery -----------------------------------
+# ivf_topk, ivf_layout_write and ivf_pruned_topk must agree BIT-FOR-BIT
+# (the layout path's pinned contract is identity with the unorganized
+# scan), so the collection, probe-map, assignment and scoring kernels
+# exist exactly once.
+
+
+def _collect_vec_block(rel, id_field: str, vec_field: str, err: str):
+    """Driver-side (ids, mat, norm) for a SMALL relation (centroids or
+    the query block) — accepts a DataFrame or an already-collected
+    pandas frame, sorts by id for deterministic order, raises ``err``
+    when empty."""
+    if isinstance(rel, pd.DataFrame):
+        pdf = rel.rename(columns={vec_field: "_v"})[
+            [id_field, "_v"]
+        ].sort_values(id_field)
+    else:
+        pdf = (
+            rel.select(id_field, F.col(vec_field).alias("_v"))
+            .orderBy(id_field)
+            .toPandas()
+        )
+    if len(pdf) == 0:
+        raise ValueError(err)
+    ids = pdf[id_field].to_numpy(dtype="int64")
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["_v"].values])
+    return ids, mat, np.linalg.norm(mat, axis=1)
+
+
+def _ivf_probe_map(q_ids, q_mat, q_norm, c_ids, c_mat, c_norm, nprobe):
+    """query index -> nprobe nearest centroids, inverted to
+    {centroid_id: query indices}.  Rounded sims + stable argsort keep
+    ascending-centroid tie order (the oracle's cosine DESC, centroid_id
+    rank); NaN (zero-norm) -> -inf mirrors NULLS-LAST."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_sims = np.round(
+            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
+        )
+    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
+    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probed: dict[int, "np.ndarray"] = {}
+    for ci in np.unique(probe_order.ravel()):
+        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
+        probed[int(c_ids[ci])] = qidx
+    return probed
+
+
+def _ivf_assign(a, a_norm, c_ids, c_mat, c_norm):
+    """Coarse list assignment for a batch: argmax of rounded cosine vs
+    the centroids; first-max -> lowest centroid id on rounded ties
+    (oracle order); NaN -> -inf so a zero-norm centroid never claims
+    every vector via NaN-as-max."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = np.round(
+            (a @ c_mat.T) / (a_norm[:, None] * c_norm[None, :]), 6
+        )
+    sims = np.where(np.isnan(sims), -np.inf, sims)
+    return c_ids[np.argmax(sims, axis=1)]
+
+
+def _ivf_score_members(a_sub, a_norm_sub, n_ids, qidx, q_ids, q_mat, q_norm):
+    """In-list scoring kernel: rounded cosine of the list's members vs
+    the queries probing it, self-pairs excluded.  Returns the (query,
+    neighbor, cosine) triples as arrays."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = np.round(
+            (a_sub @ q_mat[qidx].T)
+            / (a_norm_sub[:, None] * q_norm[qidx][None, :]),
+            6,
+        )
+    ni, qi = np.nonzero(n_ids[:, None] != q_ids[qidx][None, :])
+    return q_ids[qidx][qi], n_ids[ni], sims[ni, qi]
+
+
+def _topk_by_cosine(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     queries,
     corpus: DataFrame,
@@ -514,67 +599,36 @@ def ivf_topk(
     # it once and slice locally instead of paying one Spark job per
     # toPandas here.  Semantics are identical; the sort below enforces
     # the same deterministic order either way.
-    if isinstance(centroids, pd.DataFrame):
-        cent_pd = centroids.rename(columns={vec_col: "cv"})[
-            ["centroid_id", "cv"]
-        ].sort_values("centroid_id")
-    else:
-        cent_pd = (
-            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
-            .orderBy("centroid_id")
-            .toPandas()
-        )
-    if len(cent_pd) == 0:
-        raise ValueError(
-            "ivf_topk: empty centroid relation — the default device "
-            f"selects corpus rows with {id_col} < num_centroids "
-            f"({num_centroids}) and requires corpus ids starting at 0 "
-            "(the differential-oracle convention); on a sparse or offset "
-            "id space pass centroids=kmeans_fit(corpus, k) explicitly"
-        )
-    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
-    c_mat = np.stack([np.asarray(v, dtype="float64") for v in cent_pd["cv"].values])
-    c_norm = np.linalg.norm(c_mat, axis=1)
-
+    c_ids, c_mat, c_norm = _collect_vec_block(
+        centroids,
+        "centroid_id",
+        vec_col,
+        "ivf_topk: empty centroid relation — the default device "
+        f"selects corpus rows with {id_col} < num_centroids "
+        f"({num_centroids}) and requires corpus ids starting at 0 "
+        "(the differential-oracle convention); on a sparse or offset "
+        "id space pass centroids=kmeans_fit(corpus, k) explicitly",
+    )
     if isinstance(queries, pd.DataFrame):
-        q_pd = queries.rename(
-            columns={id_col: "query_id", vec_col: "qv"}
-        )[["query_id", "qv"]].sort_values("query_id")
+        queries = queries.rename(columns={id_col: "query_id"})
     else:
-        q_pd = (
-            queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-            )
-            .orderBy("query_id")
-            .toPandas()
+        queries = queries.select(
+            F.col(id_col).alias("query_id"), vec_col
         )
-    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
-    q_mat = np.stack([np.asarray(v, dtype="float64") for v in q_pd["qv"].values])
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_ids, q_mat, q_norm = _collect_vec_block(
+        queries, "query_id", vec_col, "ivf_topk: empty query block"
+    )
 
     # Cosines are computed as dot / (|a|·|b|) — the SAME association order
     # as with_cosine and the oracle's dot/(sqrt·sqrt), so the only
     # cross-engine drift left is BLAS summation order, absorbed by the
     # 1e-6 round (normalize-then-dot rounds through a different float
     # path and sits closer to the boundary).
-    # Driver-side probe map: query i -> its nprobe nearest centroid ids.
-    # Rounded sims + stable argsort keep ascending-centroid tie order,
-    # matching the oracle's (cosine DESC, centroid_id) ranking.
-    with np.errstate(invalid="ignore", divide="ignore"):
-        q_sims = np.round(
-            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
-        )
-    # NaN (zero-norm query or centroid: cosine undefined) -> -inf, so the
-    # stable argsort places it LAST like the oracle's NULLS-LAST rank; an
-    # all-NaN row degrades to the lowest centroid ids (= the oracle's
-    # NULL-tie centroid_id order).  Leaving NaN in would let it poison
-    # the ordering (NaN compares as maximal in numpy reductions).
-    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
-    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
-    probed_by_centroid: dict[int, "np.ndarray"] = {}
-    for ci in np.unique(probe_order.ravel()):
-        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
-        probed_by_centroid[int(c_ids[ci])] = qidx
+    # Driver-side probe map (shared kernel _ivf_probe_map: rounded sims,
+    # NaN -> -inf NULLS-LAST mirror, stable ascending-centroid ties).
+    probed_by_centroid = _ivf_probe_map(
+        q_ids, q_mat, q_norm, c_ids, c_mat, c_norm, nprobe
+    )
 
     bc = spark.sparkContext.broadcast(
         (c_ids, c_mat, c_norm, q_ids, q_mat, q_norm, probed_by_centroid)
@@ -586,33 +640,19 @@ def ivf_topk(
             a = np.stack(pdf["v"].values).astype("float64")
             a_norm = np.linalg.norm(a, axis=1)
             ids = pdf["vec_id"].to_numpy(dtype="int64")
-            # argmax takes the FIRST max -> lowest centroid id on rounded
-            # ties, matching the oracle's (cosine DESC, centroid_id) order.
-            with np.errstate(invalid="ignore", divide="ignore"):
-                a_sims = np.round(
-                    (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]),
-                    6,
-                )
-            # same NULLS-LAST mirror as the probe map: one zero-norm
-            # centroid must not claim every vector via NaN-as-max argmax
-            a_sims = np.where(np.isnan(a_sims), -np.inf, a_sims)
-            assigned = b_cids[np.argmax(a_sims, axis=1)]
+            assigned = _ivf_assign(a, a_norm, b_cids, b_cmat, b_cnorm)
             out_q, out_n, out_c = [], [], []
             for cid, qidx in b_probe.items():
                 mask = assigned == cid
                 if not mask.any():
                     continue
-                n_ids = ids[mask]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = np.round(
-                        (a[mask] @ b_qmat[qidx].T)
-                        / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
-                        6,
-                    )
-                ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
-                out_q.append(b_qids[qidx][qi])
-                out_n.append(n_ids[ni])
-                out_c.append(sims[ni, qi])
+                oq, on, oc = _ivf_score_members(
+                    a[mask], a_norm[mask], ids[mask],
+                    qidx, b_qids, b_qmat, b_qnorm,
+                )
+                out_q.append(oq)
+                out_n.append(on)
+                out_c.append(oc)
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -626,12 +666,7 @@ def ivf_topk(
     cand = src.mapInPandas(
         fused_block, "query_id bigint, neighbor_id bigint, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(cand, k)
 
 
 def near_dup_pairs_lsh(
@@ -2069,8 +2104,14 @@ def pca_topdir(
         nrm = float(np.sqrt((w * w).sum()))
         if nrm == 0.0:
             raise ValueError(
-                "pca_topdir: zero covariance — a constant embedding "
-                "cloud has no principal direction"
+                "pca_topdir: power iterate vanished — either the "
+                "covariance is zero (a constant cloud has no principal "
+                "direction) or the all-ones seed is exactly orthogonal "
+                "to the covariance's column space (an adversarial "
+                "anti-correlated construction; re-seed or perturb the "
+                "input).  Raising is deliberate: the oracle's SQL would "
+                "emit NULL projections here and the engines would "
+                "silently diverge on the 0/0"
             )
         v = w / nrm
     tr = float(np.trace(cov))
@@ -2133,26 +2174,13 @@ def ivf_layout_write(
         centroids = corpus.filter(F.col(id_col) < num_centroids).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col)
         )
-    if isinstance(centroids, pd.DataFrame):
-        cent_pd = centroids.rename(columns={vec_col: "cv"})[
-            ["centroid_id", "cv"]
-        ].sort_values("centroid_id")
-    else:
-        cent_pd = (
-            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
-            .orderBy("centroid_id")
-            .toPandas()
-        )
-    if len(cent_pd) == 0:
-        raise ValueError(
-            "ivf_layout_write: empty centroid relation — same contract "
-            "as ivf_topk (ids from 0, or pass centroids explicitly)"
-        )
-    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
-    c_mat = np.stack(
-        [np.asarray(v, dtype="float64") for v in cent_pd["cv"].values]
+    c_ids, c_mat, c_norm = _collect_vec_block(
+        centroids,
+        "centroid_id",
+        vec_col,
+        "ivf_layout_write: empty centroid relation — same contract "
+        "as ivf_topk (ids from 0, or pass centroids explicitly)",
     )
-    c_norm = np.linalg.norm(c_mat, axis=1)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
     def assign(batches):
@@ -2162,16 +2190,13 @@ def ivf_layout_write(
                 continue
             a = np.stack(pdf["v"].values).astype("float64")
             a_norm = np.linalg.norm(a, axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = np.round(
-                    (a @ b_cmat.T) / (a_norm[:, None] * b_cnorm[None, :]), 6
-                )
-            sims = np.where(np.isnan(sims), -np.inf, sims)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
                     "v": pdf["v"],
-                    "list_id": b_cids[np.argmax(sims, axis=1)],
+                    "list_id": _ivf_assign(
+                        a, a_norm, b_cids, b_cmat, b_cnorm
+                    ),
                 }
             )
 
@@ -2183,7 +2208,18 @@ def ivf_layout_write(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    return sorted(int(c) for c in c_ids)
+    # ids actually WRITTEN, from the partition directories — a centroid
+    # that attracted no vectors gets no directory, and the contract is
+    # "list ids present in the layout", not "centroids offered"
+    import os as _os
+    import re as _re
+
+    present = []
+    for entry in _os.listdir(path):
+        m = _re.fullmatch(r"list_id=(-?\d+)", entry)
+        if m:
+            present.append(int(m.group(1)))
+    return sorted(present)
 
 
 def ivf_pruned_topk(
@@ -2216,56 +2252,25 @@ def ivf_pruned_topk(
         centroids = corpus.filter(F.col("vec_id") < num_centroids).select(
             F.col("vec_id").alias("centroid_id"), F.col("v")
         ).withColumnRenamed("v", vec_col)
-    if isinstance(centroids, pd.DataFrame):
-        cent_pd = centroids.rename(columns={vec_col: "cv"})[
-            ["centroid_id", "cv"]
-        ].sort_values("centroid_id")
-    else:
-        cent_pd = (
-            centroids.select("centroid_id", F.col(vec_col).alias("cv"))
-            .orderBy("centroid_id")
-            .toPandas()
-        )
-    if len(cent_pd) == 0:
-        raise ValueError(
-            "ivf_pruned_topk: empty centroid relation (ids from 0, or "
-            "pass centroids explicitly)"
-        )
-    c_ids = cent_pd["centroid_id"].to_numpy(dtype="int64")
-    c_mat = np.stack(
-        [np.asarray(v, dtype="float64") for v in cent_pd["cv"].values]
+    c_ids, c_mat, c_norm = _collect_vec_block(
+        centroids,
+        "centroid_id",
+        vec_col,
+        "ivf_pruned_topk: empty centroid relation (ids from 0, or "
+        "pass centroids explicitly)",
     )
-    c_norm = np.linalg.norm(c_mat, axis=1)
-
     if isinstance(queries, pd.DataFrame):
-        q_pd = queries.rename(
-            columns={id_col: "query_id", vec_col: "qv"}
-        )[["query_id", "qv"]].sort_values("query_id")
+        queries = queries.rename(columns={id_col: "query_id"})
     else:
-        q_pd = (
-            queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-            )
-            .orderBy("query_id")
-            .toPandas()
+        queries = queries.select(
+            F.col(id_col).alias("query_id"), vec_col
         )
-    if len(q_pd) == 0:
-        raise ValueError("ivf_pruned_topk: empty query block")
-    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
-    q_mat = np.stack(
-        [np.asarray(v, dtype="float64") for v in q_pd["qv"].values]
+    q_ids, q_mat, q_norm = _collect_vec_block(
+        queries, "query_id", vec_col, "ivf_pruned_topk: empty query block"
     )
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        q_sims = np.round(
-            (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :]), 6
-        )
-    q_sims = np.where(np.isnan(q_sims), -np.inf, q_sims)
-    probe_order = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
-    probed_by_centroid: dict[int, "np.ndarray"] = {}
-    for ci in np.unique(probe_order.ravel()):
-        qidx = np.nonzero((probe_order == ci).any(axis=1))[0]
-        probed_by_centroid[int(c_ids[ci])] = qidx
+    probed_by_centroid = _ivf_probe_map(
+        q_ids, q_mat, q_norm, c_ids, c_mat, c_norm, nprobe
+    )
     probed_lists = sorted(probed_by_centroid)
 
     bc = spark.sparkContext.broadcast(
@@ -2287,17 +2292,13 @@ def ivf_pruned_topk(
                 if qidx is None:
                     continue
                 mask = lids == cid
-                n_ids = ids[mask]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = np.round(
-                        (a[mask] @ b_qmat[qidx].T)
-                        / (a_norm[mask][:, None] * b_qnorm[qidx][None, :]),
-                        6,
-                    )
-                ni, qi = np.nonzero(n_ids[:, None] != b_qids[qidx][None, :])
-                out_q.append(b_qids[qidx][qi])
-                out_n.append(n_ids[ni])
-                out_c.append(sims[ni, qi])
+                oq, on, oc = _ivf_score_members(
+                    a[mask], a_norm[mask], ids[mask],
+                    qidx, b_qids, b_qmat, b_qnorm,
+                )
+                out_q.append(oq)
+                out_n.append(on)
+                out_c.append(oc)
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -2313,11 +2314,4 @@ def ivf_pruned_topk(
     cand = corpus.select("vec_id", "v", "list_id").mapInPandas(
         score, "query_id bigint, neighbor_id bigint, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_by_cosine(cand, k)

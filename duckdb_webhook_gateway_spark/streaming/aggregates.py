@@ -103,6 +103,12 @@ def replay_hourly_counts(
     owns_landing = landing_dir is None
     if owns_landing:
         landing_dir = tempfile.mkdtemp(prefix="stream_replay_")
+    # Normalize the event time to NTZ BEFORE landing: an LTZ input (the
+    # driver's nanos parquet generation reads back as TimestampType via
+    # timestamp_micros) would serialize with a zone suffix that the NTZ
+    # readStream schema cannot parse — every ts would come back NULL and
+    # the replay would silently drain nothing.  NTZ inputs are untouched.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     events.coalesce(4).write.mode("overwrite").json(landing_dir)
     stream = spark.readStream.schema(
         "event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"
@@ -178,6 +184,8 @@ def replay_user_sessions(
     # session boundaries (hourly replay never noticed — its windows
     # truncate to the hour; session bounds are raw event times).
     ntz_us = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    # NTZ normalization before landing — the hourly bridge's LTZ note
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     events.coalesce(4).write.mode("overwrite").option(
         "timestampNTZFormat", ntz_us
     ).json(landing_dir)
@@ -258,6 +266,11 @@ def replay_dedup_daily_users(
     owns_landing = landing_dir is None
     if owns_landing:
         landing_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    # NTZ normalization before landing — the hourly bridge's LTZ note.
+    # ESPECIALLY load-bearing here: this bridge filters NULL keys, so an
+    # unparseable LTZ round-trip would not even surface as NULL rows —
+    # it would silently report an empty, "valid" result.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     events.coalesce(4).write.mode("overwrite").json(landing_dir)
     stream = spark.readStream.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"

@@ -2758,6 +2758,52 @@ def _cdc_hash_terms(cap: str, pos: str) -> str:
     return f"(({terms}) % {_CDC_M})"
 
 
+# Shared by doc_cdc_chunks and doc_cdc_dup_chunks — the two queries MUST
+# agree on chunk identity (the dedup ledger reports savings for chunks
+# the manifest query produces), so the boundary machinery exists ONCE:
+# in-row Spark expressions here, the oracle CTE prefix in
+# _cdc_oracle_ctes().
+_CDC_PREV = "CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END"
+
+
+def _cdc_ends_expr() -> str:
+    """In-row chunk-end positions: interior rolling-hash boundaries plus
+    the final text length; NULL text -> NULL, empty -> array()."""
+    pred = f"{_cdc_hash_terms('cap', 'i')} % {_CDC_MASK} = 0"
+    return (
+        "CASE WHEN cap IS NULL THEN NULL "
+        "WHEN length(cap) = 0 THEN array() "
+        "ELSE array_distinct(concat("
+        "  CASE WHEN length(cap) >= 8 "
+        f"       THEN filter(sequence(8, length(cap)), i -> {pred}) "
+        "       ELSE array() END, "
+        "  array(length(cap)))) END"
+    )
+
+
+def _cdc_oracle_ctes() -> str:
+    """The oracle's shared boundary prefix: docs (capped), interior
+    boundaries, union'd ends, and lag-derived chunk spans."""
+    return f"""
+WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, {_CDC_CAP + 1}) r(i)),
+docs AS (SELECT doc_id, substr(text, 1, {_CDC_CAP}) AS cap FROM documents),
+b AS (
+  SELECT d.doc_id, CAST(n.i AS BIGINT) AS e
+  FROM docs d JOIN nums n ON n.i BETWEEN 8 AND length(d.cap)
+  WHERE {_cdc_hash_terms('d.cap', 'n.i')} % {_CDC_MASK} = 0
+),
+ends AS (
+  SELECT doc_id, e FROM b
+  UNION
+  SELECT doc_id, length(cap) AS e FROM docs WHERE length(cap) >= 1
+),
+chunks AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+  FROM ends
+)"""
+
+
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document CDC manifest: chunk count, longest chunk, and an
     order-sensitive fingerprint (md5 of the concatenated per-chunk md5s,
@@ -2771,22 +2817,12 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the row.  NULL text propagates NULL; empty text is 0 chunks.
     """
     docs = _docs(spark, sf_dir, spread=True)
-    pred = f"{_cdc_hash_terms('cap', 'i')} % {_CDC_MASK} = 0"
-    ends = (
-        "CASE WHEN cap IS NULL THEN NULL "
-        "WHEN length(cap) = 0 THEN array() "
-        "ELSE array_distinct(concat("
-        "  CASE WHEN length(cap) >= 8 "
-        f"       THEN filter(sequence(8, length(cap)), i -> {pred}) "
-        "       ELSE array() END, "
-        "  array(length(cap)))) END"
-    )
-    prev = "CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END"
+    prev = _CDC_PREV
     return (
         docs.select(
             "doc_id", F.expr(f"substr(text, 1, {_CDC_CAP})").alias("cap")
         )
-        .select("doc_id", "cap", F.expr(ends).alias("ends"))
+        .select("doc_id", "cap", F.expr(_cdc_ends_expr()).alias("ends"))
         .select(
             "doc_id",
             F.expr("CAST(length(cap) AS BIGINT)").alias("n_chars"),
@@ -2805,24 +2841,7 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_CDC_CHUNKS_SQL = f"""
-WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, {_CDC_CAP + 1}) r(i)),
-docs AS (SELECT doc_id, substr(text, 1, {_CDC_CAP}) AS cap FROM documents),
-b AS (
-  SELECT d.doc_id, CAST(n.i AS BIGINT) AS e
-  FROM docs d JOIN nums n ON n.i BETWEEN 8 AND length(d.cap)
-  WHERE {_cdc_hash_terms('d.cap', 'n.i')} % {_CDC_MASK} = 0
-),
-ends AS (
-  SELECT doc_id, e FROM b
-  UNION
-  SELECT doc_id, length(cap) AS e FROM docs WHERE length(cap) >= 1
-),
-chunks AS (
-  SELECT doc_id, e,
-         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
-  FROM ends
-),
+DOC_CDC_CHUNKS_SQL = f"""{_cdc_oracle_ctes()},
 per AS (
   SELECT c.doc_id,
          CAST(count(*) AS BIGINT) AS n_chunks,
@@ -2866,17 +2885,7 @@ def doc_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands to the standard two-level aggregate, still key-partitioned
     — no window, no join)."""
     docs = _docs(spark, sf_dir, spread=True)
-    pred = f"{_cdc_hash_terms('cap', 'i')} % {_CDC_MASK} = 0"
-    ends = (
-        "CASE WHEN cap IS NULL THEN NULL "
-        "WHEN length(cap) = 0 THEN array() "
-        "ELSE array_distinct(concat("
-        "  CASE WHEN length(cap) >= 8 "
-        f"       THEN filter(sequence(8, length(cap)), i -> {pred}) "
-        "       ELSE array() END, "
-        "  array(length(cap)))) END"
-    )
-    prev = "CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END"
+    prev = _CDC_PREV
     chunk_structs = (
         "transform(ends, (e, j) -> named_struct("
         f"'h', md5(substr(cap, ({prev}) + 1, e - ({prev}))), "
@@ -2886,7 +2895,7 @@ def doc_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.expr(f"substr(text, 1, {_CDC_CAP})").alias("cap")
         )
-        .select("doc_id", "cap", F.expr(ends).alias("ends"))
+        .select("doc_id", "cap", F.expr(_cdc_ends_expr()).alias("ends"))
         .select("doc_id", F.explode(F.expr(chunk_structs)).alias("c"))
         .groupBy(F.col("c.h").alias("chunk_md5"))
         .agg(
@@ -2899,24 +2908,7 @@ def doc_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_CDC_DUP_CHUNKS_SQL = f"""
-WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, {_CDC_CAP + 1}) r(i)),
-docs AS (SELECT doc_id, substr(text, 1, {_CDC_CAP}) AS cap FROM documents),
-b AS (
-  SELECT d.doc_id, CAST(n.i AS BIGINT) AS e
-  FROM docs d JOIN nums n ON n.i BETWEEN 8 AND length(d.cap)
-  WHERE {_cdc_hash_terms('d.cap', 'n.i')} % {_CDC_MASK} = 0
-),
-ends AS (
-  SELECT doc_id, e FROM b
-  UNION
-  SELECT doc_id, length(cap) AS e FROM docs WHERE length(cap) >= 1
-),
-chunks AS (
-  SELECT doc_id, e,
-         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
-  FROM ends
-),
+DOC_CDC_DUP_CHUNKS_SQL = f"""{_cdc_oracle_ctes()},
 ch AS (
   SELECT c.doc_id,
          md5(substr(d.cap, CAST(prev + 1 AS INTEGER),

@@ -411,9 +411,9 @@ def test_ivf_layout_prunes_partitions_and_matches_unorganized_scan(
 
     from duckdb_webhook_gateway_spark.operators import similarity as S
 
-    emb = spark.read.parquet(
-        "/root/testdata/sf0.01/embeddings.parquet"
-    )
+    from conftest import sf_dir
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 10)
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding"

@@ -1081,3 +1081,47 @@ def test_replay_dedup_daily_users_state_and_null_contract(spark):
         ("click", "2026-02-02", 1),
         ("view", "2026-02-01", 1),
     ]
+
+
+def test_replay_bridges_normalize_ltz_event_time(spark):
+    """The driver's nanos parquet generation reads events.ts back as
+    LTZ TimestampType (sources/files.py timestamp_micros path).  An LTZ
+    value serializes to JSON with a zone suffix the NTZ readStream
+    schema cannot parse — before the fix every ts came back NULL and
+    the dedup bridge (which filters NULL keys) silently returned an
+    EMPTY result instead of failing.  All three bridges must normalize
+    to NTZ before landing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.streaming.aggregates import (
+        replay_dedup_daily_users,
+        replay_hourly_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "click", dt.datetime(2026, 3, 1, 9, 0, 0)),
+            (2, 10, "click", dt.datetime(2026, 3, 1, 10, 0, 0)),
+            (3, 20, "view", dt.datetime(2026, 3, 2, 9, 0, 0)),
+        ],
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp_ntz",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))  # force LTZ
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        (r.event_type, str(r.day), r.n_active_users)
+        for r in replay_dedup_daily_users(spark, ev).collect()
+    )
+    assert got == [
+        ("click", "2026-03-01", 1),
+        ("view", "2026-03-02", 1),
+    ]
+    hourly = sorted(
+        (str(r.window_start), r.event_type, r.n_events)
+        for r in replay_hourly_counts(
+            spark, ev.select("event_id", "event_type", "ts")
+        ).collect()
+    )
+    assert len(hourly) == 3 and hourly[0][2] == 1
