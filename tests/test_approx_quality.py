@@ -789,3 +789,45 @@ def test_pca_topdir_finds_planted_direction_and_guards(spark):
     )
     with pytest.raises(ValueError, match=">= 2 vectors"):
         S.pca_topdir(single).collect()
+
+
+def test_mmr_reduces_shortlist_redundancy_on_real_corpus(spark):
+    """The metric MMR exists to move: on the sf0.01 embeddings, the
+    mean pairwise cosine WITHIN each query's selected set must be lower
+    under MMR (lam=0.7) than under pure relevance top-k — if this ever
+    fails, the operator is reordering without diversifying."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    d = sf_dir("sf0.01")
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype="float64")
+        for r in emb.collect()
+    }
+
+    def mean_pairwise(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        sims = []
+        for ids in by_q.values():
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = vecs[ids[i]], vecs[ids[j]]
+                    sims.append(
+                        float(
+                            a @ b
+                            / (np.linalg.norm(a) * np.linalg.norm(b))
+                        )
+                    )
+        return sum(sims) / len(sims)
+
+    rel = mean_pairwise(S.cosine_topk(qs, emb, k=5).collect())
+    mmr = mean_pairwise(
+        S.mmr_topk(qs, emb, k=5, m=20, lam=0.7).collect()
+    )
+    assert mmr < rel, (mmr, rel)
