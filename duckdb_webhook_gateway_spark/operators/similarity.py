@@ -2208,6 +2208,17 @@ def ivf_layout_write(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    # The layout CARRIES its quantizer: readers and appenders must use
+    # the writer's centroids (any index's contract), so they live under
+    # the layout itself in an underscore directory (ignored by Spark's
+    # partition discovery, like _metadata) instead of in callers' hands.
+    spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c_mat[pos]])
+            for pos, i in enumerate(c_ids)
+        ],
+        f"centroid_id bigint, {vec_col} array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_quantizer")
     # ids actually WRITTEN, from the partition directories — a centroid
     # that attracted no vectors gets no directory, and the contract is
     # "list ids present in the layout", not "centroids offered"
@@ -2248,10 +2259,10 @@ def ivf_pruned_topk(
     index: the reader uses the writer's quantizer).
     """
     if centroids is None:
-        corpus = spark.read.parquet(layout_path)
-        centroids = corpus.filter(F.col("vec_id") < num_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v")
-        ).withColumnRenamed("v", vec_col)
+        # the layout's own quantizer (written by ivf_layout_write) — the
+        # single source of truth; a caller-supplied centroid relation is
+        # only for tests that must prove bit-identity against ivf_topk
+        centroids = spark.read.parquet(layout_path + "/_quantizer")
     c_ids, c_mat, c_norm = _collect_vec_block(
         centroids,
         "centroid_id",
@@ -2315,3 +2326,62 @@ def ivf_pruned_topk(
         score, "query_id bigint, neighbor_id bigint, cosine double"
     )
     return _topk_by_cosine(cand, k)
+
+
+def ivf_layout_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of an :func:`ivf_layout_write` layout:
+    assign the new batch with the layout's OWN stored quantizer (the
+    ``_quantizer`` directory the writer persisted — appenders never
+    supply centroids, so the index can't silently fork) and append the
+    rows into their list partitions.
+
+    This is the ingest half of the 100 TB index story, the same model
+    as ``TableStore.bucket_events``: the organized layout stays
+    queryable and PRUNABLE through appends — an appended vector lands
+    in the list the probe map will look in, so :func:`ivf_pruned_topk`
+    over the appended layout equals :func:`ivf_topk` over the unioned
+    corpus bit-for-bit (pinned in tests).  No re-clustering happens
+    here by design: centroids drift only when the owner rebuilds
+    (``ivf_layout_write`` again), exactly like a FAISS IVF index under
+    ``add()``.
+    """
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(path + "/_quantizer")
+    c_ids, c_mat, c_norm = _collect_vec_block(
+        cents,
+        "centroid_id",
+        [f for f in cents.columns if f != "centroid_id"][0],
+        f"ivf_layout_append: no quantizer found under {path}/_quantizer "
+        "— was this layout written by ivf_layout_write?",
+    )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches):
+        b_cids, b_cmat, b_cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["v"].values).astype("float64")
+            a_norm = np.linalg.norm(a, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "v": pdf["v"],
+                    "list_id": _ivf_assign(
+                        a, a_norm, b_cids, b_cmat, b_cnorm
+                    ),
+                }
+            )
+
+    src = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    vec_type = src.schema["v"].dataType.simpleString()
+    src.mapInPandas(
+        assign, f"vec_id bigint, v {vec_type}, list_id bigint"
+    ).write.mode("append").partitionBy("list_id").parquet(path)

@@ -1781,8 +1781,12 @@ def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="ivf_layout_")
     try:
         S.ivf_layout_write(emb, d, centroids=cents)
+        # centroids=None on the READ side: the query resolves the
+        # layout's STORED quantizer (the float32 -> float64 round-trip
+        # is exact), so the driver check also covers the
+        # single-source-of-truth path an appender would use
         out = S.ivf_pruned_topk(
-            spark, d, qs, nprobe=2, k=3, centroids=cents
+            spark, d, qs, nprobe=2, k=3
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)

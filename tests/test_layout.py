@@ -440,3 +440,55 @@ def test_ivf_layout_prunes_partitions_and_matches_unorganized_scan(
 
     inset = re.findall(r"INSET ([\d, ]+)", pf[0])[0]
     assert len(inset.split(",")) < 16
+
+
+def test_ivf_layout_stored_quantizer_and_incremental_append(
+    spark, tmp_path
+):
+    """The layout carries its own quantizer and stays correct under
+    appends: (1) ivf_pruned_topk with centroids=None resolves the
+    STORED quantizer and matches the explicit-centroids call
+    bit-for-bit; (2) after ivf_layout_append of a new batch, the pruned
+    query over the layout equals ivf_topk over the UNIONED corpus —
+    appended vectors land in the list the probe map will look in, the
+    bucket_events maintenance model applied to ANN."""
+    import pyspark.sql.functions as F
+
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    d = str(tmp_path / "ivf_layout_inc")
+    S.ivf_layout_write(base, d, centroids=cents)
+
+    explicit = sorted(
+        map(
+            tuple,
+            S.ivf_pruned_topk(
+                spark, d, qs, nprobe=2, k=3, centroids=cents
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(tuple, S.ivf_pruned_topk(spark, d, qs, nprobe=2, k=3).collect())
+    )
+    assert stored == explicit  # quantizer round-trip changes nothing
+
+    S.ivf_layout_append(extra, d)
+    after = sorted(
+        map(tuple, S.ivf_pruned_topk(spark, d, qs, nprobe=2, k=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(qs, emb, nprobe=2, k=3, centroids=cents).collect(),
+        )
+    )
+    assert after == want  # appended layout == unorganized union corpus
+    assert after != explicit  # ...and the append genuinely changed top-k
