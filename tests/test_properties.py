@@ -405,3 +405,71 @@ def test_dsir_weights_matches_python_mirror(spark, texts, flags):
         assert out[i]["n_features"] == nf
         assert abs(out[i]["logratio_per_feature"] - w) <= 1e-6
         assert out[i]["selected"] == (out[i]["logratio_per_feature"] > 0)
+
+
+def _py_winnow(tokens: list[str], k: int = 3, w: int = 4) -> set:
+    """Independent winnowing reference: md5-prefix gram hashes, window
+    minimum with RIGHTMOST tie, distinct (hash, pos) pairs."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set()
+    grams = [
+        int(
+            hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:8],
+            16,
+        )
+        for i in range(len(tokens) - k + 1)
+    ]
+    if len(grams) < w:
+        return set()
+    out = set()
+    for j in range(len(grams) - w + 1):
+        window = grams[j : j + w]
+        # rightmost minimal: min by (hash, -pos)
+        best = min(range(w), key=lambda t: (window[t], -t))
+        out.add((grams[j + best], j + best + 1))  # 1-based gram pos
+    return out
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_winnow_fingerprints_match_python_reference(spark, texts):
+    """winnow_fingerprints must agree with an independent plain-Python
+    winnowing on arbitrary small-alphabet docs — the tiny alphabet
+    maximizes repeated grams, hammering the rightmost-minimum tie rule
+    the in-row struct-min implements."""
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(_docs_df(spark, texts)).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t.split(" ")), (i, t)
+
+
+@given(
+    host=st.lists(_token, min_size=6, max_size=20),
+    planted=st.lists(_token, min_size=6, max_size=10),
+    offset=st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_winnow_detection_guarantee(spark, host, planted, offset):
+    """The MOSS guarantee, probed with random plants: two docs sharing
+    a token run of length >= w + k - 1 (= 6) MUST share at least one
+    fingerprint hash, wherever the run sits in either doc."""
+    from duckdb_webhook_gateway_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    a = " ".join(planted)
+    b_toks = host[: offset % (len(host) + 1)] + planted + host[
+        offset % (len(host) + 1) :
+    ]
+    b = " ".join(b_toks)
+    fps: dict[int, set] = {0: set(), 1: set()}
+    for r in winnow_fingerprints(_docs_df(spark, [a, b])).collect():
+        fps[r.doc_id].add(r.fp_hash)
+    assert fps[0] & fps[1], (a, b)
