@@ -36,29 +36,24 @@ from . import analytics, datapipe  # noqa: E402
 # CORRECTNESS_r*.json history and tests/test_rotation.py fails the suite
 # if this window misses any due entry — the round-10 slip (six
 # r7-certified queries missed their r10 window while comments claimed
-# "zero slips") cannot silently recur.  Round-11 _CHECK_FIRST
-# (exactly 50) =
-#   (a) the SIX r7-stale queries the round-10 verdict flagged, first;
-#   (b) the seven first certifications: embedding_finite_gate
-#       (registered mid-r10 behind the window) and the six new
-#       round-11 queries ann_pq_trained_topk + image_near_dup_phash +
-#       audio_near_dup_fp + video_near_dup_phash + part_kcore +
-#       ann_ivfq8_topk;
-#   (c) ann_ivf_recall — not due (r9-green) but its exact arm changed
-#       plan this round (cosine_topk now rides the cosine_scores fused
-#       corpus pass);
-#   (d) ALL 36 r8-green entries due this round by the staleness rule —
-#       hybrid_rank_fusion (one-exchange fusion rewrite) and
-#       ann_cosine_topk (cosine_scores) also changed plans this round;
-#   (e) NO r9-green promotions this round: the part_kcore +
-#       ann_ivfq8_topk first certifications took the final two slots
-#       (first certs outrank promotions — part_triangle_count /
-#       q5_region_revenue held them until these landed; they are
-#       r9-green, due r12 with the rest of their block).
-# The tail is the round-10-certified block (due r13); the r9-green
-# remainder sits mid-registry (due r12).  The parity suite still covers
-# EVERY registry entry at sf0.1 every round (count-free on purpose —
-# tools/rotation.py is the ledger now, not this comment).
+# "zero slips") cannot silently recur.  Round-12 _CHECK_FIRST is
+# EXACTLY tools/rotation.prioritized_dues()[:50] for the r12 history
+# (CORRECTNESS_r1..r11 on disk) — the first oversubscribed window:
+#   (a) all 43 r9-certified dues, stalest block first (alphabetical
+#       within the block — the prioritized_dues tie-break);
+#   (b) 7 of the 11 never-certified late-r11 registrations
+#       (clock r11, first certification due r12), alphabetical:
+#       ann_ivf_pruned_topk ann_mmr_topk ann_rerank_topk doc_cdc_chunks
+#       doc_cdc_dup_chunks doc_winnow_pairs embedding_hard_negatives;
+#   (c) the remaining 4 late-r11 first-certs DEFER one round to r13
+#       under the ceiling-checked least-stale tier:
+#       embedding_pca_topdir part_communities_lpa
+#       streaming_dedup_events streaming_user_sessions — they sit
+#       mid-registry with the r10-certified block (all due r13).
+# The tail (_CHECK_LAST) is the round-11-certified block (due r14).
+# The parity suite still covers EVERY registry entry at sf0.1 every
+# round (count-free on purpose — tools/rotation.py is the ledger now,
+# not this comment).
 # First-certification ledger for entries registered mid-round BEHIND an
 # already-full driver window: a never-certified entry becomes due the
 # round AFTER its registration round (the embedding_finite_gate
@@ -91,14 +86,70 @@ _REGISTERED_ROUND = {
 }
 
 _CHECK_FIRST = (
-    # (a) r7-stale — the round-10 rotation slip, served first
+    # (a) the 43 r9-certified dues, stalest-first (alphabetical
+    # tie-break within the clock-r9 block)
+    "bloom_prefilter_join",
+    "boilerplate_ratio",
+    "bpe_merge_candidates",
+    "brand_top_parts",
+    "corpus_stats",
+    "corpus_token_coverage",
+    "cube_order_status",
+    "customer_order_counts",
+    "customer_scd2_snapshot",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_pivot_by_type",
+    "events_recent_topk",
+    "events_type_rate",
+    "lineitem_distinct_counts",
+    "lm_perplexity_filter",
+    "mixture_resample",
+    "nation_key_intersect",
+    "order_priority_rate",
+    "orders_price_exact_quantiles",
+    "orders_value_quartiles",
+    "part_filter_like_in",
+    "part_projection",
+    "part_triangle_count",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quality_funnel",
+    "region_keys_union",
+    "rollup_region_nation",
+    "sequence_packing",
+    "source_mixture",
+    "split_ngram_decontamination",
+    "supplier_string_funcs",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "top_orders_by_value",
+    "value_quantile_sketch",
+    "window_top_orders_per_customer",
+    # (b) 7 first certifications of the late-r11 registrations
+    # (clock r11; the other 4 defer to r13 under the ceiling tier)
+    "ann_ivf_pruned_topk",
+    "ann_mmr_topk",
+    "ann_rerank_topk",
+    "doc_cdc_chunks",
+    "doc_cdc_dup_chunks",
+    "doc_winnow_pairs",
+    "embedding_hard_negatives",
+)
+# Queries certified in round 11 — rotate to the unchecked tail (due
+# r14); the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "monthly_revenue_incremental",
     "orderkey_hll_distinct",
     "part_basket_pairs",
     "part_name_fuzzy_pairs",
     "q10_returned_revenue",
     "region_status_grouping_sets",
-    # (b) first driver certifications
     "embedding_finite_gate",
     "ann_pq_trained_topk",
     "image_near_dup_phash",
@@ -106,10 +157,7 @@ _CHECK_FIRST = (
     "video_near_dup_phash",
     "part_kcore",
     "ann_ivfq8_topk",
-    # (c) plan-changed, not otherwise due
     "ann_ivf_recall",
-    # (d) the 36 r8-green dues (incl. plan-changed hybrid_rank_fusion,
-    # ann_cosine_topk)
     "hybrid_rank_fusion",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -146,60 +194,6 @@ _CHECK_FIRST = (
     "text_pattern_scrub",
     "text_tfidf_top_terms",
     "text_token_stats",
-)
-# Queries checked in round 10 — rotate to the unchecked tail (due r13);
-# the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "doc_prefix_jaccard_join",
-    "gopher_repetition_report",
-    "doc_chunk_manifest",
-    "events_json_bucket",
-    "part_pagerank",
-    "ann_lsh_buckets",
-    "embedding_near_dup_lsh",
-    "doc_bm25_topk",
-    "dedup_simhash",
-    "leakage_safe_split",
-    "join_key_skew",
-    "split_divergence",
-    "doc_containment_pairs",
-    "events_markov_transitions",
-    "nation_trade_matrix",
-    "events_hopping_windows",
-    "customer_functional_deps",
-    "events_hourly_gapfill",
-    "dedup_incremental",
-    "events_sessionize",
-    "events_asof_attribution",
-    "training_order_manifest",
-    "vocab_oov_rate",
-    "cross_source_overlap",
-    "ensemble_near_dup",
-    "source_lang_mix",
-    "passage_savings",
-    "events_rolling_features",
-    "distinct_kmv_sketch",
-    "events_range_join",
-    "corpus_pmi_pairs",
-    "embedding_label_quality",
-    "multimodal_video_features",
-    "source_temperature_mixture",
-    "source_quality_deciles",
-    "multimodal_image_resize",
-    "corpus_zipf_stats",
-    "streaming_hourly_counts",
-    "semantic_dedup",
-    "dsir_selection",
-    "substring_dup_spans",
-    "events_profile",
-    "token_heavy_hitters",
-    "weighted_sample_topk",
-    "source_overlap_kmv",
-    "events_multitouch_attribution",
-    "token_freq_cm_sketch",
-    "embedding_dim_stats",
 )
 
 def all_entries() -> dict[str, Entry]:
