@@ -536,6 +536,7 @@ def banded_hamming_topk(
     hash_col: str,
     n_bands: int,
     k: int = 3,
+    max_probes: int = 65536,
 ) -> DataFrame:
     """Shared spine of the multimodal near-dup family: for each probe
     fingerprint, the ``k`` nearest corpus fingerprints by Hamming
@@ -553,7 +554,26 @@ def banded_hamming_topk(
     WindowGroupLimit top-k.  Hamming is ``bit_count(xor)`` on the JVM —
     no Python in the verify step.  Returns
     (probe_id, match_id, hamming, rank), ties on lowest match_id.
+
+    PROBE-CARDINALITY CONTRACT: "probe side small" is load-bearing —
+    the banded probe table is broadcast, so probes are bounded by
+    ``max_probes`` (default 65536 ≈ single-digit MB banded) and the
+    operator REJECTS a larger probe side with a descriptive error
+    instead of OOMing the broadcast (the same loud-reject convention
+    as the ANN family's centroid/group guards).  A probe set past the
+    bound is a corpus-x-corpus self-join in disguise: run the
+    symmetric corpus pass (band both sides, shuffle-join on
+    (band, val)) instead of raising the bound.
     """
+    head = hashes_p.select("doc_id").limit(max_probes + 1).count()
+    if head > max_probes:
+        raise ValueError(
+            f"banded_hamming_topk: probe side exceeds max_probes="
+            f"{max_probes} — the banded probe table is BROADCAST, so "
+            "probe cardinality must stay dimension-sized. For "
+            "corpus-scale probe sets use a symmetric (band, val) "
+            "shuffle join, not this broadcast spine."
+        )
     stack_args = ", ".join(f"{i}, b{i}" for i in range(n_bands))
     band_expr = f"stack({n_bands}, {stack_args}) as (band, val)"
     p_bands = hashes_p.selectExpr(

@@ -2219,18 +2219,20 @@ def ivf_layout_write(
         ],
         f"centroid_id bigint, {vec_col} array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_quantizer")
-    # ids actually WRITTEN, from the partition directories — a centroid
-    # that attracted no vectors gets no directory, and the contract is
-    # "list ids present in the layout", not "centroids offered"
-    import os as _os
-    import re as _re
-
-    present = []
-    for entry in _os.listdir(path):
-        m = _re.fullmatch(r"list_id=(-?\d+)", entry)
-        if m:
-            present.append(int(m.group(1)))
-    return sorted(present)
+    # ids actually WRITTEN, read back from the layout's own partition
+    # column — a centroid that attracted no vectors gets no directory,
+    # and the contract is "list ids present in the layout", not
+    # "centroids offered".  Goes through the Spark reader (partition
+    # discovery), not os.listdir, so it works identically for local
+    # paths and object-store/HDFS URIs; the collect is
+    # centroid-cardinality (bounded), never corpus-cardinality.
+    present = (
+        spark.read.parquet(path)
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["list_id"]) for r in present)
 
 
 def ivf_pruned_topk(
@@ -2381,7 +2383,29 @@ def ivf_layout_append(
     src = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    vec_type = src.schema["v"].dataType.simpleString()
+    # The appended batch MUST land with the layout's stored vector type:
+    # appending array<double> rows into an array<float> layout would
+    # leave a mixed-schema parquet directory that later reads fail on or
+    # silently widen.  Same single-source-of-truth rule as the quantizer
+    # — the layout, not the caller, owns the physical contract.
+    from pyspark.sql.types import ArrayType
+
+    layout_type = spark.read.parquet(path).schema["v"].dataType
+    batch_type = src.schema["v"].dataType
+    if batch_type != layout_type:
+        if not (
+            isinstance(batch_type, ArrayType)
+            and isinstance(layout_type, ArrayType)
+        ):
+            raise ValueError(
+                f"ivf_layout_append: batch {vec_col!r} type "
+                f"{batch_type.simpleString()} cannot be stored in a "
+                f"layout with vector type {layout_type.simpleString()}"
+            )
+        src = src.select(
+            "vec_id", F.col("v").cast(layout_type).alias("v")
+        )
+    vec_type = layout_type.simpleString()
     src.mapInPandas(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     ).write.mode("append").partitionBy("list_id").parquet(path)

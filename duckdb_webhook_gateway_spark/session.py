@@ -28,6 +28,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for every pandas/Python exchange (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The oracle (DuckDB) computes on NAIVE wall-clock timestamps; the
+    # engine recovers that by casting LTZ -> timestamp_ntz (functions
+    # .epoch_us, streaming/aggregates.py replay bridges).  That cast is
+    # session-timezone-dependent, so pin UTC or a non-UTC host would
+    # silently shift every day/hour grouping away from the oracle's
+    # CAST(ts AS DATE).  Clusters must keep this pin too — it is part
+    # of the engine's determinism contract, not a test convenience.
+    "spark.sql.session.timeZone": "UTC",
     # Parquet scans: vectorized reader + pushdown are on by default in
     # Spark 4; pinned here because the engine depends on them for scale.
     "spark.sql.parquet.filterPushdown": "true",

@@ -1924,61 +1924,14 @@ ENTRIES["ann_ivfq8_topk"] = (ann_ivfq8_topk, ANN_IVFQ8_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/similarity.py::pq_topk): 8
-    subspaces x 16 codes over the 64-dim corpus, ADC ranking — the 64x
-    memory-reduction scale path for billion-vector search.  Deterministic
-    first-16 codebook so the oracle rebuilds the exact index; same query
-    set (vec_id < 10) and tie-breaks as the other ANN queries."""
-    emb = _emb(spark, sf_dir)
-    return S.pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
-
-
-ANN_PQ_TOPK_SQL = """
-WITH cb AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id,
-         embedding AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
-),
-subs AS (SELECT s FROM range(0, 8) r(s)),
-offs AS (SELECT j FROM range(1, 9) r(j)),
--- per-(vector, code, subspace) squared-L2 over the 8-dim block in
--- INTEGER NANO-UNITS: the encode argmin and the ADC sum are exact
--- BIGINT arithmetic, summation-order-independent on both engines
-cd AS (
-  SELECT e.vec_id, c.code_id, s.s,
-         CAST(round(sum(pow(CAST(e.embedding[s.s * 8 + o.j] AS DOUBLE)
-                            - CAST(c.cv[s.s * 8 + o.j] AS DOUBLE), 2))
-                    * 1e9) AS BIGINT) AS d2
-  FROM embeddings e, cb c, subs s, offs o
-  GROUP BY e.vec_id, c.code_id, s.s
-),
-enc AS (
-  SELECT vec_id, s, code_id FROM (
-    SELECT vec_id, s, code_id,
-           row_number() OVER (PARTITION BY vec_id, s
-                              ORDER BY d2, code_id) AS rn
-    FROM cd) WHERE rn = 1
-),
-lut AS (SELECT vec_id AS query_id, code_id, s, d2 FROM cd WHERE vec_id < 10),
-scored AS (
-  SELECT l.query_id, e.vec_id AS neighbor_id,
-         CAST(sum(l.d2) AS BIGINT) AS pq_dist_nano
-  FROM enc e JOIN lut l ON l.s = e.s AND l.code_id = e.code_id
-  WHERE l.query_id <> e.vec_id
-  GROUP BY l.query_id, e.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, pq_dist_nano,
-         CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY pq_dist_nano, neighbor_id)
-              AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, pq_dist_nano, rank FROM ranked WHERE rank <= 3
-"""
-
-ENTRIES["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_TOPK_SQL)
+# ann_pq_topk (untrained first-16 codebook PQ) was RETIRED in round 12:
+# strictly subsumed by ann_pq_trained_topk, which certifies pq_train AND
+# pq_topk through the same ADC/nano-unit contract every rotation round
+# (r11 verdict task 3 — at 154 entries each redundant certification
+# displaced a due re-certification).  The untrained codebook path keeps
+# operator-level coverage in tests/test_extensions.py (recall/memory
+# shape), the plan pin in tests/test_plans.py, and the differential
+# fuzz family (trained entry).  History: driver-green r10 (0.88x sf1).
 
 
 # ---------------------------------------------------------------------------

@@ -582,8 +582,10 @@ EMB_QUERIES = [
     "hybrid_rank_fusion",
     # round-8 addition: recall@5 eval join of the ivf arm vs brute force
     "ann_ivf_recall",
-    # round-10 addition: PQ/ADC ranking (L2 — defined on zero vectors)
-    "ann_pq_topk",
+    # round-10 addition: PQ/ADC ranking (L2 — defined on zero vectors);
+    # ann_pq_topk retired r12 — the trained entry fuzzes pq_train AND
+    # pq_topk through the same ADC/nano contract
+    "ann_pq_trained_topk",
     "ann_ivfpq_topk",
     # round-11 third batch: label-filtered mining + q8→float cascade
     "embedding_hard_negatives",

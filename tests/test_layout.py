@@ -492,3 +492,46 @@ def test_ivf_layout_stored_quantizer_and_incremental_append(
     )
     assert after == want  # appended layout == unorganized union corpus
     assert after != explicit  # ...and the append genuinely changed top-k
+
+
+def test_ivf_layout_append_enforces_stored_vector_type(spark, tmp_path):
+    """The layout owns its physical vector type: appending a batch with
+    a different ARRAY element type is cast to the stored type (no
+    mixed-schema parquet directory), and a non-array vector column is
+    rejected loudly (ADVICE r11)."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.001") + "/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 40)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    d = str(tmp_path / "ivf_layout_typed")
+    S.ivf_layout_write(base, d, centroids=cents)
+    stored = spark.read.parquet(d).schema["v"].dataType.simpleString()
+
+    # widened batch: array<double> appended into the stored type
+    widened = emb.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    S.ivf_layout_append(widened, d)
+    assert (
+        spark.read.parquet(d).schema["v"].dataType.simpleString() == stored
+    )
+    assert spark.read.parquet(d).count() == 50
+
+    # non-array vector column: loud reject, nothing written
+    bad = spark.range(100, 102).select(
+        F.col("id").alias("vec_id"), F.col("id").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="cannot be stored"):
+        S.ivf_layout_append(bad, d)
+    assert spark.read.parquet(d).count() == 50

@@ -309,3 +309,30 @@ def test_video_dhash_planted_near_dups(spark):
         assert getattr(hrow, col) == int(
             (hv >> np.uint64(16 * b)) & np.uint64(0xFFFF)
         )
+
+
+def test_banded_hamming_topk_probe_cardinality_contract(spark):
+    """The banded probe table is BROADCAST, so the operator must reject
+    an over-bound probe side with a descriptive error instead of OOMing
+    the broadcast (the ANN family's loud-reject convention,
+    similarity.py's centroid/group guards).  Under the bound the same
+    frame passes through unchanged."""
+    import pytest
+
+    from duckdb_webhook_gateway_spark.operators.multimodal import (
+        banded_hamming_topk,
+    )
+
+    hashes = spark.range(0, 12).selectExpr(
+        "id as doc_id",
+        "id * 1103515245 as h",
+        "cast(id % 7 as int) as b0",
+        "cast(id % 5 as int) as b1",
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        banded_hamming_topk(hashes, hashes, "h", 2, k=2, max_probes=8)
+    # at/below the bound: runs and keeps the (probe, match, rank) shape
+    out = banded_hamming_topk(hashes, hashes, "h", 2, k=2, max_probes=12)
+    rows = out.collect()
+    assert rows and all(r.probe_id != r.match_id for r in rows)
+    assert out.columns == ["probe_id", "match_id", "hamming", "rank"]

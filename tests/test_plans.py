@@ -1072,9 +1072,15 @@ def test_pq_topk_single_pass_window_group_limited(spark):
     join, no corpus collect), and the only shuffle is the final top-k
     window, which must keep WindowGroupLimit (partial top-k before the
     exchange)."""
-    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_pq_topk
+    # operator-level since r12 (the ann_pq_topk registry entry was
+    # retired — subsumed by ann_pq_trained_topk); the untrained
+    # first-16-codebook path keeps this plan pin
+    import pyspark.sql.functions as F
 
-    plan = _plan(ann_pq_topk(spark, sf_dir()))
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir() + "/embeddings.parquet")
+    plan = _plan(S.pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=3))
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan

@@ -39,3 +39,11 @@ def test_driver_contract_under_vanilla_session():
         timeout=300,
     )
     assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_session_defaults_pin_utc_timezone(spark):
+    """The LTZ->NTZ wall-clock recovery (functions.epoch_us, the
+    streaming replay bridges) matches the DuckDB oracle's naive
+    timestamps only under a UTC session timezone — session.py pins it
+    so the contract is host-independent (ADVICE r11)."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
