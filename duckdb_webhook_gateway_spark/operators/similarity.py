@@ -2153,6 +2153,7 @@ def ivf_layout_write(
     centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_list: int | None = None,
 ) -> list[int]:
     """Write the corpus as an IVF-PARTITIONED parquet layout: one
     partition directory per coarse list (``list_id=<centroid_id>``),
@@ -2166,6 +2167,19 @@ def ivf_layout_write(
     discarding in compute (what :func:`ivf_topk` must do over an
     unorganized table).  The same trade as ``TableStore.bucket_events``
     made for the audit join: pay one organized write, read forever.
+
+    ``files_per_list`` bounds the FILE COUNT per list directory: the
+    default (None) writes straight out of the assignment pass — zero
+    extra shuffle, but every upstream partition that touches a list
+    emits a file into it, so a 1000-task write can leave 1000 small
+    files per list (the classic small-files problem; at 100 TB that
+    multiplies NameNode/listing load and read open() counts by the
+    task count).  With ``files_per_list=F`` the assigned rows take ONE
+    clustering shuffle on (list_id, hash(vec_id) % F) before the write
+    — exactly F balanced files per non-empty list, the organized
+    write's one-time cost in the bucket_events tradition.  (AT MOST F:
+    hash partitioning may co-locate two slots of one list in a task,
+    which merges them into one larger file — never splits one.)
 
     Returns the sorted list ids present (centroid-cardinality).
     """
@@ -2207,6 +2221,21 @@ def ivf_layout_write(
     assigned = src.mapInPandas(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     )
+    if files_per_list is not None:
+        if files_per_list < 1:
+            raise ValueError(
+                "ivf_layout_write: files_per_list must be >= 1 "
+                f"(got {files_per_list})"
+            )
+        # One clustering shuffle on (list, file-slot): each slot's rows
+        # arrive at a single task, so each list directory receives at
+        # most files_per_list balanced files regardless of how many
+        # upstream tasks touched the list.
+        assigned = assigned.repartition(
+            max(1, len(c_ids)) * files_per_list,
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list)),
+        )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
     # The layout CARRIES its quantizer: readers and appenders must use
     # the writer's centroids (any index's contract), so they live under

@@ -535,3 +535,65 @@ def test_ivf_layout_append_enforces_stored_vector_type(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot be stored"):
         S.ivf_layout_append(bad, d)
     assert spark.read.parquet(d).count() == 50
+
+
+def test_ivf_layout_write_files_per_list_bounds_file_count(
+    spark, tmp_path
+):
+    """The small-files control: files_per_list=F clusters the assigned
+    rows before the write, so every list directory holds at most F
+    parquet files no matter how many upstream tasks touched the list —
+    and the clustered layout is bit-identical to the default one under
+    ivf_pruned_topk (file layout is physical only)."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 400)
+        .repartition(16)  # many upstream tasks per list on purpose
+    )
+    cents = (
+        spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    qs = spark.read.parquet(
+        sf_dir("sf0.01") + "/embeddings.parquet"
+    ).filter(F.col("vec_id") < 5)
+
+    d_default = str(tmp_path / "ivf_many_files")
+    d_bounded = str(tmp_path / "ivf_bounded_files")
+    S.ivf_layout_write(emb, d_default, centroids=cents)
+    S.ivf_layout_write(emb, d_bounded, centroids=cents, files_per_list=2)
+
+    def files_per_dir(root):
+        out = {}
+        for lst in _glob.glob(os.path.join(root, "list_id=*")):
+            out[os.path.basename(lst)] = len(
+                _glob.glob(os.path.join(lst, "*.parquet"))
+            )
+        return out
+
+    bounded = files_per_dir(d_bounded)
+    assert bounded and all(n <= 2 for n in bounded.values()), bounded
+    # the 16-task default layout shows the problem the option solves
+    assert any(n > 2 for n in files_per_dir(d_default).values())
+
+    a = sorted(map(tuple, S.ivf_pruned_topk(
+        spark, d_default, qs, nprobe=2, k=3, centroids=cents
+    ).collect()))
+    b = sorted(map(tuple, S.ivf_pruned_topk(
+        spark, d_bounded, qs, nprobe=2, k=3, centroids=cents
+    ).collect()))
+    assert a == b
+
+    with pytest.raises(ValueError, match="files_per_list"):
+        S.ivf_layout_write(
+            emb, str(tmp_path / "bad"), centroids=cents, files_per_list=0
+        )
