@@ -2364,6 +2364,7 @@ def ivf_layout_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_list: int | None = None,
 ) -> None:
     """Incremental maintenance of an :func:`ivf_layout_write` layout:
     assign the new batch with the layout's OWN stored quantizer (the
@@ -2380,6 +2381,12 @@ def ivf_layout_append(
     here by design: centroids drift only when the owner rebuilds
     (``ivf_layout_write`` again), exactly like a FAISS IVF index under
     ``add()``.
+
+    ``files_per_list`` is the writer's small-files control applied to
+    the append batch (at most F new files per touched list, one
+    clustering shuffle); appends still ACCUMULATE files over time, so a
+    high-churn layout periodically rebuilds via ``ivf_layout_write`` —
+    the compact-then-serve rhythm of ``TableStore.bucket_events``.
     """
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(path + "/_quantizer")
@@ -2435,6 +2442,18 @@ def ivf_layout_append(
             "vec_id", F.col("v").cast(layout_type).alias("v")
         )
     vec_type = layout_type.simpleString()
-    src.mapInPandas(
+    assigned = src.mapInPandas(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
-    ).write.mode("append").partitionBy("list_id").parquet(path)
+    )
+    if files_per_list is not None:
+        if files_per_list < 1:
+            raise ValueError(
+                "ivf_layout_append: files_per_list must be >= 1 "
+                f"(got {files_per_list})"
+            )
+        assigned = assigned.repartition(
+            max(1, len(c_ids)) * files_per_list,
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list)),
+        )
+    assigned.write.mode("append").partitionBy("list_id").parquet(path)

@@ -597,3 +597,53 @@ def test_ivf_layout_write_files_per_list_bounds_file_count(
         S.ivf_layout_write(
             emb, str(tmp_path / "bad"), centroids=cents, files_per_list=0
         )
+
+
+def test_ivf_layout_append_files_per_list_bound(spark, tmp_path):
+    """The append-side small-files control: an appended batch spread
+    over many upstream tasks adds at most files_per_list new files per
+    touched list, and the appended layout still answers identically."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 500)
+    ).repartition(16)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+
+    d = str(tmp_path / "ivf_append_bounded")
+    S.ivf_layout_write(base, d, centroids=cents, files_per_list=1)
+    before = {
+        lst: len(_glob.glob(os.path.join(lst, "*.parquet")))
+        for lst in _glob.glob(os.path.join(d, "list_id=*"))
+    }
+    S.ivf_layout_append(extra, d, files_per_list=2)
+    after = {
+        lst: len(_glob.glob(os.path.join(lst, "*.parquet")))
+        for lst in _glob.glob(os.path.join(d, "list_id=*"))
+    }
+    assert all(
+        after[lst] - before.get(lst, 0) <= 2 for lst in after
+    ), (before, after)
+
+    got = sorted(map(tuple, S.ivf_pruned_topk(
+        spark, d, qs, nprobe=2, k=3, centroids=cents
+    ).collect()))
+    want = sorted(map(tuple, S.ivf_topk(
+        qs, emb.filter(F.col("vec_id") < 500), nprobe=2, k=3,
+        centroids=cents,
+    ).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="files_per_list"):
+        S.ivf_layout_append(extra, d, files_per_list=-1)
