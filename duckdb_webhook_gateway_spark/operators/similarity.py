@@ -963,10 +963,6 @@ _Q8_EXPR = (
     "transform({v}, x -> "
     "CAST(round(try_divide(CAST(x AS DOUBLE) * 127.0, __mx)) AS BIGINT))"
 )
-_INT_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-)
 
 
 def quantize_int8(
@@ -1014,45 +1010,101 @@ def quantized_topk(
     """Brute-force top-k by INT8-quantized cosine — ``cosine_topk`` on a
     4×-smaller representation with integer-exact dot products.
 
-    Same plan shape as ``cosine_topk``: quantized queries broadcast
-    against the quantized corpus, one windowed top-k; ties break on
-    neighbor id over the rounded score.  The quantization error is the
-    recall trade (pinned by ``test_q8_recall_vs_float``); the win is 4×
-    less memory traffic in the scan/broadcast and a zip_with/aggregate
-    inner loop on bigints.
+    Execution (rewritten round 12): ONE fused Arrow pass over the
+    corpus, the ``ivfq8_topk``/``pq_topk`` shape — the quantized query
+    block broadcasts as numpy, each corpus batch int8-encodes and
+    integer-dots against every query in a single matmul, and the only
+    shuffle is the final top-k window (WindowGroupLimit: partial top-k
+    before the exchange).  The previous declarative form scored the
+    same pairs with a JVM ``zip_with``/``aggregate`` lambda per pair —
+    higher-order array lambdas are interpreted per element, measured
+    15× slower than the vectorized dot at sf1 (6.5 s vs 0.4 s for the
+    very same math ``ivfq8_topk`` runs) — and ``ivfq8_topk``'s
+    full-probe identity test had already pinned the two paths
+    bit-identical.  Ties break on neighbor id over the rounded score.
+
+    NULL contract (unchanged, oracle-paired): a zero-norm vector's
+    quantization is undefined — every score it touches is SQL NULL
+    (``quantize_int8``'s try_divide degrade), NULLs sort last under the
+    descending rank.  The fused pass reproduces this exactly via a
+    masked nullable column, NOT the raise the probed-index family uses
+    (those reject zero vectors loudly because a pruned search can't
+    rank what it never scores; a brute scan can and must).
+
+    The quantization error is the recall trade (pinned by
+    ``test_q8_recall_vs_float``); the win is 4× less memory traffic in
+    the scan and an integer matmul inner loop.
     """
-    qq = quantize_int8(queries, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qa"),
-        F.col("sq").alias("sa"),
-    )
-    cq = quantize_int8(corpus, id_col, vec_col).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("qb"),
-        F.col("sq").alias("sb"),
-    )
-    dot = _INT_DOT.format(a="qa", b="qb")
-    scored = (
-        cq.crossJoin(F.broadcast(qq))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.expr(dot).cast("double")
-                / (
-                    F.sqrt(F.col("sa").cast("double"))
-                    * F.sqrt(F.col("sb").cast("double"))
-                ),
-                6,
-            ).alias("q8_cosine"),
+    spark = corpus.sparkSession
+    if isinstance(queries, pd.DataFrame):
+        q_pd = queries.rename(
+            columns={id_col: "query_id", vec_col: "qv"}
+        )[["query_id", "qv"]].sort_values("query_id")
+    else:
+        q_pd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            .orderBy("query_id")
+            .toPandas()
         )
+    if len(q_pd) == 0:
+        raise ValueError(
+            "quantized_topk: empty query block — the query side is "
+            "collected and broadcast (the ANN family contract); an "
+            "empty relation has nothing to rank"
+        )
+    q_ids = q_pd["query_id"].to_numpy(dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(v, dtype="float64") for v in q_pd["qv"].values]
+    )
+    q_q8, q_sq, q_null = _q8_encode_np_nullable(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_q8, q_sq, q_null))
+
+    def fused(batches):
+        b_qids, b_qq8, b_qsq, b_qnull = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["v"].values).astype("float64")
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            a_q8, a_sq, a_null = _q8_encode_np_nullable(a)
+            dots = (a_q8 @ b_qq8.T).astype("float64")
+            # same association order as the declarative form and the
+            # oracle: dot / (sqrt(sa) * sqrt(sb)), then round 6
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round(
+                    dots
+                    / (
+                        np.sqrt(a_sq.astype("float64"))[:, None]
+                        * np.sqrt(b_qsq.astype("float64"))[None, :]
+                    ),
+                    6,
+                )
+            null_pair = a_null[:, None] | b_qnull[None, :]
+            ni, qi = np.nonzero(ids[:, None] != b_qids[None, :])
+            vals = pd.arrays.FloatingArray(
+                sims[ni, qi], null_pair[ni, qi]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": ids[ni],
+                    "q8_cosine": vals,
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cand = src.mapInPandas(
+        fused, "query_id bigint, neighbor_id bigint, q8_cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("q8_cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "q8_cosine", "rank")
     )
@@ -1144,6 +1196,26 @@ def _q8_encode_np(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
     scaled = mat * (127.0 / mx[:, None])
     q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
     return q, (q * q).sum(axis=1)
+
+
+def _q8_encode_np_nullable(
+    mat: "np.ndarray",
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """:func:`_q8_encode_np` with the DataFrame path's NULL contract
+    instead of the fused families' raise: a zero-norm row gets
+    ``null_mask`` True (``quantize_int8``'s try_divide degrades it to an
+    all-NULL q vector, which propagates NULL through sq/dot/score — the
+    semantics ``quantized_topk`` is oracle-paired under, and the EMB
+    fuzz battery's zero-vector kind exercises on both engines).  The
+    masked rows' q/sq are zeros; every score touching them must be
+    emitted as SQL NULL by the caller.  Returns (q, sq, null_mask)."""
+    mx = np.abs(mat).max(axis=1)
+    null_mask = mx == 0
+    safe = np.where(null_mask, 1.0, mx)
+    scaled = mat * (127.0 / safe[:, None])
+    q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+    q[null_mask] = 0
+    return q, (q * q).sum(axis=1), null_mask
 
 
 def ivfq8_topk(

@@ -38,18 +38,23 @@ from . import analytics, datapipe  # noqa: E402
 # r7-certified queries missed their r10 window while comments claimed
 # "zero slips") cannot silently recur.  Round-12 _CHECK_FIRST is
 # EXACTLY tools/rotation.prioritized_dues()[:50] for the r12 history
-# (CORRECTNESS_r1..r11 on disk) — the first oversubscribed window:
+# (CORRECTNESS_r1..r11 on disk + the two _PLAN_CHANGED_ROUND voids) —
+# the first oversubscribed window:
+#   (0) ann_q8_topk + ann_rerank_topk, clock 0: the r12 fused q8-scan
+#       rewrite voided their certifications (plan-changed entries may
+#       never defer — the hard tier enforces it);
 #   (a) all 43 r9-certified dues, stalest block first (alphabetical
 #       within the block — the prioritized_dues tie-break);
-#   (b) 7 of the 11 never-certified late-r11 registrations
+#   (b) 5 of the 11 never-certified late-r11 registrations
 #       (clock r11, first certification due r12), alphabetical:
-#       ann_ivf_pruned_topk ann_mmr_topk ann_rerank_topk doc_cdc_chunks
-#       doc_cdc_dup_chunks doc_winnow_pairs embedding_hard_negatives;
-#   (c) the remaining 4 late-r11 first-certs DEFER one round to r13
+#       ann_ivf_pruned_topk ann_mmr_topk doc_cdc_chunks
+#       doc_cdc_dup_chunks doc_winnow_pairs;
+#   (c) the remaining 5 late-r11 first-certs DEFER one round to r13
 #       under the ceiling-checked least-stale tier:
-#       embedding_pca_topdir part_communities_lpa
-#       streaming_dedup_events streaming_user_sessions — they sit
-#       mid-registry with the r10-certified block (all due r13).
+#       embedding_hard_negatives embedding_pca_topdir
+#       part_communities_lpa streaming_dedup_events
+#       streaming_user_sessions — they sit mid-registry with the
+#       r10-certified block (all due r13).
 # The tail (_CHECK_LAST) is the round-11-certified block (due r14).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
@@ -85,7 +90,29 @@ _REGISTERED_ROUND = {
     "doc_cdc_dup_chunks": 11,
 }
 
+# Plan-change ledger, MECHANICAL since round 12 (the same
+# narrated-to-derived move the staleness clock made in r11): an entry
+# listed here with round R has every driver certification from rounds
+# < R VOIDED — tools/rotation.py makes it due (priority clock 0, may
+# never defer) until a green record from round >= R exists.  Annotate
+# IN THE SAME COMMIT as the plan change; tests/test_rotation.py
+# validates names and rounds, and the window invariant then forces the
+# re-certification through the next driver run.
+_PLAN_CHANGED_ROUND = {
+    # r12: quantized_topk rewritten from the declarative broadcast
+    # crossJoin + per-pair zip_with/aggregate dot to the fused Arrow
+    # pass (the ivfq8/pq shape) — measured 6.5 s -> 1.1 s at sf1 with
+    # bit-identical results (the ivfq8 full-probe identity pin).  Both
+    # registry entries riding it re-certify r12:
+    "ann_q8_topk": 12,
+    "ann_rerank_topk": 12,
+}
+
 _CHECK_FIRST = (
+    # (0) plan-changed this round (clock 0 — certifications voided,
+    # may never defer): the fused q8 scan rewrite
+    "ann_q8_topk",
+    "ann_rerank_topk",
     # (a) the 43 r9-certified dues, stalest-first (alphabetical
     # tie-break within the clock-r9 block)
     "bloom_prefilter_join",
@@ -131,18 +158,17 @@ _CHECK_FIRST = (
     "top_orders_by_value",
     "value_quantile_sketch",
     "window_top_orders_per_customer",
-    # (b) 7 first certifications of the late-r11 registrations
-    # (clock r11; the other 4 defer to r13 under the ceiling tier)
+    # (b) 5 first certifications of the late-r11 registrations
+    # (clock r11; the other 5 defer to r13 under the ceiling tier)
     "ann_ivf_pruned_topk",
     "ann_mmr_topk",
-    "ann_rerank_topk",
     "doc_cdc_chunks",
     "doc_cdc_dup_chunks",
     "doc_winnow_pairs",
-    "embedding_hard_negatives",
 )
 # Queries certified in round 11 — rotate to the unchecked tail (due
-# r14); the parity suite still covers them at sf0.1 every round.
+# r14; ann_q8_topk pulled forward into the window by the r12 plan
+# change); the parity suite still covers them at sf0.1 every round.
 _CHECK_LAST = (
     "monthly_revenue_incremental",
     "orderkey_hll_distinct",
@@ -161,7 +187,6 @@ _CHECK_LAST = (
     "hybrid_rank_fusion",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_q8_topk",
     "corpus_top_bigrams",
     "customers_with_urgent_orders",
     "customers_without_orders",

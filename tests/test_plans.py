@@ -1004,9 +1004,9 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
     # of an ANN search:
     bnlj_ok = {
         "ann_cosine_topk",       # broadcast query set x corpus (by design)
-        "ann_q8_topk",           # same, int8 variant
-        "ann_rerank_topk",       # same int8 scan as its stage 1; stage 2
-                                 # joins are broadcast-hash on Q×m ids
+        # ann_q8_topk / ann_rerank_topk left this list in r12: the q8
+        # scan is a fused Arrow pass now (no join at all); rerank's
+        # stage-2 joins are broadcast-hash on Q×m ids
         "semantic_dedup",        # 1-row stats / K-row centroid pairing
         "value_quantile_sketch", # 1-row min/max stats
         "events_hourly_gapfill", # 1-row calendar bounds
@@ -1341,3 +1341,18 @@ def test_cdc_dup_chunks_single_keyed_aggregate_no_window(spark):
         "BatchEvalPython",
     ):
         assert bad not in plan, bad
+
+
+def test_q8_topk_single_pass_window_group_limited(spark):
+    """Flat SQ8 (rewritten r12): encode + integer dots fuse into ONE
+    Arrow pass over the corpus scan (quantized queries broadcast
+    driver-side — no join, no corpus collect); the only shuffle is the
+    final top-k window, which must keep WindowGroupLimit — the
+    ivfq8/pq family shape.  The old declarative form's broadcast
+    crossJoin + per-pair zip_with lambda measured 15x slower at sf1."""
+    from duckdb_webhook_gateway_spark.workloads.datapipe import ann_q8_topk
+
+    plan = _plan(ann_q8_topk(spark, sf_dir()))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -38,9 +38,14 @@ def test_driver_window_covers_every_due_entry():
     may defer — a stale entry can never be bumped by a younger one."""
     names = list(workloads.all_entries())
     reg = workloads._REGISTERED_ROUND
+    pc = workloads._PLAN_CHANGED_ROUND
     upcoming = rotation.latest_recorded_round() + 1
-    due = rotation.due_now(names, registered_rounds=reg)
-    eff = rotation.effective_last(names, registered_rounds=reg)
+    due = rotation.due_now(
+        names, registered_rounds=reg, plan_changed_rounds=pc
+    )
+    eff = rotation.effective_last(
+        names, registered_rounds=reg, plan_changed_rounds=pc
+    )
     window = set(names[:50])
     missing = sorted(set(due) - window)
     hard = [
@@ -93,6 +98,38 @@ def test_every_never_certified_entry_has_a_registration_round():
     )
     future = {n: r for n, r in reg.items() if r >= upcoming + 1}
     assert not future, f"registration rounds beyond the upcoming: {future}"
+
+
+def test_plan_change_ledger_is_valid_and_forces_recertification():
+    """_PLAN_CHANGED_ROUND entries must name real registry queries,
+    never claim a round beyond the one being built, and while an
+    entry's last green round predates its change round it must be DUE
+    with priority clock 0 (a voided certification outranks every
+    merely-stale one and may never defer).  Once a green record from
+    >= the change round exists, the normal staleness clock resumes —
+    checked both ways against the real history."""
+    names = list(workloads.all_entries())
+    reg = workloads._REGISTERED_ROUND
+    pc = workloads._PLAN_CHANGED_ROUND
+    upcoming = rotation.latest_recorded_round() + 1
+    unknown = sorted(set(pc) - set(names))
+    assert not unknown, f"_PLAN_CHANGED_ROUND names not in registry: {unknown}"
+    future = {n: r for n, r in pc.items() if r >= upcoming + 1}
+    assert not future, f"plan-change rounds beyond the upcoming: {future}"
+    last = rotation.last_certified(names)
+    due = rotation.due_now(
+        names, registered_rounds=reg, plan_changed_rounds=pc
+    )
+    eff = rotation.effective_last(
+        names, registered_rounds=reg, plan_changed_rounds=pc
+    )
+    for n, changed in pc.items():
+        if last[n] < changed <= upcoming:
+            assert n in due, f"voided-but-uncertified entry not due: {n}"
+            assert eff[n] == 0, (n, eff[n])
+        elif last[n] >= changed:
+            # re-certified after the change: normal clock, no void
+            assert eff[n] == last[n], (n, eff[n], last[n])
 
 
 def test_history_green_definition_matches_driver_records():
@@ -173,6 +210,7 @@ def test_oversubscription_mechanism_is_satisfiable_for_next_round(
 
     names = list(workloads.all_entries())
     reg = workloads._REGISTERED_ROUND
+    pc = workloads._PLAN_CHANGED_ROUND
     # clone the history and append a synthetic green round for the
     # current window
     for _rnd, path in rotation.correctness_files().items():
@@ -193,12 +231,16 @@ def test_oversubscription_mechanism_is_satisfiable_for_next_round(
     root = str(tmp_path)
     upcoming = this_round + 1
     due = rotation.due_now(
-        names, root, upcoming, registered_rounds=reg
+        names, root, upcoming, registered_rounds=reg,
+        plan_changed_rounds=pc,
     )
-    eff = rotation.effective_last(names, root, registered_rounds=reg)
+    eff = rotation.effective_last(
+        names, root, registered_rounds=reg, plan_changed_rounds=pc
+    )
     window = set(
         rotation.prioritized_dues(
-            names, root, upcoming, registered_rounds=reg
+            names, root, upcoming, registered_rounds=reg,
+            plan_changed_rounds=pc,
         )[:50]
     )
     missing = sorted(set(due) - window)

@@ -88,6 +88,7 @@ def due_now(
     upcoming_round: int | None = None,
     max_staleness: int = MAX_STALENESS,
     registered_rounds: dict[str, int] | None = None,
+    plan_changed_rounds: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Entries that MUST appear in the upcoming round's driver window.
 
@@ -99,35 +100,53 @@ def due_now(
     entry registered mid-round behind an already-full window takes its
     first certification the next round, the embedding_finite_gate
     precedent); an unannotated never-certified entry is ALWAYS due.
+    An entry whose PHYSICAL PLAN changed in round R
+    (``plan_changed_rounds`` = workloads._PLAN_CHANGED_ROUND) has every
+    certification from rounds < R VOIDED: it is due in every round
+    >= R until a green record from round >= R exists — the
+    "plan-changed queries re-certify the same round" policy, mechanical
+    since round 12 (before that it was narrated, the same drift risk
+    the r10 staleness slip exposed).
     Returns {name: last_certified_round}.
     """
     if upcoming_round is None:
         upcoming_round = latest_recorded_round(repo_root) + 1
     reg = registered_rounds or {}
+    pc = plan_changed_rounds or {}
     last = last_certified(registry_names, repo_root)
-    return {
-        n: r
-        for n, r in last.items()
-        if (
-            (r + max_staleness <= upcoming_round)
-            if r
-            else (upcoming_round > reg.get(n, 0))
-        )
-    }
+
+    def is_due(n: str, r: int) -> bool:
+        changed = pc.get(n, 0)
+        if changed and r < changed <= upcoming_round:
+            return True  # certification predates the current plan
+        if r:
+            return r + max_staleness <= upcoming_round
+        return upcoming_round > reg.get(n, 0)
+
+    return {n: r for n, r in last.items() if is_due(n, r)}
 
 
 def effective_last(
     registry_names,
     repo_root: str = REPO_ROOT,
     registered_rounds: dict[str, int] | None = None,
+    plan_changed_rounds: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """query -> the round its staleness clock started: the last green
     driver round, or for never-certified entries their registration
     round (the first-cert precedent: due strictly after registration,
-    aging on the same clock as everyone else)."""
+    aging on the same clock as everyone else).  A plan-changed entry
+    whose certifications are voided gets clock 0 — an INVALID
+    certification is staler than any old-but-valid one, so the
+    stalest-first window serves it first and the hard-ceiling tier
+    forbids deferring it at all."""
     reg = registered_rounds or {}
+    pc = plan_changed_rounds or {}
     last = last_certified(registry_names, repo_root)
-    return {n: (r if r else reg.get(n, 0)) for n, r in last.items()}
+    return {
+        n: (0 if pc.get(n, 0) > r else (r if r else reg.get(n, 0)))
+        for n, r in last.items()
+    }
 
 
 def prioritized_dues(
@@ -135,10 +154,12 @@ def prioritized_dues(
     repo_root: str = REPO_ROOT,
     upcoming_round: int | None = None,
     registered_rounds: dict[str, int] | None = None,
+    plan_changed_rounds: dict[str, int] | None = None,
 ) -> list[str]:
     """The due set ordered stalest-first (effective_last ascending, name
-    as the tie-break) — when a round is oversubscribed, the window must
-    be exactly a prefix of this ordering."""
+    as the tie-break; plan-changed entries carry clock 0 and lead) —
+    when a round is oversubscribed, the window must be exactly a prefix
+    of this ordering."""
     if upcoming_round is None:
         upcoming_round = latest_recorded_round(repo_root) + 1
     due = due_now(
@@ -146,8 +167,11 @@ def prioritized_dues(
         repo_root,
         upcoming_round,
         registered_rounds=registered_rounds,
+        plan_changed_rounds=plan_changed_rounds,
     )
-    eff = effective_last(registry_names, repo_root, registered_rounds)
+    eff = effective_last(
+        registry_names, repo_root, registered_rounds, plan_changed_rounds
+    )
     return sorted(due, key=lambda n: (eff[n], n))
 
 
@@ -156,18 +180,31 @@ def main() -> None:  # pragma: no cover - CLI convenience
 
     sys.path.insert(0, REPO_ROOT)
     from duckdb_webhook_gateway_spark.workloads import (
+        _PLAN_CHANGED_ROUND,
         _REGISTERED_ROUND,
         all_entries,
     )
 
     names = list(all_entries())
     upcoming = latest_recorded_round() + 1
-    due = due_now(names, registered_rounds=_REGISTERED_ROUND)
-    eff = effective_last(names, registered_rounds=_REGISTERED_ROUND)
+    due = due_now(
+        names,
+        registered_rounds=_REGISTERED_ROUND,
+        plan_changed_rounds=_PLAN_CHANGED_ROUND,
+    )
+    eff = effective_last(
+        names,
+        registered_rounds=_REGISTERED_ROUND,
+        plan_changed_rounds=_PLAN_CHANGED_ROUND,
+    )
     window = set(names[:50])
     print(f"registry: {len(names)} entries; upcoming round r{upcoming}")
     print(f"due ({len(due)}):")
-    for n in prioritized_dues(names, registered_rounds=_REGISTERED_ROUND):
+    for n in prioritized_dues(
+        names,
+        registered_rounds=_REGISTERED_ROUND,
+        plan_changed_rounds=_PLAN_CHANGED_ROUND,
+    ):
         mark = "OK(window)" if n in window else "DEFERRED"
         print(f"  clock r{eff[n] or '-'}: {n}  [{mark}]")
     missing = sorted(set(due) - window)
