@@ -565,8 +565,15 @@ def banded_hamming_topk(
     symmetric corpus pass (band both sides, shuffle-join on
     (band, val)) instead of raising the bound.
     """
-    head = hashes_p.select("doc_id").limit(max_probes + 1).count()
-    if head > max_probes:
+    # Materialize the probe fingerprints ONCE (the probe side usually
+    # comes from a Python decode pass that cannot be column-pruned):
+    # the guard count and the broadcast below both read the checkpoint,
+    # so the decode runs a single time — cheaper than the unguarded
+    # operator, which re-decoded the probes inside the main query.
+    # Fingerprint rows are tiny, so even an over-bound probe table
+    # materializes safely; it is the BROADCAST the bound protects.
+    hashes_p = hashes_p.localCheckpoint(eager=True)
+    if hashes_p.count() > max_probes:
         raise ValueError(
             f"banded_hamming_topk: probe side exceeds max_probes="
             f"{max_probes} — the banded probe table is BROADCAST, so "

@@ -1034,6 +1034,13 @@ def quantized_topk(
     The quantization error is the recall trade (pinned by
     ``test_q8_recall_vs_float``); the win is 4× less memory traffic in
     the scan and an integer matmul inner loop.
+
+    Remaining float caveat (the ivfq8/pq family's): the INTEGER dot
+    cannot drift, but the final np.round of dot/(sqrt·sqrt) at 6dp is
+    banker's where the oracle rounds half-away — divergence requires
+    the unrounded score to land within 1 ulp of a representable
+    half-way point (measure-zero; the encode itself now uses the
+    oracle's exact ``(x*127.0)/mx`` association).
     """
     spark = corpus.sparkSession
     if isinstance(queries, pd.DataFrame):
@@ -1186,16 +1193,14 @@ def _q8_encode_np(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
     Zero-norm rows are the caller's contract to reject (the DataFrame
     path degrades them to NULL via try_divide; a fused numpy path has no
     NULL, so silence would diverge — raise loudly instead)."""
-    mx = np.abs(mat).max(axis=1)
-    if (mx == 0).any():
+    q, sq, null_mask = _q8_encode_np_nullable(mat)
+    if null_mask.any():
         raise ValueError(
             "int8 quantization undefined for zero vectors — filter them "
             "out first (finite_gate covers NaN/Inf; an all-zero embedding "
             "is an upstream bug, not a searchable vector)"
         )
-    scaled = mat * (127.0 / mx[:, None])
-    q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
-    return q, (q * q).sum(axis=1)
+    return q, sq
 
 
 def _q8_encode_np_nullable(
@@ -1208,11 +1213,19 @@ def _q8_encode_np_nullable(
     semantics ``quantized_topk`` is oracle-paired under, and the EMB
     fuzz battery's zero-vector kind exercises on both engines).  The
     masked rows' q/sq are zeros; every score touching them must be
-    emitted as SQL NULL by the caller.  Returns (q, sq, null_mask)."""
+    emitted as SQL NULL by the caller.  This is the ONE encode body
+    both q8 families share — :func:`_q8_encode_np` delegates here, so
+    the flat and probed paths can never quantize differently (the
+    full-probe identity pin depends on it).  Returns (q, sq,
+    null_mask)."""
     mx = np.abs(mat).max(axis=1)
     null_mask = mx == 0
     safe = np.where(null_mask, 1.0, mx)
-    scaled = mat * (127.0 / safe[:, None])
+    # (x * 127.0) / mx — the SAME association order as the declarative
+    # _Q8_EXPR and the DuckDB oracle's round((x*127.0)/mx); the previous
+    # x * (127.0/mx) form computed a different intermediate that could
+    # flip a quantization level within 1 ulp of a half-way point
+    scaled = (mat * 127.0) / safe[:, None]
     q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
     q[null_mask] = 0
     return q, (q * q).sum(axis=1), null_mask
@@ -2218,6 +2231,48 @@ def pca_topdir(
     )
 
 
+def _bound_files_per_list(
+    assigned: DataFrame, n_lists: int, files_per_list: int, caller: str
+) -> DataFrame:
+    """The shared small-files clustering for the IVF layout write AND
+    append paths (one definition so the two can never diverge): one
+    shuffle on (list_id, hash(vec_id) % F) lands each file-slot on a
+    single task — at most F balanced files per touched list."""
+    if files_per_list < 1:
+        raise ValueError(
+            f"{caller}: files_per_list must be >= 1 (got {files_per_list})"
+        )
+    return assigned.repartition(
+        max(1, n_lists) * files_per_list,
+        F.col("list_id"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list)),
+    )
+
+
+def _layout_list_ids(spark, path: str) -> list[int]:
+    """List ids present in an IVF layout, from the partition DIRECTORY
+    names through the Hadoop FileSystem API — URI-portable (local,
+    HDFS, object stores with a Hadoop connector), O(#list dirs) with no
+    Spark job, and [] for an empty layout (a reader-based distinct()
+    would launch one task per data file and cannot even infer a schema
+    when no list attracted a vector)."""
+    import re as _re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    present = []
+    for status in fs.listStatus(hpath):
+        m = _re.fullmatch(
+            r"list_id=(-?\d+)", status.getPath().getName()
+        )
+        if m and status.isDirectory():
+            present.append(int(m.group(1)))
+    return sorted(present)
+
+
 def ivf_layout_write(
     corpus: DataFrame,
     path: str,
@@ -2294,19 +2349,8 @@ def ivf_layout_write(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     )
     if files_per_list is not None:
-        if files_per_list < 1:
-            raise ValueError(
-                "ivf_layout_write: files_per_list must be >= 1 "
-                f"(got {files_per_list})"
-            )
-        # One clustering shuffle on (list, file-slot): each slot's rows
-        # arrive at a single task, so each list directory receives at
-        # most files_per_list balanced files regardless of how many
-        # upstream tasks touched the list.
-        assigned = assigned.repartition(
-            max(1, len(c_ids)) * files_per_list,
-            F.col("list_id"),
-            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list)),
+        assigned = _bound_files_per_list(
+            assigned, len(c_ids), files_per_list, "ivf_layout_write"
         )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
     # The layout CARRIES its quantizer: readers and appenders must use
@@ -2320,20 +2364,14 @@ def ivf_layout_write(
         ],
         f"centroid_id bigint, {vec_col} array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_quantizer")
-    # ids actually WRITTEN, read back from the layout's own partition
-    # column — a centroid that attracted no vectors gets no directory,
-    # and the contract is "list ids present in the layout", not
-    # "centroids offered".  Goes through the Spark reader (partition
-    # discovery), not os.listdir, so it works identically for local
-    # paths and object-store/HDFS URIs; the collect is
-    # centroid-cardinality (bounded), never corpus-cardinality.
-    present = (
-        spark.read.parquet(path)
-        .select("list_id")
-        .distinct()
-        .collect()
-    )
-    return sorted(int(r["list_id"]) for r in present)
+    # ids actually WRITTEN, from the partition directory names — a
+    # centroid that attracted no vectors gets no directory, and the
+    # contract is "list ids present in the layout", not "centroids
+    # offered".  Hadoop FileSystem listing, not os.listdir: URI-portable
+    # (local/HDFS/object store), O(#list dirs) with no Spark job, and
+    # correct ([]) for an empty corpus, where a reader-based distinct()
+    # cannot even infer a schema.
+    return _layout_list_ids(spark, path)
 
 
 def ivf_pruned_topk(
@@ -2498,7 +2536,15 @@ def ivf_layout_append(
     # — the layout, not the caller, owns the physical contract.
     from pyspark.sql.types import ArrayType
 
-    layout_type = spark.read.parquet(path).schema["v"].dataType
+    from pyspark.errors import AnalysisException
+
+    try:
+        layout_type = spark.read.parquet(path).schema["v"].dataType
+    except AnalysisException:
+        # an EMPTY layout (quantizer stored, no list attracted a vector
+        # yet) has no data files to infer from — the first append
+        # defines the physical vector type
+        layout_type = src.schema["v"].dataType
     batch_type = src.schema["v"].dataType
     if batch_type != layout_type:
         if not (
@@ -2518,14 +2564,7 @@ def ivf_layout_append(
         assign, f"vec_id bigint, v {vec_type}, list_id bigint"
     )
     if files_per_list is not None:
-        if files_per_list < 1:
-            raise ValueError(
-                "ivf_layout_append: files_per_list must be >= 1 "
-                f"(got {files_per_list})"
-            )
-        assigned = assigned.repartition(
-            max(1, len(c_ids)) * files_per_list,
-            F.col("list_id"),
-            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list)),
+        assigned = _bound_files_per_list(
+            assigned, len(c_ids), files_per_list, "ivf_layout_append"
         )
     assigned.write.mode("append").partitionBy("list_id").parquet(path)

@@ -647,3 +647,35 @@ def test_ivf_layout_append_files_per_list_bound(spark, tmp_path):
 
     with pytest.raises(ValueError, match="files_per_list"):
         S.ivf_layout_append(extra, d, files_per_list=-1)
+
+
+def test_ivf_layout_write_empty_corpus_returns_no_lists(spark, tmp_path):
+    """An empty corpus writes an empty layout (only _SUCCESS and the
+    stored quantizer) — the list-id read-back must return [] instead of
+    failing schema inference (r12 review finding: the reader-based
+    distinct() crashed here; the Hadoop-FS directory listing does not)."""
+    import pyspark.sql.functions as F
+
+    from conftest import sf_dir
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir("sf0.001") + "/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    d = str(tmp_path / "ivf_empty")
+    present = S.ivf_layout_write(
+        emb.filter(F.col("vec_id") < 0), d, centroids=cents
+    )
+    assert present == []
+    # the quantizer is still stored — an append can populate the layout
+    S.ivf_layout_append(emb.filter(F.col("vec_id") < 40), d)
+    qs = emb.filter(F.col("vec_id") < 3)
+    got = sorted(map(tuple, S.ivf_pruned_topk(
+        spark, d, qs, nprobe=2, k=3, centroids=cents
+    ).collect()))
+    want = sorted(map(tuple, S.ivf_topk(
+        qs, emb.filter(F.col("vec_id") < 40), nprobe=2, k=3,
+        centroids=cents,
+    ).collect()))
+    assert got == want
