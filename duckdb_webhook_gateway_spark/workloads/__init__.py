@@ -38,23 +38,23 @@ from . import analytics, datapipe  # noqa: E402
 # r7-certified queries missed their r10 window while comments claimed
 # "zero slips") cannot silently recur.  Round-12 _CHECK_FIRST is
 # EXACTLY tools/rotation.prioritized_dues()[:50] for the r12 history
-# (CORRECTNESS_r1..r11 on disk + the two _PLAN_CHANGED_ROUND voids) —
+# (CORRECTNESS_r1..r11 on disk + the five _PLAN_CHANGED_ROUND voids) —
 # the first oversubscribed window:
-#   (0) ann_q8_topk + ann_rerank_topk, clock 0: the r12 fused q8-scan
-#       rewrite voided their certifications (plan-changed entries may
-#       never defer — the hard tier enforces it);
+#   (0) the five r12 plan-changed entries, clock 0 (certifications
+#       voided, may never defer): ann_q8_topk + ann_rerank_topk (fused
+#       q8-scan rewrite) and the three multimodal near-dup entries
+#       (probe-checkpoint review fix);
 #   (a) all 43 r9-certified dues, stalest block first (alphabetical
 #       within the block — the prioritized_dues tie-break);
-#   (b) 5 of the 11 never-certified late-r11 registrations
-#       (clock r11, first certification due r12), alphabetical:
-#       ann_ivf_pruned_topk ann_mmr_topk doc_cdc_chunks
-#       doc_cdc_dup_chunks doc_winnow_pairs;
-#   (c) the remaining 5 late-r11 first-certs DEFER one round to r13
-#       under the ceiling-checked least-stale tier:
-#       embedding_hard_negatives embedding_pca_topdir
-#       part_communities_lpa streaming_dedup_events
-#       streaming_user_sessions — they sit mid-registry with the
-#       r10-certified block (all due r13).
+#   (b) 2 of the 11 never-certified late-r11 registrations
+#       (clock r11, first certification due r12):
+#       ann_ivf_pruned_topk ann_mmr_topk;
+#   (c) the remaining 8 late-r11 first-certs DEFER under the
+#       ceiling-checked least-stale tier (they serve r13/r14 with top
+#       priority; the hard ceiling sits at r15): doc_cdc_chunks
+#       doc_cdc_dup_chunks doc_winnow_pairs embedding_hard_negatives
+#       embedding_pca_topdir part_communities_lpa
+#       streaming_dedup_events streaming_user_sessions.
 # The tail (_CHECK_LAST) is the round-11-certified block (due r14).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
@@ -106,13 +106,24 @@ _PLAN_CHANGED_ROUND = {
     # registry entries riding it re-certify r12:
     "ann_q8_topk": 12,
     "ann_rerank_topk": 12,
+    # r12 review fix: banded_hamming_topk now eagerly checkpoints the
+    # probe fingerprints (guard count + broadcast share one decode
+    # pass), so the three near-dup entries' probe side reads Scan
+    # ExistingRDD — same values, changed physical plan, re-certify:
+    "image_near_dup_phash": 12,
+    "audio_near_dup_fp": 12,
+    "video_near_dup_phash": 12,
 }
 
 _CHECK_FIRST = (
     # (0) plan-changed this round (clock 0 — certifications voided,
-    # may never defer): the fused q8 scan rewrite
+    # may never defer): the fused q8 scan rewrite + the near-dup
+    # probe-checkpoint review fix
     "ann_q8_topk",
     "ann_rerank_topk",
+    "audio_near_dup_fp",
+    "image_near_dup_phash",
+    "video_near_dup_phash",
     # (a) the 43 r9-certified dues, stalest-first (alphabetical
     # tie-break within the clock-r9 block)
     "bloom_prefilter_join",
@@ -158,17 +169,15 @@ _CHECK_FIRST = (
     "top_orders_by_value",
     "value_quantile_sketch",
     "window_top_orders_per_customer",
-    # (b) 5 first certifications of the late-r11 registrations
-    # (clock r11; the other 5 defer to r13 under the ceiling tier)
+    # (b) 2 first certifications of the late-r11 registrations
+    # (clock r11; the other 8 defer under the ceiling tier)
     "ann_ivf_pruned_topk",
     "ann_mmr_topk",
-    "doc_cdc_chunks",
-    "doc_cdc_dup_chunks",
-    "doc_winnow_pairs",
 )
 # Queries certified in round 11 — rotate to the unchecked tail (due
-# r14; ann_q8_topk pulled forward into the window by the r12 plan
-# change); the parity suite still covers them at sf0.1 every round.
+# r14; ann_q8_topk and the three multimodal near-dup entries pulled
+# forward into the window by their r12 plan changes); the parity suite
+# still covers them at sf0.1 every round.
 _CHECK_LAST = (
     "monthly_revenue_incremental",
     "orderkey_hll_distinct",
@@ -178,9 +187,6 @@ _CHECK_LAST = (
     "region_status_grouping_sets",
     "embedding_finite_gate",
     "ann_pq_trained_topk",
-    "image_near_dup_phash",
-    "audio_near_dup_fp",
-    "video_near_dup_phash",
     "part_kcore",
     "ann_ivfq8_topk",
     "ann_ivf_recall",
