@@ -565,14 +565,17 @@ def banded_hamming_topk(
     symmetric corpus pass (band both sides, shuffle-join on
     (band, val)) instead of raising the bound.
     """
-    # Materialize the probe fingerprints ONCE (the probe side usually
-    # comes from a Python decode pass that cannot be column-pruned):
-    # the guard count and the broadcast below both read the checkpoint,
-    # so the decode runs a single time — cheaper than the unguarded
-    # operator, which re-decoded the probes inside the main query.
-    # Fingerprint rows are tiny, so even an over-bound probe table
-    # materializes safely; it is the BROADCAST the bound protects.
-    hashes_p = hashes_p.localCheckpoint(eager=True)
+    # Materialize the probe fingerprints ONCE, BOUNDED (the probe side
+    # usually comes from a Python decode pass that cannot be
+    # column-pruned): the limit caps the decode at max_probes+1 rows
+    # even when a caller misuses a corpus-scale probe side — the guard
+    # must fail fast, not decode 10^8 media blobs first — and on the
+    # success path the checkpoint (at most max_probes rows, so the
+    # limit truncated nothing) feeds both the count and the broadcast,
+    # one decode pass total.  An over-bound call leaks at most
+    # max_probes+1 tiny fingerprint rows of checkpoint storage until
+    # GC; it is the BROADCAST the bound protects.
+    hashes_p = hashes_p.limit(max_probes + 1).localCheckpoint(eager=True)
     if hashes_p.count() > max_probes:
         raise ValueError(
             f"banded_hamming_topk: probe side exceeds max_probes="

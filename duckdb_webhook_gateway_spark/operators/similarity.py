@@ -2540,10 +2540,16 @@ def ivf_layout_append(
 
     try:
         layout_type = spark.read.parquet(path).schema["v"].dataType
-    except AnalysisException:
-        # an EMPTY layout (quantizer stored, no list attracted a vector
-        # yet) has no data files to infer from — the first append
-        # defines the physical vector type
+    except AnalysisException as ex:
+        # ONLY the empty-layout case falls back (quantizer stored, no
+        # list attracted a vector yet — nothing to infer from; the
+        # first append defines the physical vector type).  Any other
+        # read failure (conflicting partition structure, corrupt
+        # footer) stays loud: substituting the batch's own type there
+        # would vacuously pass the check and append into an already-
+        # inconsistent directory.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+            raise
         layout_type = src.schema["v"].dataType
     batch_type = src.schema["v"].dataType
     if batch_type != layout_type:
