@@ -1000,12 +1000,26 @@ def quantize_int8(
     )
 
 
+def _round_half_away_np(x: "np.ndarray", decimals: int) -> "np.ndarray":
+    """Element-wise HALF-AWAY-FROM-ZERO rounding (Spark ``round`` /
+    DuckDB ``round``), replacing ``np.round``'s banker's half-to-even
+    in fused scoring paths — the same copysign(floor(abs+0.5))
+    construction the q8 quantization levels use, so a score landing
+    exactly on a representable half-way point rounds identically on
+    both engines instead of being a documented measure-zero caveat
+    (ADVICE r12).  NaN propagates through unchanged."""
+    scale = 10.0 ** decimals
+    scaled = x * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / scale
+
+
 def quantized_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Brute-force top-k by INT8-quantized cosine — ``cosine_topk`` on a
     4×-smaller representation with integer-exact dot products.
@@ -1035,12 +1049,22 @@ def quantized_topk(
     ``test_q8_recall_vs_float``); the win is 4× less memory traffic in
     the scan and an integer matmul inner loop.
 
-    Remaining float caveat (the ivfq8/pq family's): the INTEGER dot
-    cannot drift, but the final np.round of dot/(sqrt·sqrt) at 6dp is
-    banker's where the oracle rounds half-away — divergence requires
-    the unrounded score to land within 1 ulp of a representable
-    half-way point (measure-zero; the encode itself now uses the
-    oracle's exact ``(x*127.0)/mx`` association).
+    Rounding (r13): the final 6dp score rounds HALF-AWAY-FROM-ZERO via
+    :func:`_round_half_away_np` — the oracle's rounding mode and the
+    one the quantization levels already used — so the banker's-vs-
+    half-away divergence class the r12 rewrite documented is
+    eliminated rather than caveated (ADVICE r12).
+
+    QUERY-CARDINALITY CONTRACT (r13, ADVICE r12): the query block is
+    collected and broadcast (the ANN family contract), so queries are
+    bounded by ``max_queries`` and a larger query side is REJECTED
+    descriptively instead of OOMing the driver — the same loud-reject
+    convention as ``banded_hamming_topk``'s probe bound.  A query set
+    past the bound is a corpus×corpus scan in disguise: band/bucket it
+    (``near_dup_pairs_lsh``) instead of raising the bound.  An EMPTY
+    query block returns an empty (query_id, neighbor_id, q8_cosine,
+    rank) frame — the declarative pre-r12 contract, restored for
+    library callers that compose on it.
     """
     spark = corpus.sparkSession
     if isinstance(queries, pd.DataFrame):
@@ -1048,19 +1072,31 @@ def quantized_topk(
             columns={id_col: "query_id", vec_col: "qv"}
         )[["query_id", "qv"]].sort_values("query_id")
     else:
+        # The limit caps the driver materialization at max_queries+1
+        # rows even on a corpus-scale misuse (TakeOrderedAndProject —
+        # the guard fails fast, it does not collect 10^8 vectors
+        # first); on the success path the limit truncated nothing.
         q_pd = (
             queries.select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
             )
             .orderBy("query_id")
+            .limit(max_queries + 1)
             .toPandas()
         )
-    if len(q_pd) == 0:
+    if len(q_pd) > max_queries:
         raise ValueError(
-            "quantized_topk: empty query block — the query side is "
-            "collected and broadcast (the ANN family contract); an "
-            "empty relation has nothing to rank"
+            f"quantized_topk: query side exceeds max_queries="
+            f"{max_queries} — the quantized query block is collected "
+            "and BROADCAST, so query cardinality must stay bounded. "
+            "For corpus-scale query sets use a banded/bucketed "
+            "composition (near_dup_pairs_lsh), not this broadcast scan."
         )
+    empty_schema = (
+        "query_id bigint, neighbor_id bigint, q8_cosine double, rank int"
+    )
+    if len(q_pd) == 0:
+        return spark.createDataFrame([], empty_schema)
     q_ids = q_pd["query_id"].to_numpy(dtype="int64")
     q_mat = np.stack(
         [np.asarray(v, dtype="float64") for v in q_pd["qv"].values]
@@ -1078,9 +1114,10 @@ def quantized_topk(
             a_q8, a_sq, a_null = _q8_encode_np_nullable(a)
             dots = (a_q8 @ b_qq8.T).astype("float64")
             # same association order as the declarative form and the
-            # oracle: dot / (sqrt(sa) * sqrt(sb)), then round 6
+            # oracle: dot / (sqrt(sa) * sqrt(sb)), then half-away round
+            # at 6dp (the oracle's mode — no banker's divergence class)
             with np.errstate(invalid="ignore", divide="ignore"):
-                sims = np.round(
+                sims = _round_half_away_np(
                     dots
                     / (
                         np.sqrt(a_sq.astype("float64"))[:, None]
@@ -1264,9 +1301,12 @@ def ivfq8_topk(
     Input contract: zero-norm vectors are REJECTED loudly (the fused
     numpy path has no NULL to degrade to, and engines diverge
     structurally on NaN ordering — same class as ``finite_gate``).
-    Remaining float caveat: the np.round of the assignment cosine and
-    the final sqrt-normalized score can land within 1 ulp of a rounding
-    boundary (measure-zero; the INTEGER dot itself cannot drift).
+    Rounding (r13): the final sqrt-normalized score rounds half-away
+    via :func:`_round_half_away_np`, identical to ``quantized_topk``
+    (the full-probe identity pin is by construction).  Remaining float
+    caveat: the np.round of the coarse ASSIGNMENT cosine is still
+    banker's (measure-zero, shared with ``ivf_topk``'s documented
+    probe-map caveat; the INTEGER in-list dot itself cannot drift).
 
     Execution — ONE Arrow pass over the partitioned corpus (queries and
     centroids broadcast, both small by contract): each batch is
@@ -1365,10 +1405,12 @@ def ivfq8_topk(
                 if not mask.any():
                     continue
                 n_ids = ids[mask]
-                # exact integer dots; the sqrt normalization mirrors
-                # quantized_topk's dot/(sqrt(sa)*sqrt(sb)) association
+                # exact integer dots; the sqrt normalization AND the
+                # half-away 6dp rounding mirror quantized_topk exactly
+                # (the full-probe identity pin is by construction, not
+                # measure-zero — both paths must round the same way)
                 dots = (a_q8[mask] @ b_qq8[qidx].T).astype("float64")
-                sims = np.round(
+                sims = _round_half_away_np(
                     dots
                     / (
                         np.sqrt(a_sq[mask].astype("float64"))[:, None]

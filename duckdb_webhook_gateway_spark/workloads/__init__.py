@@ -36,26 +36,37 @@ from . import analytics, datapipe  # noqa: E402
 # CORRECTNESS_r*.json history and tests/test_rotation.py fails the suite
 # if this window misses any due entry — the round-10 slip (six
 # r7-certified queries missed their r10 window while comments claimed
-# "zero slips") cannot silently recur.  Round-12 _CHECK_FIRST is
-# EXACTLY tools/rotation.prioritized_dues()[:50] for the r12 history
-# (CORRECTNESS_r1..r11 on disk + the five _PLAN_CHANGED_ROUND voids) —
-# the first oversubscribed window:
-#   (0) the five r12 plan-changed entries, clock 0 (certifications
-#       voided, may never defer): ann_q8_topk + ann_rerank_topk (fused
-#       q8-scan rewrite) and the three multimodal near-dup entries
-#       (probe-checkpoint review fix);
-#   (a) all 43 r9-certified dues, stalest block first (alphabetical
-#       within the block — the prioritized_dues tie-break);
-#   (b) 2 of the 11 never-certified late-r11 registrations
-#       (clock r11, first certification due r12):
-#       ann_ivf_pruned_topk ann_mmr_topk;
-#   (c) the remaining 8 late-r11 first-certs DEFER under the
-#       ceiling-checked least-stale tier (they serve r13/r14 with top
-#       priority; the hard ceiling sits at r15): doc_cdc_chunks
-#       doc_cdc_dup_chunks doc_winnow_pairs embedding_hard_negatives
-#       embedding_pca_topdir part_communities_lpa
-#       streaming_dedup_events streaming_user_sessions.
-# The tail (_CHECK_LAST) is the round-11-certified block (due r14).
+# "zero slips") cannot silently recur.
+#
+# _WINDOW_ROUND records which round this _CHECK_FIRST was built FOR:
+# tests/test_rotation.py asserts the window equals
+# prioritized_dues(upcoming_round=_WINDOW_ROUND)[:50] — evaluated
+# against the history AS OF that round — so the suite stays green in
+# the handoff state after the driver records CORRECTNESS_r{N}.json
+# (rounds 11 and 12 both ended pytest-red on exactly that artifact),
+# while a window more than one round behind the recorded history still
+# fails loudly.  Bump _WINDOW_ROUND and rebuild _CHECK_FIRST from
+# `python tools/rotation.py` as the FIRST commit of every round.
+_WINDOW_ROUND = 13
+# Round-13 _CHECK_FIRST is EXACTLY
+# tools/rotation.prioritized_dues()[:50] for the r13 history
+# (CORRECTNESS_r1..r12 on disk + the r13 _PLAN_CHANGED_ROUND voids):
+#   (0) the three r13 plan-changed entries, clock 0 (certifications
+#       voided, may never defer): ann_ivfq8_topk, ann_q8_topk,
+#       ann_rerank_topk — the q8 family's final-score rounding moved
+#       from numpy banker's to the oracle's half-away (ADVICE r12) and
+#       quantized_topk gained the max_queries broadcast guard;
+#   (a) 47 of the 49 r10-certified dues, stalest block first
+#       (alphabetical within the block);
+#   (b) the 2 least-stale clock-r10 dues (vocab_oov_rate,
+#       weighted_sample_topk) and all 8 never-certified late-r11
+#       first-certs DEFER under the ceiling-checked least-stale tier;
+#       at r14 the clock-r10 pair is ceiling-forced and the 8
+#       first-certs lead the clock-r11 block via prioritized_dues'
+#       never-certified-first tie-break (first evidence beats a third
+#       confirmation), so all 8 certify by r14 as the r12 verdict
+#       requires.
+# The tail (_CHECK_LAST) is the round-12-certified block (due r15).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
 # not this comment).
@@ -99,17 +110,24 @@ _REGISTERED_ROUND = {
 # validates names and rounds, and the window invariant then forces the
 # re-certification through the next driver run.
 _PLAN_CHANGED_ROUND = {
-    # r12: quantized_topk rewritten from the declarative broadcast
-    # crossJoin + per-pair zip_with/aggregate dot to the fused Arrow
-    # pass (the ivfq8/pq shape) — measured 6.5 s -> 1.1 s at sf1 with
-    # bit-identical results (the ivfq8 full-probe identity pin).  Both
-    # registry entries riding it re-certify r12:
-    "ann_q8_topk": 12,
-    "ann_rerank_topk": 12,
-    # r12 review fix: banded_hamming_topk now eagerly checkpoints the
-    # probe fingerprints (guard count + broadcast share one decode
-    # pass), so the three near-dup entries' probe side reads Scan
-    # ExistingRDD — same values, changed physical plan, re-certify:
+    # r13 (ADVICE r12): the q8 family's FINAL-SCORE rounding moved from
+    # numpy banker's to the oracle's half-away-from-zero — the same
+    # copysign(floor(abs+0.5)) the quantization levels already used —
+    # in BOTH the flat scan (quantized_topk) and the probed in-list
+    # scorer (ivfq8_topk), keeping the full-probe identity pin exact
+    # by construction instead of measure-zero; quantized_topk also
+    # gained the max_queries limit+count broadcast guard and the
+    # empty-query-block empty-frame contract.  Values are expected
+    # identical at every tested scale (divergence needs a score within
+    # 1 ulp of a representable 6dp halfway point), but a changed
+    # scoring function voids a value certification on principle:
+    "ann_q8_topk": 13,
+    "ann_rerank_topk": 13,
+    "ann_ivfq8_topk": 13,
+    # r12 history (kept for the ledger arc): quantized_topk rewritten
+    # to the fused Arrow pass; banded_hamming_topk probe checkpoint.
+    # Superseded above for the q8 entries; the multimodal trio's last
+    # change remains r12:
     "image_near_dup_phash": 12,
     "audio_near_dup_fp": 12,
     "video_near_dup_phash": 12,
@@ -117,15 +135,70 @@ _PLAN_CHANGED_ROUND = {
 
 _CHECK_FIRST = (
     # (0) plan-changed this round (clock 0 — certifications voided,
-    # may never defer): the fused q8 scan rewrite + the near-dup
-    # probe-checkpoint review fix
+    # may never defer): the q8-family half-away score rounding +
+    # quantized_topk broadcast guard (ADVICE r12)
+    "ann_ivfq8_topk",
     "ann_q8_topk",
     "ann_rerank_topk",
+    # (a) 47 of the 49 r10-certified dues, stalest-first (alphabetical
+    # tie-break within the clock-r10 block); vocab_oov_rate and
+    # weighted_sample_topk defer one round under the ceiling tier
+    "ann_ivfpq_topk",
+    "ann_lsh_buckets",
+    "corpus_pmi_pairs",
+    "corpus_zipf_stats",
+    "cross_source_overlap",
+    "customer_functional_deps",
+    "dedup_incremental",
+    "dedup_simhash",
+    "distinct_kmv_sketch",
+    "doc_bm25_topk",
+    "doc_chunk_manifest",
+    "doc_containment_pairs",
+    "doc_prefix_jaccard_join",
+    "dsir_selection",
+    "embedding_dim_stats",
+    "embedding_label_quality",
+    "embedding_near_dup_lsh",
+    "ensemble_near_dup",
+    "events_asof_attribution",
+    "events_hopping_windows",
+    "events_hourly_gapfill",
+    "events_json_bucket",
+    "events_markov_transitions",
+    "events_multitouch_attribution",
+    "events_profile",
+    "events_range_join",
+    "events_rolling_features",
+    "events_sessionize",
+    "gopher_repetition_report",
+    "join_key_skew",
+    "leakage_safe_split",
+    "multimodal_image_resize",
+    "multimodal_video_features",
+    "nation_trade_matrix",
+    "part_pagerank",
+    "passage_savings",
+    "semantic_dedup",
+    "source_lang_mix",
+    "source_overlap_kmv",
+    "source_quality_deciles",
+    "source_temperature_mixture",
+    "split_divergence",
+    "streaming_hourly_counts",
+    "substring_dup_spans",
+    "token_freq_cm_sketch",
+    "token_heavy_hitters",
+    "training_order_manifest",
+)
+# Queries certified in round 12 — rotate to the unchecked tail (due
+# r15; the three q8-family entries pulled forward into the window by
+# their r13 plan changes); the parity suite still covers them at sf0.1
+# every round.
+_CHECK_LAST = (
+    "ann_ivf_pruned_topk",
+    "ann_mmr_topk",
     "audio_near_dup_fp",
-    "image_near_dup_phash",
-    "video_near_dup_phash",
-    # (a) the 43 r9-certified dues, stalest-first (alphabetical
-    # tie-break within the clock-r9 block)
     "bloom_prefilter_join",
     "boilerplate_ratio",
     "bpe_merge_candidates",
@@ -144,6 +217,7 @@ _CHECK_FIRST = (
     "events_pivot_by_type",
     "events_recent_topk",
     "events_type_rate",
+    "image_near_dup_phash",
     "lineitem_distinct_counts",
     "lm_perplexity_filter",
     "mixture_resample",
@@ -168,63 +242,8 @@ _CHECK_FIRST = (
     "text_repetition",
     "top_orders_by_value",
     "value_quantile_sketch",
+    "video_near_dup_phash",
     "window_top_orders_per_customer",
-    # (b) 2 first certifications of the late-r11 registrations
-    # (clock r11; the other 8 defer under the ceiling tier)
-    "ann_ivf_pruned_topk",
-    "ann_mmr_topk",
-)
-# Queries certified in round 11 — rotate to the unchecked tail (due
-# r14; ann_q8_topk and the three multimodal near-dup entries pulled
-# forward into the window by their r12 plan changes); the parity suite
-# still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "monthly_revenue_incremental",
-    "orderkey_hll_distinct",
-    "part_basket_pairs",
-    "part_name_fuzzy_pairs",
-    "q10_returned_revenue",
-    "region_status_grouping_sets",
-    "embedding_finite_gate",
-    "ann_pq_trained_topk",
-    "part_kcore",
-    "ann_ivfq8_topk",
-    "ann_ivf_recall",
-    "hybrid_rank_fusion",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "corpus_top_bigrams",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "dataset_split",
-    "dedup_clusters",
-    "dedup_keeplist",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_near_dup",
-    "events_hourly",
-    "events_runtime_udf",
-    "gopher_quality_gate",
-    "lineitem_price_quantiles",
-    "multimodal_audio_features",
-    "multimodal_features",
-    "multimodal_image_features",
-    "orders_per_month",
-    "part_avg_qty_subquery",
-    "part_size_class",
-    "parts_never_ordered",
-    "passage_dedup",
-    "q1_pricing_summary",
-    "salted_join_orders",
-    "source_ngram_novelty",
-    "split_contamination",
-    "stratified_sample",
-    "substring_dup_spans_sa",
-    "supplier_revenue_having",
-    "text_char_stats",
-    "text_pattern_scrub",
-    "text_tfidf_top_terms",
-    "text_token_stats",
 )
 
 def all_entries() -> dict[str, Entry]:

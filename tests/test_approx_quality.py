@@ -537,6 +537,39 @@ def test_ivfq8_full_probe_equals_flat_q8(spark):
     assert full == flat
 
 
+def test_q8_rounding_guard_and_empty_query_contracts(spark):
+    """r13 contracts on the fused q8 scan (ADVICE r12).  (1) The final
+    6dp score rounds HALF-AWAY-FROM-ZERO like Spark/DuckDB ``round``,
+    not numpy banker's — asserted on the shared helper at exactly
+    representable halfway points where the two modes disagree (both
+    q8 score sites route through it, so the full-probe identity pin
+    is by construction).  (2) An EMPTY query block returns an empty
+    typed frame (the declarative pre-r12 contract, restored), not a
+    raise.  (3) A query side past ``max_queries`` is rejected
+    descriptively (the banded_hamming_topk loud-reject convention) —
+    the broadcast is what the bound protects."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_webhook_gateway_spark.operators import similarity as S
+
+    # 2.5e-6 * 1e6 == 2.5 exactly in float64 (verified): banker's gives
+    # 2e-6 / 4e-6 / 0.0 for these, half-away must give 3e-6 / 5e-6 / 1e-6
+    x = np.array([2.5e-6, -2.5e-6, 0.5e-6, 4.5e-6, -1.5e-6])
+    got = S._round_half_away_np(x, 6)
+    assert got.tolist() == [3e-6, -3e-6, 1e-6, 5e-6, -2e-6]
+    assert np.isnan(S._round_half_away_np(np.array([np.nan]), 6)).all()
+
+    emb = spark.read.parquet(sf_dir("sf0.01") + "/embeddings.parquet")
+    out = S.quantized_topk(emb.filter(F.col("vec_id") < 0), emb, k=5)
+    assert out.columns == ["query_id", "neighbor_id", "q8_cosine", "rank"]
+    assert out.count() == 0
+
+    with pytest.raises(ValueError, match="max_queries"):
+        S.quantized_topk(emb.limit(4), emb, k=5, max_queries=3)
+
+
 def test_ivfq8_recall_vs_float(spark):
     """nprobe=2/16 + int8 scoring must still recover most of the float
     top-5 (measured 0.90 on this corpus; gate at 0.7 like flat q8)."""

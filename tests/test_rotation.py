@@ -28,28 +28,50 @@ from duckdb_webhook_gateway_spark import workloads
 
 def test_driver_window_covers_every_due_entry():
     """Two-tier capacity-aware invariant (the registry outgrew the
-    window's 3-round capacity in round 11: 153 entries > 3 x 50).
-    Tier 1 (HARD, unconditional): no entry may sit past MAX_STALENESS
-    rounds un-served — anything already over the line must be in the
-    window, so nothing ever crosses the MAX_STALENESS + 1 ceiling.
+    window's 3-round capacity in round 11: 153 entries > 3 x 50),
+    evaluated AS OF the round the committed window was built for
+    (workloads._WINDOW_ROUND) so the suite stays green in the handoff
+    state right after the driver records that round's CORRECTNESS file
+    (rounds 11 and 12 both ended structurally red on exactly that
+    artifact — a bar that is red every handoff teaches people to
+    ignore red).  The forcing function survives: _WINDOW_ROUND may be
+    at most one round behind the recorded history, so a round that
+    runs the driver against the PREVIOUS round's window turns the
+    suite red at ITS handoff.
+    Tier 1 (HARD): no entry may sit past MAX_STALENESS rounds
+    un-served — anything already over the line must be in the window,
+    so nothing ever crosses the MAX_STALENESS + 1 ceiling.
     Tier 2: when the due set fits the 50-slot window it must be fully
-    covered (the original rule); when OVERSUBSCRIBED, deferral must be
-    minimal (the window is entirely dues) and only the LEAST-stale dues
-    may defer — a stale entry can never be bumped by a younger one."""
+    covered; when OVERSUBSCRIBED the window must be EXACTLY
+    prioritized_dues()[:50] — minimal deferral, stalest-first, with
+    never-certified entries ahead of equally-stale re-certs."""
     names = list(workloads.all_entries())
     reg = workloads._REGISTERED_ROUND
     pc = workloads._PLAN_CHANGED_ROUND
-    upcoming = rotation.latest_recorded_round() + 1
+    w_round = workloads._WINDOW_ROUND
+    latest = rotation.latest_recorded_round()
+    assert w_round in (latest, latest + 1), (
+        f"committed window was built for r{w_round} but the recorded "
+        f"history is at r{latest}: rebuild _CHECK_FIRST from "
+        f"`python tools/rotation.py` and bump _WINDOW_ROUND as the "
+        f"round's first commit"
+    )
     due = rotation.due_now(
-        names, registered_rounds=reg, plan_changed_rounds=pc
+        names,
+        upcoming_round=w_round,
+        registered_rounds=reg,
+        plan_changed_rounds=pc,
     )
     eff = rotation.effective_last(
-        names, registered_rounds=reg, plan_changed_rounds=pc
+        names,
+        registered_rounds=reg,
+        plan_changed_rounds=pc,
+        upcoming_round=w_round,
     )
     window = set(names[:50])
     missing = sorted(set(due) - window)
     hard = [
-        n for n in missing if upcoming - eff[n] > rotation.MAX_STALENESS
+        n for n in missing if w_round - eff[n] > rotation.MAX_STALENESS
     ]
     assert not hard, (
         f"HARD rotation slip: {len(hard)} entries would cross the "
@@ -63,17 +85,16 @@ def test_driver_window_covers_every_due_entry():
             f"{[(n, f'clock r{eff[n]}') for n in missing]}"
         )
     else:
-        assert len(missing) == len(due) - 50, (
-            f"oversubscribed round must defer the MINIMUM: "
-            f"{len(due)} dues, 50 slots, but {len(missing)} deferred "
-            f"(window holds a non-due entry while a due one waits)"
-        )
-        newest_served = max(eff[n] for n in due if n in window)
-        bumped = [n for n in missing if eff[n] < newest_served]
-        assert not bumped, (
-            f"staler dues deferred while younger ones served: "
-            f"{[(n, f'clock r{eff[n]}') for n in bumped]} vs newest "
-            f"served clock r{newest_served}"
+        want = rotation.prioritized_dues(
+            names,
+            upcoming_round=w_round,
+            registered_rounds=reg,
+            plan_changed_rounds=pc,
+        )[:50]
+        assert list(names[:50]) == want, (
+            f"oversubscribed window must be EXACTLY "
+            f"prioritized_dues()[:50] for r{w_round}; diff: "
+            f"{[(a, b) for a, b in zip(names[:50], want) if a != b]}"
         )
 
 
@@ -211,11 +232,15 @@ def test_oversubscription_mechanism_is_satisfiable_for_next_round(
     names = list(workloads.all_entries())
     reg = workloads._REGISTERED_ROUND
     pc = workloads._PLAN_CHANGED_ROUND
-    # clone the history and append a synthetic green round for the
-    # current window
-    for _rnd, path in rotation.correctness_files().items():
-        shutil.copy(path, tmp_path / os.path.basename(path))
-    this_round = rotation.latest_recorded_round() + 1
+    # Clone the history STRICTLY BELOW the committed window's round and
+    # append a synthetic all-green record for the window in ITS round
+    # (anchoring on _WINDOW_ROUND, not latest+1, keeps this simulation
+    # identical before and after the driver records that round — the
+    # handoff state must not flip it red)
+    this_round = workloads._WINDOW_ROUND
+    for rnd, path in rotation.correctness_files().items():
+        if rnd < this_round:
+            shutil.copy(path, tmp_path / os.path.basename(path))
     synth = {
         n: {
             "rows_match": True,

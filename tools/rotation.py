@@ -55,10 +55,20 @@ def correctness_files(repo_root: str = REPO_ROOT) -> dict[int, str]:
     return out
 
 
-def certification_history(repo_root: str = REPO_ROOT) -> dict[str, list[int]]:
-    """query name -> sorted rounds with a GREEN driver record."""
+def certification_history(
+    repo_root: str = REPO_ROOT, before_round: int | None = None
+) -> dict[str, list[int]]:
+    """query name -> sorted rounds with a GREEN driver record.
+
+    ``before_round`` restricts the history to rounds STRICTLY BELOW it —
+    the dues for round N are a function of the history before N, so a
+    window built for round N stays well-defined (and checkable) even
+    after CORRECTNESS_rN.json lands on disk (the handoff state that
+    turned the suite red at the end of rounds 11 and 12)."""
     hist: dict[str, list[int]] = {}
     for rnd, path in sorted(correctness_files(repo_root).items()):
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as fh:
             data = json.load(fh)
         for name, rec in data.items():
@@ -75,10 +85,12 @@ def latest_recorded_round(repo_root: str = REPO_ROOT) -> int:
 
 
 def last_certified(
-    registry_names, repo_root: str = REPO_ROOT
+    registry_names,
+    repo_root: str = REPO_ROOT,
+    before_round: int | None = None,
 ) -> dict[str, int]:
     """query -> last green round (0 = never driver-certified)."""
-    hist = certification_history(repo_root)
+    hist = certification_history(repo_root, before_round)
     return {n: max(hist.get(n, [0])) for n in registry_names}
 
 
@@ -113,7 +125,9 @@ def due_now(
         upcoming_round = latest_recorded_round(repo_root) + 1
     reg = registered_rounds or {}
     pc = plan_changed_rounds or {}
-    last = last_certified(registry_names, repo_root)
+    # The dues for round N are defined by the history BEFORE N (a green
+    # record from round N itself is the window's OUTPUT, not its input).
+    last = last_certified(registry_names, repo_root, upcoming_round)
 
     def is_due(n: str, r: int) -> bool:
         changed = pc.get(n, 0)
@@ -131,6 +145,7 @@ def effective_last(
     repo_root: str = REPO_ROOT,
     registered_rounds: dict[str, int] | None = None,
     plan_changed_rounds: dict[str, int] | None = None,
+    upcoming_round: int | None = None,
 ) -> dict[str, int]:
     """query -> the round its staleness clock started: the last green
     driver round, or for never-certified entries their registration
@@ -139,12 +154,22 @@ def effective_last(
     whose certifications are voided gets clock 0 — an INVALID
     certification is staler than any old-but-valid one, so the
     stalest-first window serves it first and the hard-ceiling tier
-    forbids deferring it at all."""
+    forbids deferring it at all.  The void applies only for change
+    rounds <= ``upcoming_round`` — a future-dated ledger entry must not
+    zero a clock for a round where ``due_now`` would not yet void it
+    (the r12 ADVICE inconsistency: clock 0 leading the ordering while
+    not due)."""
     reg = registered_rounds or {}
     pc = plan_changed_rounds or {}
-    last = last_certified(registry_names, repo_root)
+    if upcoming_round is None:
+        upcoming_round = latest_recorded_round(repo_root) + 1
+    last = last_certified(registry_names, repo_root, upcoming_round)
     return {
-        n: (0 if pc.get(n, 0) > r else (r if r else reg.get(n, 0)))
+        n: (
+            0
+            if r < pc.get(n, 0) <= upcoming_round
+            else (r if r else reg.get(n, 0))
+        )
         for n, r in last.items()
     }
 
@@ -156,10 +181,12 @@ def prioritized_dues(
     registered_rounds: dict[str, int] | None = None,
     plan_changed_rounds: dict[str, int] | None = None,
 ) -> list[str]:
-    """The due set ordered stalest-first (effective_last ascending, name
-    as the tie-break; plan-changed entries carry clock 0 and lead) —
-    when a round is oversubscribed, the window must be exactly a prefix
-    of this ordering."""
+    """The due set ordered stalest-first (effective_last ascending;
+    plan-changed entries carry clock 0 and lead) — when a round is
+    oversubscribed, the window must be exactly a prefix of this
+    ordering.  Within one clock value, NEVER-certified entries outrank
+    re-certifications (first evidence beats an Nth confirmation — the
+    r12 verdict's first-cert priority), then name breaks the tie."""
     if upcoming_round is None:
         upcoming_round = latest_recorded_round(repo_root) + 1
     due = due_now(
@@ -170,9 +197,14 @@ def prioritized_dues(
         plan_changed_rounds=plan_changed_rounds,
     )
     eff = effective_last(
-        registry_names, repo_root, registered_rounds, plan_changed_rounds
+        registry_names,
+        repo_root,
+        registered_rounds,
+        plan_changed_rounds,
+        upcoming_round,
     )
-    return sorted(due, key=lambda n: (eff[n], n))
+    last = last_certified(registry_names, repo_root, upcoming_round)
+    return sorted(due, key=lambda n: (eff[n], 0 if last[n] == 0 else 1, n))
 
 
 def main() -> None:  # pragma: no cover - CLI convenience
