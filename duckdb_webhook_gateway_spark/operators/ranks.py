@@ -15,29 +15,40 @@ on one task:
 
 1. ``repartitionByRange`` on the sort key — contiguous, disjoint key
    ranges per partition (a sampled range partitioner; sampling only
-   moves partition BOUNDARIES, never the total order itself).
-2. A per-partition ``row_number`` window keyed on
-   ``spark_partition_id()`` — each task sorts only its own range.
-3. The ranked relation is materialized ONCE (``localCheckpoint``).
+   moves partition BOUNDARIES, never the total order itself) — then
+   ``sortWithinPartitions`` (a NARROW sort, no second exchange) and
+   ``monotonically_increasing_id`` as the in-partition position (its
+   value is partition_index << 33 + row index in iteration order ==
+   sorted order, so local rank = mid − min(mid per partition) + 1).
+2. The sorted relation is materialized ONCE (``localCheckpoint``).
    This is load-bearing for correctness, not just speed: the range
    partitioner's reservoir sample is seeded per-RDD, so two separate
    actions over the same lineage may pick DIFFERENT boundaries — the
    per-partition counts and the main pass must read the same physical
-   partitioning or the offsets silently misalign.
-4. Per-partition row counts, collected to the driver.  This collect is
-   PARTITION-cardinality (== spark.sql.shuffle.partitions), not data
-   cardinality — the same bounded-collect class as the repo's
-   convergence checks.
-5. global rank = (cumulative offset of the row's partition) + local
+   partitioning or the offsets silently misalign.  (An exchange-reuse
+   formulation without the checkpoint was prototyped in round 13 and
+   rejected: if Catalyst ever fails to dedupe the two range-exchange
+   subtrees, the branches sample different boundaries and the offsets
+   are SILENTLY wrong — a correctness cliff for ~0.1 s local gain.)
+3. Per-partition counts/offsets stay IN-PLAN (rewritten round 13; the
+   original form collected them to the driver and re-entered them as a
+   literal relation — one extra blocking job round per call): a
+   partition-cardinality aggregate over the checkpointed relation
+   (== spark.sql.shuffle.partitions rows), a RUNNING window over those
+   rows ordered by partition id (bounded by construction — never
+   data-cardinality), and a 1-row broadcast total.
+4. global rank = (cumulative offset of the row's partition) + local
    rank, attached with a broadcast join on the partition id; the tile
-   follows from the exact integer ntile formula (DIV arithmetic — no
-   float ever decides a bucket).
+   follows from the exact integer ntile formula evaluated on the
+   broadcast total's COLUMNS (DIV arithmetic — no float ever decides a
+   bucket, and no driver collect ever happens).
 
-Two shuffles of the projected relation (range, then pid-hash for the
-window) replace the one-task global sort; every stage is bounded by
-partition size, so the shape survives any scale-up.  The pid-hash
-shuffle could be elided with an RDD ``zipWithIndex`` but that drops to
-row-at-a-time Python; both shuffles stay whole-stage-codegen JVM.
+ONE shuffle of the projected relation (the range exchange) plus one
+narrow in-partition sort replace the one-task global sort; every stage
+is bounded by partition size, so the shape survives any scale-up.  The
+round-13 sf1 decomposition (BASELINE.md) sized the replaced pieces:
+the pid-hash window exchange was ~0.1 s and the counts-collect job
+round ~0.2-0.3 s of the 1.18 s total.
 
 Determinism: callers must pass a TOTAL order (unique tie-break key,
 house rule), which makes rank — and therefore the tile — independent of
@@ -86,47 +97,54 @@ def global_ntile(
             tile_col, F.ntile(n_tiles).over(w).cast("int")
         )
     num = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = rel.repartitionByRange(num, *order).withColumn(
-        "_gnt_pid", F.spark_partition_id()
+    local = (
+        rel.repartitionByRange(num, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_gnt_pid", F.spark_partition_id())
+        .withColumn("_gnt_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin ONE range sampling (module doc)
     )
-    local = ranged.withColumn(
-        "_gnt_lrank",
-        F.row_number().over(
-            Window.partitionBy("_gnt_pid").orderBy(*order)
-        ),
-    ).localCheckpoint(eager=True)  # pin ONE range sampling (see module doc)
-    counts = sorted(
-        (r["_gnt_pid"], r["n"])
-        for r in local.groupBy("_gnt_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # Partition-cardinality stats, IN-PLAN: the running offset window is
+    # over <= spark.sql.shuffle.partitions rows by construction (never
+    # data-cardinality), the total is a 1-row broadcast.  mid is frozen
+    # by the checkpoint, so min(mid) per partition is consistent across
+    # both consumers of `local`.
+    counts = local.groupBy("_gnt_pid").agg(
+        F.count(F.lit(1)).alias("_gnt_n"),
+        F.min("_gnt_mid").alias("_gnt_base"),
+    ).localCheckpoint(eager=False)  # offs + tot share ONE counting pass
+    w_off = Window.orderBy("_gnt_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    total = sum(c for _, c in counts)
-    if total == 0:  # empty input: preserve schema, no rows
-        return rel.withColumn(tile_col, F.lit(None).cast("int"))
-    offsets = []
-    acc = 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets, "_gnt_pid int, _gnt_off bigint")
-    q, r = divmod(total, n_tiles)
-    # SQL ntile: first r tiles have q+1 rows, the rest q.  All-integer
-    # DIV arithmetic; the ELSE divisor q is only reachable when q > 0
-    # (rank > r*(q+1) implies total > r*(q+1), i.e. q >= 1) — max(q, 1)
+    tot = counts.groupBy().agg(F.sum("_gnt_n").alias("_gnt_tot"))
+    offs = (
+        counts.withColumn(
+            "_gnt_off", F.coalesce(F.sum("_gnt_n").over(w_off), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("_gnt_pid", "_gnt_base", "_gnt_off", "_gnt_tot")
+    )
+    # SQL ntile: first (tot % n) tiles have tot DIV n + 1 rows, the rest
+    # tot DIV n.  All-integer DIV arithmetic on the broadcast total's
+    # COLUMNS; the ELSE divisor q is only reachable when q > 0 (rank >
+    # r*(q+1) implies total > r*(q+1), i.e. q >= 1) — greatest(q, 1)
     # keeps the unreachable branch from ever evaluating 0 as a divisor.
-    big = r * (q + 1)
-    rank = "(_gnt_off + _gnt_lrank)"
+    # Empty input: counts/offs are empty, the join yields zero rows with
+    # the tile column typed int — schema preserved.
+    q = f"(_gnt_tot DIV {n_tiles})"
+    r = f"(_gnt_tot % {n_tiles})"
+    big = f"({r} * ({q} + 1))"
+    rank = "(_gnt_off + _gnt_mid - _gnt_base + 1)"
     tile = (
         f"CAST(CASE WHEN {rank} <= {big} "
-        f"THEN ({rank} - 1) DIV {q + 1} + 1 "
-        f"ELSE {r} + ({rank} - {big} - 1) DIV {max(q, 1)} + 1 "
+        f"THEN ({rank} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank} - {big} - 1) DIV greatest({q}, 1) + 1 "
         f"END AS INT)"
     )
     return (
-        local.join(F.broadcast(off_df), "_gnt_pid")
+        local.join(F.broadcast(offs), "_gnt_pid")
         .withColumn(tile_col, F.expr(tile))
-        .drop("_gnt_pid", "_gnt_lrank", "_gnt_off")
+        .drop("_gnt_pid", "_gnt_mid", "_gnt_base", "_gnt_off", "_gnt_tot")
     )
 
 
@@ -218,59 +236,64 @@ def global_quantiles(
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         rel.repartitionByRange(num_parts, *order)
+        .sortWithinPartitions(*order)
         .withColumn("_gq_pid", F.spark_partition_id())
+        .withColumn("_gq_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)  # pin ONE range sampling
     )
-    counts = sorted(
-        (r["_gq_pid"], r["n"])
-        for r in ranged.groupBy("_gq_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # Partition-cardinality stats IN-PLAN (rewritten round 13, the
+    # global_ntile treatment: the counts collect was one blocking job
+    # round per call); the running offset window is over
+    # <= shuffle.partitions rows, the total is a 1-row broadcast, and
+    # the picks explode against the total's COLUMN (integer-exact
+    # ceil((N*num + den - 1) DIV den), never float).
+    counts = ranged.groupBy("_gq_pid").agg(
+        F.count(F.lit(1)).alias("_gq_n"),
+        F.min("_gq_mid").alias("_gq_base"),
+    ).localCheckpoint(eager=False)  # offs + tot share ONE counting pass
+    w_off = Window.orderBy("_gq_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    total = sum(c for _, c in counts)
-    picks: list[tuple[float, int]] = []
-    for num, den in fracs:
-        r = (total * num + den - 1) // den  # ceil, integer-exact
-        if 1 <= r <= total:
-            picks.append((num / den, r))
-    if not picks:
-        return (
-            ranged.drop("_gq_pid")
-            .withColumn(label_col, F.lit(None).cast("double"))
-            .withColumn(rank_col, F.lit(None).cast("bigint"))
-            .select(label_col, rank_col, *rel.columns)
-            .limit(0)
+    tot = counts.groupBy().agg(F.sum("_gq_n").alias("_gq_tot"))
+    offs = counts.withColumn(
+        "_gq_off", F.coalesce(F.sum("_gq_n").over(w_off), F.lit(0))
+    )
+    lab = F.array(
+        *[
+            F.struct(
+                F.lit(num / den).alias("q"),
+                F.expr(
+                    f"CAST((_gq_tot * {num} + {den} - 1) DIV {den} "
+                    "AS BIGINT)"
+                ).alias("r"),
+            )
+            for num, den in fracs
+        ]
+    )
+    picks = (
+        tot.select(F.explode(lab).alias("p"))
+        .select(
+            F.col("p.q").alias(label_col), F.col("p.r").alias(rank_col)
         )
-    offsets, acc = {}, 0
-    for pid, c in counts:
-        offsets[pid] = acc
-        acc += c
-    wanted = sorted({r for _, r in picks})
-    targets = [
-        pid
-        for pid, c in counts
-        if any(offsets[pid] < r <= offsets[pid] + c for r in wanted)
-    ]
-    off_df = spark.createDataFrame(
-        [(p, offsets[p]) for p in targets], "_gq_pid int, _gq_off bigint"
+        .filter(F.col(rank_col) >= 1)
     )
-    pick_df = spark.createDataFrame(
-        picks, f"{label_col} double, {rank_col} bigint"
+    # Target location: a bounded non-equi pairing of <= num_parts offset
+    # rows with <= len(fracs) picks (rank > total is excluded because no
+    # partition range contains it).  The data-side prune is then an
+    # EQUI broadcast join on the partition id — unprobed partitions'
+    # rows drop map-side, and the cutoff row is an integer equality on
+    # the mid-derived rank; no window function anywhere in the scale
+    # path.
+    targets = offs.join(
+        F.broadcast(picks),
+        (F.col("_gq_off") < F.col(rank_col))
+        & (F.col(rank_col) <= F.col("_gq_off") + F.col("_gq_n")),
+    ).select("_gq_pid", "_gq_base", "_gq_off", label_col, rank_col)
+    hit = ranged.join(F.broadcast(targets), "_gq_pid").filter(
+        F.col("_gq_off") + F.col("_gq_mid") - F.col("_gq_base") + 1
+        == F.col(rank_col)
     )
-    local = (
-        ranged.filter(F.col("_gq_pid").isin(targets))
-        .withColumn(
-            "_gq_lrank",
-            F.row_number().over(
-                Window.partitionBy("_gq_pid").orderBy(*order)
-            ),
-        )
-        .join(F.broadcast(off_df), "_gq_pid")
-        .withColumn(rank_col, F.col("_gq_off") + F.col("_gq_lrank"))
-    )
-    return local.join(F.broadcast(pick_df), rank_col).select(
-        label_col, rank_col, *rel.columns
-    )
+    return hit.select(label_col, rank_col, *rel.columns)
 
 
 def global_cumulative_cutoff(
@@ -359,56 +382,60 @@ def global_cumulative_cutoff(
         .withColumn("_gcc_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin ONE range sampling
     )
-    stats = sorted(
-        (r["_gcc_pid"], r["n"], r["w"])
-        for r in ranged.groupBy("_gcc_pid")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(weight_col)).cast("bigint").alias("w"),
+    # Partition-cardinality stats IN-PLAN (rewritten round 13, the
+    # global_ntile treatment: the stats collect was one blocking job
+    # round per call).  Exclusive prefix offsets via a running window
+    # over <= shuffle.partitions rows; thresholds explode against the
+    # 1-row broadcast total (integer-exact ceil DIV).  The crossing
+    # partition for each threshold is located by a bounded non-equi
+    # pairing of offset rows x thresholds (unique per threshold:
+    # running sums are strictly increasing per partition-weight range,
+    # and a zero-weight partition's empty range can never satisfy
+    # woff < t <= woff + w).
+    stats = ranged.groupBy("_gcc_pid").agg(
+        F.count(F.lit(1)).alias("_gcc_n"),
+        F.sum(F.col(weight_col)).cast("bigint").alias("_gcc_w"),
+    ).localCheckpoint(eager=False)  # offs + tot share ONE counting pass
+    w_offw = Window.orderBy("_gcc_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = stats.groupBy().agg(F.sum("_gcc_w").alias("_gcc_totw"))
+    offs = stats.withColumn(
+        "_gcc_noff", F.coalesce(F.sum("_gcc_n").over(w_offw), F.lit(0))
+    ).withColumn(
+        "_gcc_woff", F.coalesce(F.sum("_gcc_w").over(w_offw), F.lit(0))
+    )
+    lab = F.array(
+        *[
+            F.struct(
+                F.lit(num / den).alias("q"),
+                F.expr(
+                    f"CAST((_gcc_totw * {num} + {den} - 1) DIV {den} "
+                    "AS BIGINT)"
+                ).alias("t"),
+            )
+            for num, den in fracs
+        ]
+    )
+    tgts = (
+        tot.select(F.explode(lab).alias("p"))
+        .select(
+            F.col("p.q").alias(label_col), F.col("p.t").alias("_gcc_t")
         )
-        .collect()
+        .filter(F.col("_gcc_t") >= 1)
     )
-    total_w = sum(w for _, _, w in stats)
-    targets: list[tuple[float, int]] = []  # (label, threshold)
-    for num, den in fracs:
-        t = (total_w * num + den - 1) // den  # ceil, integer-exact
-        if 0 < t <= total_w:
-            targets.append((num / den, t))
-    if not targets:
-        return (
-            ranged.drop("_gcc_pid")
-            .withColumn(label_col, F.lit(None).cast("double"))
-            .withColumn(rank_col, F.lit(None).cast("bigint"))
-            .withColumn(cum_col, F.lit(None).cast("bigint"))
-            .select(label_col, rank_col, cum_col, *rel.columns)
-            .limit(0)
-        )
-    # exclusive prefix offsets; find the partition whose weight range
-    # crosses each threshold (running sums are strictly increasing per
-    # row only when weights are positive — zero-weight rows make the
-    # crossing row the FIRST row reaching the target, which the strict
-    # < on the previous running sum below still selects correctly)
-    n_off, w_off, pids = {}, {}, []
-    acc_n = acc_w = 0
-    for pid, n, w in stats:
-        n_off[pid], w_off[pid] = acc_n, acc_w
-        acc_n += n
-        acc_w += w
-    cross = {}  # pid -> list[(label, threshold)]
-    for label, t in targets:
-        for pid, n, w in stats:
-            if w_off[pid] < t <= w_off[pid] + w:
-                cross.setdefault(pid, []).append((label, t))
-                break
-    pid_list = sorted(cross)
-    off_df = spark.createDataFrame(
-        [(p, n_off[p], w_off[p]) for p in pid_list],
-        "_gcc_pid int, _gcc_noff bigint, _gcc_woff bigint",
-    )
-    tgt_df = spark.createDataFrame(
-        [(p, lab, t) for p in pid_list for lab, t in cross[p]],
-        f"_gcc_pid int, {label_col} double, _gcc_t bigint",
-    )
+    cross = offs.join(
+        F.broadcast(tgts),
+        (F.col("_gcc_woff") < F.col("_gcc_t"))
+        & (F.col("_gcc_t") <= F.col("_gcc_woff") + F.col("_gcc_w")),
+    ).select("_gcc_pid", "_gcc_noff", "_gcc_woff", label_col, "_gcc_t")
+    # Only crossing partitions (at most len(fracs)) are window-scanned:
+    # the data-side prune is an EQUI broadcast join on the partition id
+    # (map-side drop for every other partition).  The windows key on
+    # the pinned range partition id.  The threshold rows attach AFTER
+    # the windows so a partition holding two thresholds never double-
+    # counts its running sum.
+    pids = cross.select("_gcc_pid").distinct()
     w_run = (
         Window.partitionBy("_gcc_pid")
         .orderBy(*order)
@@ -416,17 +443,24 @@ def global_cumulative_cutoff(
     )
     w_rank = Window.partitionBy("_gcc_pid").orderBy(*order)
     local = (
-        ranged.filter(F.col("_gcc_pid").isin(pid_list))
-        .withColumn("_gcc_run", F.sum(F.col(weight_col)).over(w_run).cast("bigint"))
+        ranged.join(F.broadcast(pids), "_gcc_pid")
+        .withColumn(
+            "_gcc_run", F.sum(F.col(weight_col)).over(w_run).cast("bigint")
+        )
         .withColumn("_gcc_lrank", F.row_number().over(w_rank))
-        .join(F.broadcast(off_df), "_gcc_pid")
-        .withColumn(cum_col, F.col("_gcc_woff") + F.col("_gcc_run"))
-        .withColumn(rank_col, F.col("_gcc_noff") + F.col("_gcc_lrank"))
     )
     # cutoff row for threshold t: running sum reaches t here and had
     # not reached it on the previous row
-    hit = local.join(F.broadcast(tgt_df), "_gcc_pid").filter(
-        (F.col(cum_col) >= F.col("_gcc_t"))
-        & (F.col(cum_col) - F.col(weight_col) < F.col("_gcc_t"))
+    hit = (
+        local.join(F.broadcast(cross), "_gcc_pid")
+        .withColumn(cum_col, F.col("_gcc_woff") + F.col("_gcc_run"))
+        .withColumn(
+            rank_col,
+            (F.col("_gcc_noff") + F.col("_gcc_lrank")).cast("bigint"),
+        )
+        .filter(
+            (F.col(cum_col) >= F.col("_gcc_t"))
+            & (F.col(cum_col) - F.col(weight_col) < F.col("_gcc_t"))
+        )
     )
     return hit.select(label_col, rank_col, cum_col, *rel.columns)

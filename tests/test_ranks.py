@@ -151,10 +151,12 @@ def test_global_quantiles_empty_and_out_of_range(spark):
 
 
 def test_global_quantiles_prunes_nontarget_partitions(spark):
-    # the scale path must rank-number ONLY partitions holding a target
-    # rank: with many partitions and one median fraction, the rank
-    # window's input is a pid-filtered subset (visible as an isin
-    # filter on the partition id before the window)
+    # the scale path must touch ONLY partitions holding a target rank:
+    # since the round-13 in-plan rewrite the prune is a broadcast hash
+    # join on the partition id (the hashed relation holds just the
+    # crossing targets, so every other partition's rows drop map-side)
+    # and the cutoff is the rank equality fused into that join — no
+    # window function and no driver collect anywhere in the scale path
     rows = [(i, float(i)) for i in range(2000)]
     df = spark.createDataFrame(rows, "id bigint, v double").repartition(8)
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -164,10 +166,17 @@ def test_global_quantiles_prunes_nontarget_partitions(spark):
             df, [F.asc("v"), F.asc("id")], [(1, 2)], input_bytes=1 << 40
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # a single target pid collapses isin([p]) to an equality filter
         import re
 
-        assert re.search(r"Filter \(?_gq_pid#\d+ (=|IN)", plan), plan
+        assert re.search(
+            r"BroadcastHashJoin \[_gq_pid#\d+", plan
+        ), plan
+        # no data-cardinality window: the only windowspec allowed is the
+        # partition-count offset scan (ordered by the pid, <= shuffle
+        # partitions rows)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "_gq_pid" in spec, spec
+        assert "row_number" not in plan
         rows_out = out.collect()
         assert len(rows_out) == 1 and rows_out[0]["value_rank"] == 1000
     finally:
