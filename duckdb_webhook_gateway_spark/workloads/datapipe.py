@@ -1414,7 +1414,20 @@ LIMIT 20
 """
 
 ENTRIES["text_pattern_scrub"] = (text_pattern_scrub, TEXT_PATTERN_SCRUB_SQL)
-ENTRIES["passage_dedup"] = (passage_dedup, PASSAGE_DEDUP_SQL)
+# passage_dedup was RETIRED from the registry in round 13 (r12 verdict
+# task 8 — the registry must shrink toward the 150 = 3x50 rotation
+# capacity, and each surplus certification displaces a due re-cert):
+# every plan element it certified is pinned by other entries sharing
+# the very same expressions — the in-row _CHUNK8_EXPR chunking by
+# passage_savings / split_ngram_decontamination / boilerplate_ratio,
+# the chunk-hash keyed countDistinct aggregate by doc_cdc_dup_chunks
+# and lineitem_distinct_counts.  Its DISTINCTIVE assertion (a unique
+# document whose copied passage is caught at chunk granularity while
+# document-level exact dedup misses it) moved to
+# tests/test_datapipe_semantics.py::test_passage_dedup_semantics_retired_entry,
+# which still differentially replays the full operator vs
+# PASSAGE_DEDUP_SQL on a planted corpus.  History: driver-green r11
+# (1.01x sf0.1); the function and oracle stay importable below.
 ENTRIES["split_divergence"] = (split_divergence, SPLIT_DIVERGENCE_SQL)
 
 

@@ -534,3 +534,42 @@ def test_cdc_chunks_match_python_reference_and_resync_property(
     ):
         shared += 1
     assert shared >= len(a) - 2, (shared, len(a))
+
+
+def test_passage_dedup_semantics_retired_entry(spark, tmp_path):
+    """passage_dedup left the driver registry in round 13 (consolidation
+    toward the 150-entry rotation capacity), but its DISTINCTIVE
+    evidence lives on here: a planted corpus where every document is
+    UNIQUE at document level (exact dedup finds nothing) yet two docs
+    share an 8-token passage — the chunk-level detector must surface
+    exactly that chunk, with n_docs/n_occurrences/min_doc_id agreeing
+    with the DuckDB oracle replay of the same chunking."""
+    import duckdb
+
+    from duckdb_webhook_gateway_spark.workloads.datapipe import (
+        PASSAGE_DEDUP_SQL,
+        passage_dedup,
+    )
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (0, shared + " a1 a2 a3 a4 a5 a6 a7 a8", "en", "s"),
+        (1, shared + " b1 b2 b3 b4 b5 b6 b7 b8", "en", "s"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "s"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = passage_dedup(spark, d).collect()
+    # document-level exact dedup finds nothing (all texts unique)...
+    assert len({t for _, t, _, _ in rows}) == len(rows)
+    # ...while chunk level finds exactly the shared passage
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["n_occurrences"] == 2
+    assert got[0]["min_doc_id"] == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(PASSAGE_DEDUP_SQL).fetchall()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, oracle))

@@ -21,6 +21,11 @@ strings and value distributions are bit-identical to sf0.1 — both
 engines read the same files, so paired timings stay apples-to-apples.
 
 Usage: python tools/gen_sf1.py
+       # round 13: documents/embeddings-only sf10 for the dedup-family
+       # scaling probe (Spark-only; the oracle need not run at sf10)
+       python tools/gen_sf1.py --src /root/repo/.localdata/sf1 \
+           --dst /root/repo/.localdata/sf10 --replicas 10 \
+           --tables documents,embeddings
 """
 
 from __future__ import annotations
@@ -64,24 +69,50 @@ STRIDE_SQL = {
 
 
 def main() -> None:
-    os.makedirs(DST, exist_ok=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--dst", default=DST)
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of the keyed tables (default: all "
+        "+ the region/nation dimension copies)",
+    )
+    args = ap.parse_args()
+    src, dst, replicas = args.src, args.dst, args.replicas
+    subset = set(args.tables.split(",")) if args.tables else None
+
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    needed = {
+        fam
+        for t, keys in KEYS.items()
+        if subset is None or t in subset
+        for _, fam in keys
+    }
     strides = {
-        k: con.execute(q.format(s=SRC)).fetchone()[0]
+        k: con.execute(q.format(s=src)).fetchone()[0]
         for k, q in STRIDE_SQL.items()
+        if k in needed
     }
     print("strides:", strides)
-    for t in ("region", "nation"):
-        con.execute(
-            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
-            f"'{DST}/{t}.parquet' (FORMAT parquet)"
-        )
-        print(t, "copied")
+    if subset is None:
+        for t in ("region", "nation"):
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                f"'{dst}/{t}.parquet' (FORMAT parquet)"
+            )
+            print(t, "copied")
     for t, keys in KEYS.items():
+        if subset is not None and t not in subset:
+            continue
         cols = [
             c[0]
             for c in con.execute(
-                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
             ).fetchall()
         ]
         exprs = []
@@ -100,12 +131,12 @@ def main() -> None:
                 exprs.append(c)
         sel = ", ".join(exprs)
         con.execute(
-            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
-            f"range({REPLICAS}) r(i) ORDER BY r.i) TO "
-            f"'{DST}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 262144)"
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
+            f"range({replicas}) r(i) ORDER BY r.i) TO "
+            f"'{dst}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 262144)"
         )
         n = con.execute(
-            f"SELECT count(*) FROM '{DST}/{t}.parquet'"
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'"
         ).fetchone()[0]
         print(t, n)
 
