@@ -37,12 +37,21 @@ from pyspark.sql import functions as F
 
 
 def mg_update(counters: dict, items, k: int) -> dict:
-    """One Misra-Gries pass over ``items`` into ``counters`` (<= k keys).
+    """One ROW-AT-A-TIME Misra-Gries pass over ``items`` into
+    ``counters`` (<= k keys) — the streaming state twin's rule
+    (streaming/stateful.py::_hh_group), where the contract is the
+    bounded 2k-scalar state per group: increment a tracked item, insert
+    while capacity remains, else decrement-all-and-drop-zeros.
 
-    THE update rule, shared by the batch operator below and the streaming
-    state twin (streaming/stateful.py::_hh_group) so the two summaries
-    can never silently diverge: increment a tracked item, insert while
-    capacity remains, else decrement-all-and-drop-zeros.
+    The BATCH operators below use :func:`mg_update_batch` instead
+    (round 13): the per-token Python loop was the measured hot spot of
+    ``token_heavy_hitters`` (~1.35 s of 3.19 s at sf1 for 2.76 M
+    tokens), and the mergeable-summary variant does the same work at
+    C speed.  Both rules satisfy the identical SUPERSET contract the
+    recount + integer threshold depend on, so batch and streaming
+    outputs agree even though their intermediate candidate sets may
+    differ (candidate sets were never contractual — they already vary
+    with partitioning).
     """
     for item in items:
         c = counters.get(item)
@@ -54,6 +63,37 @@ def mg_update(counters: dict, items, k: int) -> dict:
             # decrement-all; drop zeros (amortized O(1) per row: each
             # decrement pays back one earlier increment)
             counters = {t: c - 1 for t, c in counters.items() if c > 1}
+    return counters
+
+
+def mg_update_batch(counters: dict, values, k: int) -> dict:
+    """Vectorized Misra-Gries batch merge (the mergeable-summaries
+    construction, Agarwal et al. 2012): add the batch's EXACT value
+    counts into the summary (pandas ``value_counts`` — C speed), then,
+    if more than ``k`` counters remain, subtract the (k+1)-th largest
+    count from all and drop non-positives (numpy partial select).
+
+    Guarantee (the one the recount depends on): every subtraction step
+    removes the same ``thresh`` from >= k+1 counters, so the total mass
+    removed is >= (k+1)*thresh — cumulative undercount of ANY item is
+    <= n_p/(k+1) < n_p/k.  An item with local frequency > n_p/k
+    therefore always survives with a positive count, and the union of
+    per-partition summaries is a superset of every global heavy hitter
+    (the pigeonhole step in the module docstring).
+    """
+    import numpy as np
+
+    vc = pd.Series(values).value_counts()
+    for item, c in vc.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > k:
+        vals = np.fromiter(
+            counters.values(), dtype="int64", count=len(counters)
+        )
+        thresh = vals[np.argpartition(vals, len(vals) - (k + 1))[
+            len(vals) - (k + 1)
+        ]]
+        counters = {t: c - thresh for t, c in counters.items() if c > thresh}
     return counters
 
 
@@ -74,7 +114,7 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            counters = mg_update(counters, pdf[col].values, k)
+            counters = mg_update_batch(counters, pdf[col].values, k)
         yield pd.DataFrame({col: list(counters.keys())})
 
     return df.select(col).mapInPandas(mg, schema=f"{col} {col_type}")
@@ -133,7 +173,7 @@ def heavy_hitters(
         n = 0
         for pdf in batches:
             n += len(pdf)
-            counters = mg_update(counters, pdf[col].values, k)
+            counters = mg_update_batch(counters, pdf[col].values, k)
         yield pd.DataFrame(
             {
                 col: list(counters.keys()) + [None],

@@ -51,21 +51,23 @@ _WINDOW_ROUND = 13
 # Round-13 _CHECK_FIRST is EXACTLY
 # tools/rotation.prioritized_dues()[:50] for the r13 history
 # (CORRECTNESS_r1..r12 on disk + the r13 _PLAN_CHANGED_ROUND voids):
-#   (0) the three r13 plan-changed entries, clock 0 (certifications
+#   (0) the five r13 plan-changed entries, clock 0 (certifications
 #       voided, may never defer): ann_ivfq8_topk, ann_q8_topk,
-#       ann_rerank_topk — the q8 family's final-score rounding moved
-#       from numpy banker's to the oracle's half-away (ADVICE r12) and
-#       quantized_topk gained the max_queries broadcast guard;
-#   (a) 47 of the 49 r10-certified dues, stalest block first
+#       ann_rerank_topk (the q8 family's final-score rounding moved
+#       from numpy banker's to the oracle's half-away, ADVICE r12, and
+#       quantized_topk gained the max_queries broadcast guard) +
+#       token_heavy_hitters (vectorized MG candidate pass) +
+#       value_quantile_sketch (exact-pick-through-histogram rewrite);
+#   (a) 46 of the 49 r10-certified dues, stalest block first
 #       (alphabetical within the block);
-#   (b) the 2 least-stale clock-r10 dues (vocab_oov_rate,
-#       weighted_sample_topk) and all 8 never-certified late-r11
-#       first-certs DEFER under the ceiling-checked least-stale tier;
-#       at r14 the clock-r10 pair is ceiling-forced and the 8
-#       first-certs lead the clock-r11 block via prioritized_dues'
-#       never-certified-first tie-break (first evidence beats a third
-#       confirmation), so all 8 certify by r14 as the r12 verdict
-#       requires.
+#   (b) the 3 least-stale clock-r10 dues (training_order_manifest,
+#       vocab_oov_rate, weighted_sample_topk) and all 8 never-certified
+#       late-r11 first-certs DEFER under the ceiling-checked
+#       least-stale tier; at r14 the clock-r10 trio is ceiling-forced
+#       and the 8 first-certs lead the clock-r11 block via
+#       prioritized_dues' never-certified-first tie-break (first
+#       evidence beats a third confirmation), so all 8 certify by r14
+#       as the r12 verdict requires.
 # The tail (_CHECK_LAST) is the round-12-certified block (due r15).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
@@ -124,6 +126,19 @@ _PLAN_CHANGED_ROUND = {
     "ann_q8_topk": 13,
     "ann_rerank_topk": 13,
     "ann_ivfq8_topk": 13,
+    # r13: value_quantile_sketch's exact-check column now locates the
+    # k-th order statistic THROUGH the bin histogram (sort window over
+    # one bin's rows per pick) instead of a per-type sort window over
+    # every event row — the 6.2x-at-sf1 hazard the r12 verdict flagged
+    # as a stale measure.  Values identical (order statistic is
+    # value-deterministic under ties); plan changed, re-certify:
+    "value_quantile_sketch": 13,
+    # r13: the Misra-Gries candidate pass vectorized (mg_update_batch —
+    # the mergeable-summaries construction at C speed; the per-token
+    # Python loop was ~1.35 s of 3.19 s at sf1).  Same superset
+    # contract, same exact recount, output identical; the mapInPandas
+    # UDF changed, re-certify:
+    "token_heavy_hitters": 13,
     # r12 history (kept for the ledger arc): quantized_topk rewritten
     # to the fused Arrow pass; banded_hamming_topk probe checkpoint.
     # Superseded above for the q8 entries; the multimodal trio's last
@@ -136,13 +151,18 @@ _PLAN_CHANGED_ROUND = {
 _CHECK_FIRST = (
     # (0) plan-changed this round (clock 0 — certifications voided,
     # may never defer): the q8-family half-away score rounding +
-    # quantized_topk broadcast guard (ADVICE r12)
+    # quantized_topk broadcast guard (ADVICE r12), the vectorized MG
+    # candidate pass, and the value_quantile_sketch exact-pick
+    # histogram rewrite
     "ann_ivfq8_topk",
     "ann_q8_topk",
     "ann_rerank_topk",
-    # (a) 47 of the 49 r10-certified dues, stalest-first (alphabetical
-    # tie-break within the clock-r10 block); vocab_oov_rate and
-    # weighted_sample_topk defer one round under the ceiling tier
+    "token_heavy_hitters",
+    "value_quantile_sketch",
+    # (a) 45 of the 49 r10-certified dues, stalest-first (alphabetical
+    # tie-break within the clock-r10 block); training_order_manifest,
+    # vocab_oov_rate and weighted_sample_topk defer one round under the
+    # ceiling tier (ceiling-forced into the r14 window)
     "ann_ivfpq_topk",
     "ann_lsh_buckets",
     "corpus_pmi_pairs",
@@ -188,8 +208,6 @@ _CHECK_FIRST = (
     "streaming_hourly_counts",
     "substring_dup_spans",
     "token_freq_cm_sketch",
-    "token_heavy_hitters",
-    "training_order_manifest",
 )
 # Queries certified in round 12 — rotate to the unchecked tail (due
 # r15; the three q8-family entries pulled forward into the window by
@@ -241,7 +259,6 @@ _CHECK_LAST = (
     "text_quality",
     "text_repetition",
     "top_orders_by_value",
-    "value_quantile_sketch",
     "video_near_dup_phash",
     "window_top_orders_per_customer",
 )
