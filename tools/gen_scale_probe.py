@@ -14,16 +14,26 @@ duplicate structure bit-comparable while making CROSS-replica pairs
 non-duplicates, so output density stays constant and t(10x)/t(1x)
 isolates the engine's scaling exponent:
 
-- documents: a replica salt token is interleaved into EVERY token gap
-  (``replace(text, ' ', ' r<i>x ')``), so every shingle/window of
-  length >= 2 contains the salt — cross-replica Jaccard ~ 0 at any
-  shingle size — while two docs inside one replica relate exactly as
-  their sf0.1 originals did (both salted identically).
-- embeddings: each replica's vectors are ROTATED by ``i % 64``
-  positions (an isometry: within-replica cosines are bit-preserved)
-  and NEGATED for ``i >= 64`` (cos(a, -b) = -cos(a, b), never a
-  near-dup at positive thresholds) — cross-replica cosines of generic
-  vectors land near 0, so no new near-dup pairs appear.
+- documents: every token gets a replica SUFFIX
+  (``a b c`` -> ``a_r3 b_r3 c_r3``) — a per-replica VOCABULARY
+  BIJECTION, so each replica is an isomorphic copy of sf0.1 with a
+  disjoint vocabulary: every n-gram/shingle statistic (document
+  frequencies, rarity order, posting-list sizes) is preserved exactly
+  within a replica while cross-replica Jaccard is 0 at every shingle
+  size.  (The first attempt INTERLEAVED a salt token into every gap;
+  that halves effective shingle length — a salted k-shingle carries
+  the document frequency of a (k/2)-gram — which degrades
+  prefix-filter rarity pruning and measures the salt, not the engine.)
+- embeddings: each replica's vectors are multiplied by a replica-
+  specific RADEMACHER diagonal (seeded +-1 sign per dimension) — an
+  exact isometry (cos(D_i a, D_i b) == cos(a, b) bit-for-bit up to
+  sign-commuting float multiplies), while a cross-replica cosine
+  becomes a +-1-weighted sum concentrating around 0 (~1/sqrt(64) std),
+  far below any near-dup threshold.  (The first attempt ROTATED each
+  replica's dimensions; the synthetic embeddings are shift-correlated,
+  so small rotations kept cross-replica cosines high and the near-dup
+  output grew x101 instead of x10 — measured, with a pair-origin
+  histogram decaying in rotation distance.)
 
 Usage:
     python tools/gen_scale_probe.py --dst .localdata/probe1  --replicas 10
@@ -46,8 +56,6 @@ def main() -> None:
     ap.add_argument("--dst", required=True)
     ap.add_argument("--replicas", type=int, required=True)
     args = ap.parse_args()
-    if args.replicas > 128:
-        raise SystemExit("rotation+negation covers at most 128 replicas")
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -58,8 +66,8 @@ def main() -> None:
         f"""
         COPY (
           SELECT doc_id + r.i * {doc_stride} AS doc_id,
-                 concat('r', r.i, 'x ',
-                        replace(text, ' ', concat(' r', r.i, 'x '))) AS text,
+                 concat(replace(text, ' ', concat('_r', r.i, ' ')),
+                        '_r', r.i) AS text,
                  lang, source, n_chars
           FROM '{args.src}/documents.parquet', range({args.replicas}) r(i)
           ORDER BY r.i
@@ -67,31 +75,35 @@ def main() -> None:
           (FORMAT parquet, ROW_GROUP_SIZE 262144)
         """
     )
-    vec_stride = con.execute(
-        f"SELECT max(vec_id) + 1 FROM '{args.src}/embeddings.parquet'"
-    ).fetchone()[0]
-    con.execute(
-        f"""
-        COPY (
-          WITH rot AS (
-            SELECT vec_id + r.i * {vec_stride} AS vec_id,
-                   label,
-                   CASE WHEN r.i % 64 = 0 THEN embedding
-                        ELSE list_concat(embedding[(r.i % 64) + 1:],
-                                         embedding[1:(r.i % 64)])
-                   END AS v,
-                   r.i AS i
-            FROM '{args.src}/embeddings.parquet', range({args.replicas}) r(i)
-          )
-          SELECT vec_id, label,
-                 CAST(CASE WHEN i >= 64
-                           THEN list_transform(v, x -> -x)
-                           ELSE v END AS FLOAT[]) AS embedding
-          FROM rot ORDER BY i
-        ) TO '{args.dst}/embeddings.parquet'
-          (FORMAT parquet, ROW_GROUP_SIZE 262144)
-        """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{args.src}/embeddings.parquet")
+    vec_ids = base.column("vec_id").to_numpy()
+    labels = base.column("label").to_numpy()
+    mat = np.stack(
+        [np.asarray(v, dtype="float32") for v in base.column("embedding").to_pylist()]
     )
+    n, d = mat.shape
+    vec_stride = int(vec_ids.max()) + 1
+    out_ids, out_labels, out_mats = [], [], []
+    for i in range(args.replicas):
+        signs = (
+            np.random.default_rng(1013 + i).integers(0, 2, size=d) * 2 - 1
+        ).astype("float32")
+        out_ids.append(vec_ids + i * vec_stride)
+        out_labels.append(labels)
+        out_mats.append(mat * signs[None, :])
+    allmat = np.concatenate(out_mats)
+    tbl = pa.table(
+        {
+            "vec_id": np.concatenate(out_ids),
+            "embedding": pa.array(list(allmat), type=pa.list_(pa.float32())),
+            "label": np.concatenate(out_labels).astype("int32"),
+        }
+    )
+    pq.write_table(tbl, f"{args.dst}/embeddings.parquet", row_group_size=262144)
     for t in ("documents", "embeddings"):
         n = con.execute(
             f"SELECT count(*) FROM '{args.dst}/{t}.parquet'"
