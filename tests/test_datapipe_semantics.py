@@ -573,3 +573,41 @@ def test_passage_dedup_semantics_retired_entry(spark, tmp_path):
     )
     oracle = con.execute(PASSAGE_DEDUP_SQL).fetchall()
     assert sorted(map(tuple, got)) == sorted(map(tuple, oracle))
+
+
+def test_value_quantile_sketch_single_bin_degenerate(spark, tmp_path):
+    """The r13 exact-pick rewrite locates the k-th order statistic
+    through the bin histogram; a type whose values are ALL EQUAL
+    collapses to one bin (the mx == mn guard), so the in-bin sort
+    degenerates to the whole type — the branch must still agree with
+    the oracle's direct full-sort replay, including alongside a normal
+    multi-bin type and a NULL-valued row."""
+    import datetime as dt
+
+    import duckdb
+
+    from duckdb_webhook_gateway_spark.workloads.analytics import (
+        VALUE_QUANTILE_SKETCH_SQL,
+        value_quantile_sketch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "flat", 7.25, None) for i in range(40)]
+    rows += [(100 + i, base, 1, "spread", float(i) - 3.0, None) for i in range(60)]
+    rows += [(500, base, 1, "flat", None, None)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = sorted(map(tuple, value_quantile_sketch(spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(VALUE_QUANTILE_SKETCH_SQL).fetchall()))
+    assert got == oracle
+    flat = [r for r in got if r[0] == "flat"]
+    assert len(flat) == 3 and all(r[4] == 7.25 for r in flat)

@@ -251,6 +251,10 @@ EVENT_QUERIES = [
     "events_multitouch_attribution",
     "events_hopping_windows",
     "events_profile",
+    # r13: the histogram-located exact-pick rewrite — random streams
+    # exercise NULL/negative values and tiny per-type groups against
+    # the oracle's direct full-sort order-statistic replay
+    "value_quantile_sketch",
 ]
 
 
