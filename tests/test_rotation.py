@@ -279,3 +279,37 @@ def test_oversubscription_mechanism_is_satisfiable_for_next_round(
         assert not [n for n in missing if eff[n] < newest_served]
     else:
         assert not missing
+
+
+def test_never_certified_outranks_equally_stale_recerts(tmp_path):
+    """The r12 verdict's first-cert priority, pinned directly (the r14
+    window depends on it: the 8 deferred first-certs and the 45
+    r11-certified re-certs share clock r11, and the first-certs must
+    lead).  Synthetic history: 'seen' certified in round 1, 'fresh'
+    registered in round 1 and never certified — both carry clock 1 for
+    round 4, and prioritized_dues must order the never-certified entry
+    first regardless of name order."""
+    import json
+
+    for fresh, seen in (("aaa_fresh", "zzz_seen"), ("zzz_fresh", "aaa_seen")):
+        root = tmp_path / f"h_{fresh}"
+        root.mkdir()
+        (root / "CORRECTNESS_r1.json").write_text(
+            json.dumps(
+                {
+                    seen: {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": True,
+                        "err": None,
+                    }
+                }
+            )
+        )
+        order = rotation.prioritized_dues(
+            [seen, fresh],
+            str(root),
+            upcoming_round=4,
+            registered_rounds={fresh: 1},
+        )
+        assert order == [fresh, seen], (fresh, seen, order)
