@@ -170,10 +170,10 @@ def global_quantiles(
     every value in one reducer) cannot hold a 100 TB column.  Here the
     relation is range-partitioned on ``order`` and pinned with ONE
     checkpoint (same correctness argument as :func:`global_ntile`);
-    per-partition counts (partition-cardinality collect) locate which
-    partitions hold target ranks, and ONLY those partitions — at most
-    ``len(fracs)`` of them — are rank-numbered and probed.  Everything
-    else is pruned by partition id before any window shuffle.
+    per-partition counts — IN-PLAN since round 13, no driver collect —
+    locate which partitions hold target ranks, and ONLY those
+    partitions (at most ``len(fracs)``) survive the broadcast-hash
+    partition-id prune.  Everything else drops map-side.
 
     Same ``input_bytes`` routing as :func:`global_ntile`: a
     statable-small source takes the plain window (identical rows).
@@ -182,9 +182,18 @@ def global_quantiles(
     a label only — never used in arithmetic), ``rank_col`` (the
     selected 1-based global rank) and every column of ``rel``.
     Fractions out of range (rank < 1 or > N) and empty inputs yield
-    no row for that fraction.
+    no row for that fraction; an EMPTY ``fracs`` returns a typed empty
+    frame (guarded explicitly — a zero-element ``F.array`` is VOID-typed
+    and the struct-field extraction below would raise).
     """
     spark = rel.sparkSession
+    if not fracs:
+        return (
+            rel.withColumn(label_col, F.lit(None).cast("double"))
+            .withColumn(rank_col, F.lit(None).cast("bigint"))
+            .select(label_col, rank_col, *rel.columns)
+            .limit(0)
+        )
     if input_bytes is not None and input_bytes <= small_input_ceiling:
         w = Window.orderBy(*order)
         ranked = rel.withColumn(rank_col, F.row_number().over(w))
@@ -338,9 +347,19 @@ def global_cumulative_cutoff(
 
     Same ``input_bytes`` routing as :func:`global_ntile`: a
     statable-small source takes the plain running window (identical
-    rows, none of the checkpoint/collect fixed cost).
+    rows, none of the checkpoint/collect fixed cost).  An EMPTY
+    ``fracs`` returns a typed empty frame (guarded — a zero-element
+    ``F.array`` is VOID-typed and the extraction below would raise).
     """
     spark = rel.sparkSession
+    if not fracs:
+        return (
+            rel.withColumn(label_col, F.lit(None).cast("double"))
+            .withColumn(rank_col, F.lit(None).cast("bigint"))
+            .withColumn(cum_col, F.lit(None).cast("bigint"))
+            .select(label_col, rank_col, cum_col, *rel.columns)
+            .limit(0)
+        )
     if input_bytes is not None and input_bytes <= small_input_ceiling:
         w_run = Window.orderBy(*order).rowsBetween(
             Window.unboundedPreceding, Window.currentRow

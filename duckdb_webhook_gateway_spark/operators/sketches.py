@@ -83,9 +83,19 @@ def mg_update_batch(counters: dict, values, k: int) -> dict:
     """
     import numpy as np
 
-    vc = pd.Series(values).value_counts()
+    s = pd.Series(values)
+    vc = s.value_counts()
     for item, c in vc.items():
         counters[item] = counters.get(item, 0) + int(c)
+    # value_counts drops missing values by default; the row-at-a-time
+    # rule tracked them as counter keys, and the superset contract must
+    # hold for a null item too (heavy_hitters' semi-join recount can
+    # never OUTPUT a null key, but misra_gries_candidates' documented
+    # superset is a library contract of its own) — fold them back under
+    # the canonical None key
+    null_n = int(s.isna().sum())
+    if null_n:
+        counters[None] = counters.get(None, 0) + null_n
     if len(counters) > k:
         vals = np.fromiter(
             counters.values(), dtype="int64", count=len(counters)

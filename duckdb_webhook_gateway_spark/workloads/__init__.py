@@ -58,7 +58,7 @@ _WINDOW_ROUND = 13
 #       quantized_topk gained the max_queries broadcast guard) +
 #       token_heavy_hitters (vectorized MG candidate pass) +
 #       value_quantile_sketch (exact-pick-through-histogram rewrite);
-#   (a) 46 of the 49 r10-certified dues, stalest block first
+#   (a) 45 of the 49 r10-certified dues, stalest block first
 #       (alphabetical within the block);
 #   (b) the 3 least-stale clock-r10 dues (training_order_manifest,
 #       vocab_oov_rate, weighted_sample_topk) and all 8 never-certified

@@ -280,3 +280,22 @@ def test_cumulative_cutoff_small_route_matches_scale_route(spark):
     assert got_small == got_scale == {
         (c, r, cw, i) for c, r, cw, i, _ in _c_reference(rows, fracs)
     }
+
+
+def test_empty_fracs_returns_typed_empty_on_both_routes(spark):
+    # r13 review fix: the in-plan rewrite builds F.array(*fracs), and a
+    # zero-element array is VOID-typed (struct extraction raises) — an
+    # empty fracs list must keep the pre-r13 typed-empty contract on
+    # both operators and both routes
+    df = spark.createDataFrame([(1, 2.0, 3)], "id bigint, v double, w bigint")
+    for ib in (None, 1024):
+        q = global_quantiles(df, [F.asc("v"), F.asc("id")], [], input_bytes=ib)
+        assert q.count() == 0
+        assert q.columns == ["quantile", "value_rank", "id", "v", "w"]
+        c = global_cumulative_cutoff(
+            df, [F.desc("w"), F.asc("id")], "w", [], input_bytes=ib
+        )
+        assert c.count() == 0
+        assert c.columns == [
+            "coverage", "cutoff_rank", "cum_weight", "id", "v", "w",
+        ]

@@ -265,3 +265,18 @@ def SK_profile_fd(df, cols):
     )
 
     return functional_dependencies(df, cols)
+
+
+def test_mg_batch_tracks_null_items_like_row_rule(spark):
+    """r13 review fix: pandas value_counts drops missing values, but the
+    misra_gries_candidates superset contract covers a NULL item too —
+    a stream where NULL's frequency exceeds n/k must surface a null
+    candidate row, exactly as the row-at-a-time rule did."""
+    from duckdb_webhook_gateway_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    rows = [(None,)] * 60 + [(f"t{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "token string").coalesce(1)
+    cand = misra_gries_candidates(df, "token", 3).collect()
+    assert any(r["token"] is None for r in cand)
