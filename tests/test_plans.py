@@ -1018,9 +1018,12 @@ def test_all_queries_free_of_scale_hazard_joins(spark):
         "doc_bm25_topk",         # 1-row (N, avgdl) corpus-stats side
         "hybrid_rank_fusion",    # broadcast 5-query set x corpus, both arms
         "ann_ivf_recall",        # broadcast 10-query set x corpus (exact arm)
-        "corpus_token_coverage", # small-route threshold probe: non-equi vs a
-                                 # broadcast side of <= len(fracs) rows (3);
-                                 # the scale route joins equi on partition id
+        "corpus_token_coverage", # threshold location is non-equi vs a
+                                 # broadcast side of <= len(fracs) rows (3)
+                                 # on both routes since r13 (scale route:
+                                 # offsets x thresholds, <= partitions x 3
+                                 # rows); the DATA-side prune stays an equi
+                                 # broadcast join on the partition id
         "join_key_skew",         # 1-row total-orders count side (round 10)
         "split_divergence",      # 1-row token-total stats side (round 10)
     }

@@ -218,6 +218,21 @@ def main() -> None:  # pragma: no cover - CLI convenience
     )
 
     names = list(all_entries())
+    if "--emit-window" in sys.argv:
+        # print the exact _CHECK_FIRST tuple for the upcoming round —
+        # paste into workloads/__init__.py (and bump _WINDOW_ROUND) as
+        # the round's first commit
+        win = prioritized_dues(
+            names,
+            registered_rounds=_REGISTERED_ROUND,
+            plan_changed_rounds=_PLAN_CHANGED_ROUND,
+        )[:50]
+        print(f"# _WINDOW_ROUND = {latest_recorded_round() + 1}")
+        print("_CHECK_FIRST = (")
+        for n in win:
+            print(f'    "{n}",')
+        print(")")
+        return
     upcoming = latest_recorded_round() + 1
     due = due_now(
         names,
