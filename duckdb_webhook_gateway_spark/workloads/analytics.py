@@ -1507,10 +1507,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "qname string, q double"
     )
-    # sel feeds BOTH the output row and the exact-pick probe — the lazy
-    # checkpoint (15 rows) keeps the histogram subtree single-execution
-    # across the main plan and the probe broadcast
-    sel = (
+    # ONE consumer chain: the selected bin rows carry target/est THROUGH
+    # the exact-pick probe, so the probe's result IS the output row —
+    # no sel ⋈ exact join back, no second read of the histogram subtree,
+    # no checkpoint (sel is consumed exactly once, inside the broadcast
+    # build)
+    picks = (
         cum.join(F.broadcast(stats), "event_type")
         .crossJoin(F.broadcast(qdf))
         .withColumn("target", F.ceil(F.col("q") * F.col("n")))
@@ -1528,27 +1530,27 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .select("event_type", "qname", "bin", "target", "est", "cum_prev")
-        .localCheckpoint(eager=False)
-    )
-    picks = sel.select(
-        "event_type",
-        "qname",
-        "bin",
-        (F.col("target") - F.col("cum_prev")).alias("rib"),
+        .select(
+            "event_type",
+            "qname",
+            "bin",
+            "target",
+            "est",
+            (F.col("target") - F.col("cum_prev")).alias("rib"),
+        )
     )
     wrn = Window.partitionBy("event_type", "qname").orderBy("value")
-    exact = (
+    return (
         evb.join(F.broadcast(picks), ["event_type", "bin"])
         .withColumn("rn", F.row_number().over(wrn))
         .filter(F.col("rn") == F.col("rib"))
         .select(
-            "event_type", "qname", F.round(F.col("value"), 6).alias("exact")
+            "event_type",
+            "qname",
+            "target",
+            "est",
+            F.round(F.col("value"), 6).alias("exact"),
         )
-    )
-    return (
-        sel.join(exact, ["event_type", "qname"])
-        .select("event_type", "qname", "target", "est", "exact")
         .orderBy("event_type", "qname")
     )
 
