@@ -47,28 +47,24 @@ from . import analytics, datapipe  # noqa: E402
 # while a window more than one round behind the recorded history still
 # fails loudly.  Bump _WINDOW_ROUND and rebuild _CHECK_FIRST from
 # `python tools/rotation.py` as the FIRST commit of every round.
-_WINDOW_ROUND = 13
-# Round-13 _CHECK_FIRST is EXACTLY
-# tools/rotation.prioritized_dues()[:50] for the r13 history
-# (CORRECTNESS_r1..r12 on disk + the r13 _PLAN_CHANGED_ROUND voids):
-#   (0) the five r13 plan-changed entries, clock 0 (certifications
-#       voided, may never defer): ann_ivfq8_topk, ann_q8_topk,
-#       ann_rerank_topk (the q8 family's final-score rounding moved
-#       from numpy banker's to the oracle's half-away, ADVICE r12, and
-#       quantized_topk gained the max_queries broadcast guard) +
-#       token_heavy_hitters (vectorized MG candidate pass) +
-#       value_quantile_sketch (exact-pick-through-histogram rewrite);
-#   (a) 45 of the 49 r10-certified dues, stalest block first
-#       (alphabetical within the block);
-#   (b) the 3 least-stale clock-r10 dues (training_order_manifest,
-#       vocab_oov_rate, weighted_sample_topk) and all 8 never-certified
-#       late-r11 first-certs DEFER under the ceiling-checked
-#       least-stale tier; at r14 the clock-r10 trio is ceiling-forced
-#       and the 8 first-certs lead the clock-r11 block via
-#       prioritized_dues' never-certified-first tie-break (first
-#       evidence beats a third confirmation), so all 8 certify by r14
-#       as the r12 verdict requires.
-# The tail (_CHECK_LAST) is the round-12-certified block (due r15).
+_WINDOW_ROUND = 14
+# Round-14 _CHECK_FIRST is EXACTLY
+# tools/rotation.prioritized_dues()[:50] for the r14 history
+# (CORRECTNESS_r1..r13 on disk; no new _PLAN_CHANGED_ROUND voids):
+#   (0) the 3 ceiling-forced clock-r10 dues (training_order_manifest,
+#       vocab_oov_rate, weighted_sample_topk — deferred r13 under the
+#       least-stale tier, now at the unconditional 4-round HARD_CEILING
+#       and may not defer again);
+#   (a) all 8 never-certified late-r11 registrations (doc_cdc_chunks,
+#       doc_cdc_dup_chunks, doc_winnow_pairs, embedding_hard_negatives,
+#       embedding_pca_topdir, part_communities_lpa,
+#       streaming_dedup_events, streaming_user_sessions) — lead the
+#       clock-r11 block via the never-certified-first tie-break (first
+#       evidence beats a third confirmation); after r14 zero
+#       never-certified entries remain;
+#   (b) 39 of the clock-r11 dues, stalest block first (alphabetical
+#       within the block).
+# The tail (_CHECK_LAST) is the round-13-certified block (due r16).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
 # not this comment).
@@ -149,22 +145,71 @@ _PLAN_CHANGED_ROUND = {
 }
 
 _CHECK_FIRST = (
-    # (0) plan-changed this round (clock 0 — certifications voided,
-    # may never defer): the q8-family half-away score rounding +
-    # quantized_topk broadcast guard (ADVICE r12), the vectorized MG
-    # candidate pass, and the value_quantile_sketch exact-pick
-    # histogram rewrite
+    # (0) ceiling-forced clock-r10 trio (4-round HARD_CEILING, may not
+    # defer)
+    "training_order_manifest",
+    "vocab_oov_rate",
+    "weighted_sample_topk",
+    # (a) the 8 never-certified late-r11 registrations — first
+    # certification; never-certified-first tie-break leads the
+    # clock-r11 block
+    "doc_cdc_chunks",
+    "doc_cdc_dup_chunks",
+    "doc_winnow_pairs",
+    "embedding_hard_negatives",
+    "embedding_pca_topdir",
+    "part_communities_lpa",
+    "streaming_dedup_events",
+    "streaming_user_sessions",
+    # (b) 39 clock-r11 dues, stalest-first (alphabetical within block)
+    "ann_cosine_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_pq_trained_topk",
+    "corpus_top_bigrams",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dataset_split",
+    "dedup_clusters",
+    "dedup_keeplist",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_finite_gate",
+    "embedding_near_dup",
+    "events_hourly",
+    "events_runtime_udf",
+    "gopher_quality_gate",
+    "hybrid_rank_fusion",
+    "lineitem_price_quantiles",
+    "monthly_revenue_incremental",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_image_features",
+    "orderkey_hll_distinct",
+    "orders_per_month",
+    "part_avg_qty_subquery",
+    "part_basket_pairs",
+    "part_kcore",
+    "part_name_fuzzy_pairs",
+    "part_size_class",
+    "parts_never_ordered",
+    "q10_returned_revenue",
+    "q1_pricing_summary",
+    "region_status_grouping_sets",
+    "salted_join_orders",
+    "source_ngram_novelty",
+    "split_contamination",
+    "stratified_sample",
+    "substring_dup_spans_sa",
+)
+# Queries certified in round 13 — rotate to the unchecked tail (due
+# r16); the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
+    "ann_ivfpq_topk",
     "ann_ivfq8_topk",
+    "ann_lsh_buckets",
     "ann_q8_topk",
     "ann_rerank_topk",
-    "token_heavy_hitters",
-    "value_quantile_sketch",
-    # (a) 45 of the 49 r10-certified dues, stalest-first (alphabetical
-    # tie-break within the clock-r10 block); training_order_manifest,
-    # vocab_oov_rate and weighted_sample_topk defer one round under the
-    # ceiling tier (ceiling-forced into the r14 window)
-    "ann_ivfpq_topk",
-    "ann_lsh_buckets",
     "corpus_pmi_pairs",
     "corpus_zipf_stats",
     "cross_source_overlap",
@@ -208,59 +253,8 @@ _CHECK_FIRST = (
     "streaming_hourly_counts",
     "substring_dup_spans",
     "token_freq_cm_sketch",
-)
-# Queries certified in round 12 — rotate to the unchecked tail (due
-# r15; the three q8-family entries pulled forward into the window by
-# their r13 plan changes); the parity suite still covers them at sf0.1
-# every round.
-_CHECK_LAST = (
-    "ann_ivf_pruned_topk",
-    "ann_mmr_topk",
-    "audio_near_dup_fp",
-    "bloom_prefilter_join",
-    "boilerplate_ratio",
-    "bpe_merge_candidates",
-    "brand_top_parts",
-    "corpus_stats",
-    "corpus_token_coverage",
-    "cube_order_status",
-    "customer_order_counts",
-    "customer_scd2_snapshot",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "events_anomaly_zscore",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_pivot_by_type",
-    "events_recent_topk",
-    "events_type_rate",
-    "image_near_dup_phash",
-    "lineitem_distinct_counts",
-    "lm_perplexity_filter",
-    "mixture_resample",
-    "nation_key_intersect",
-    "order_priority_rate",
-    "orders_price_exact_quantiles",
-    "orders_value_quartiles",
-    "part_filter_like_in",
-    "part_projection",
-    "part_triangle_count",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "quality_funnel",
-    "region_keys_union",
-    "rollup_region_nation",
-    "sequence_packing",
-    "source_mixture",
-    "split_ngram_decontamination",
-    "supplier_string_funcs",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "top_orders_by_value",
-    "video_near_dup_phash",
-    "window_top_orders_per_customer",
+    "token_heavy_hitters",
+    "value_quantile_sketch",
 )
 
 def all_entries() -> dict[str, Entry]:
