@@ -328,10 +328,69 @@ def near_dup_pairs(
     return src.mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
 
 
+# Auto hash-width rule, measured by the round-13 constant-density scale
+# probe (tools/gen_scale_probe.py; BASELINE.md "Knob demonstration"):
+# the default 4 planes/table is tuned for a ~20k-vector corpus (probe1,
+# 10 replicas of sf0.1 = 20,000 vectors, mean occupancy ~1.25k/bucket);
+# at 10x corpus (probe10, 200k) the hand-tuned value was 7 — i.e. add
+# one bit per corpus DOUBLING, keeping mean bucket occupancy inside
+# [1x, 2x) of the tuned band.  floor(log2(n/ref)), not ceil: the probe's
+# 10x point measured 7 (floor gives 4+3), and each bit costs recall at
+# marginal cosines, so stay at the coarse edge of the band.
+AUTO_PLANES_BASE = 4
+AUTO_PLANES_REF_VECTORS = 20_000
+
+
+def auto_planes_per_table(
+    n_vectors: int,
+    base: int = AUTO_PLANES_BASE,
+    ref_vectors: int = AUTO_PLANES_REF_VECTORS,
+) -> int:
+    """Hash width for an ``n_vectors``-row corpus: ``base`` plus one bit
+    per corpus doubling past ``ref_vectors``.
+
+    auto(20_000) == 4 (the tuned default) and auto(200_000) == 7 (the
+    r13 probe's hand-tuned 10x value, measured 46.3 s -> 9.2 s against
+    the stale default) — the parameter-follows-data rule, same as
+    shuffle partitions following bytes.
+    """
+    import math
+
+    n = int(n_vectors)
+    if n <= ref_vectors:
+        return int(base)
+    return int(base) + int(math.floor(math.log2(n / ref_vectors)))
+
+
+def _resolve_planes(vectors: DataFrame, planes_per_table) -> int:
+    """Resolve a ``planes_per_table`` knob: explicit int, or ``"auto"``.
+
+    ``"auto"`` sizes from the corpus cardinality — parquet footer
+    metadata when the frame is a plain local parquet scan (driver-side,
+    no job; pre-filter upper bound, the safe direction for sizing), a
+    one-off ``count()`` job otherwise.  Registered oracle-replayable
+    queries keep explicit ints so the DuckDB oracle can rebuild the
+    identical tables without engine metadata.
+    """
+    if isinstance(planes_per_table, int):
+        return planes_per_table
+    if planes_per_table != "auto":
+        raise ValueError(
+            "planes_per_table must be an int or 'auto', got "
+            f"{planes_per_table!r}"
+        )
+    from ..plans.spread import scan_rows
+
+    n = scan_rows(vectors)
+    if n is None:
+        n = vectors.count()
+    return auto_planes_per_table(n)
+
+
 def lsh_buckets(
     vectors: DataFrame,
     num_tables: int = 4,
-    planes_per_table: int = 4,
+    planes_per_table: "int | str" = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -376,6 +435,7 @@ def lsh_buckets(
     """
     import hashlib
 
+    planes_per_table = _resolve_planes(vectors, planes_per_table)
     num_planes = num_tables * planes_per_table
     src = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
@@ -673,7 +733,7 @@ def near_dup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.45,
     num_tables: int = 4,
-    planes_per_table: int = 4,
+    planes_per_table: "int | str" = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_group_members: int = 8192,
@@ -703,8 +763,17 @@ def near_dup_pairs_lsh(
     is BIT-IDENTICAL to the unblocked scoring at any ``cap``; the same
     pair found in several tables still collapses in the final distinct.
     Re-sizing ``planes_per_table`` with corpus growth (log2(N/target))
-    remains the throughput lever — the block split is the safety net
-    that makes the default parameterization survivable, not fast.
+    is the throughput lever, and since round 14 it is the DEFAULT:
+    ``planes_per_table="auto"`` derives ``auto_planes_per_table(N)`` —
+    one extra bit per corpus doubling past the tuned 20k reference —
+    from parquet footer metadata (driver-side, no job) or one count.
+    The r13 probe measured the rule: a 200k corpus on the stale fixed
+    width ran 46.3 s (x104 candidate inflation, block-split cap
+    absorbing it); the auto width (7) runs 9.2 s.  The block split
+    stays as the safety net for degenerate hot buckets (identical-
+    vector floods), never the sizing mechanism.  Registered
+    oracle-replayable queries pass explicit ints so the DuckDB oracle
+    rebuilds identical tables without engine metadata.
     """
     cap = int(max_group_members)
     if cap < 2:

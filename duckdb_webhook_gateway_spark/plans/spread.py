@@ -91,6 +91,38 @@ def spread(
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+def scan_rows(df: DataFrame) -> int | None:
+    """Total row count from the parquet footers behind a file-sourced
+    DataFrame, or None when that metadata can't be read cheaply.
+
+    This is DRIVER-SIDE METADATA, not a Spark job: each local parquet
+    footer is statted once (microseconds per file).  It is the
+    PRE-FILTER scan cardinality — an upper bound for a filtered frame —
+    which is the right direction for sizing decisions that grow with
+    corpus cardinality (hash widths, partition counts).  None when the
+    input is derived (no files), any file is remote, or any file is not
+    parquet; callers fall back to a real ``df.count()`` job.
+    """
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        p = u.path or f
+        if not p.endswith(".parquet"):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def scan_bytes(df: DataFrame) -> int | None:
     """Total statable bytes behind a file-sourced DataFrame.
 

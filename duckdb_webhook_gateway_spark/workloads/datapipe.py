@@ -729,7 +729,13 @@ ENTRIES.update(
 
 # ---------------------------------------------------------------------------
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+    # planes_per_table pinned (not "auto"): the oracle below hard-codes
+    # the 16-plane table build, so the registered query must be
+    # replayable without engine metadata.  At every certification scale
+    # auto resolves to the same 4 (corpora <= 20k vectors).
+    return S.near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.45, planes_per_table=4
+    )
 
 
 EMBEDDING_NEAR_DUP_LSH_SQL = f"""
