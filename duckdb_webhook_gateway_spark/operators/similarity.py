@@ -1070,13 +1070,18 @@ def quantize_int8(
 
 
 def _round_half_away_np(x: "np.ndarray", decimals: int) -> "np.ndarray":
-    """Element-wise HALF-AWAY-FROM-ZERO rounding (Spark ``round`` /
-    DuckDB ``round``), replacing ``np.round``'s banker's half-to-even
-    in fused scoring paths — the same copysign(floor(abs+0.5))
-    construction the q8 quantization levels use, so a score landing
-    exactly on a representable half-way point rounds identically on
-    both engines instead of being a documented measure-zero caveat
-    (ADVICE r12).  NaN propagates through unchanged."""
+    """Element-wise HALF-AWAY-FROM-ZERO rounding (DuckDB ``round``'s
+    mode), replacing ``np.round``'s banker's half-to-even in fused
+    scoring paths — the same copysign(floor(abs+0.5)) construction the
+    q8 quantization levels use, so a score landing exactly on a
+    representable half-way point rounds the way the oracle does.  This
+    NARROWS the cross-engine divergence class, it does not close it
+    (ADVICE r13): the ``+0.5`` can itself round up a value 1 ulp BELOW
+    a representable halfway point (the 0.49999999999999994 class), and
+    Spark SQL's double ``round`` goes through BigDecimal HALF_UP on
+    the shortest decimal repr — a third mode.  The residual is
+    measure-zero for continuous scores and has never appeared in the
+    parity fuzz.  NaN propagates through unchanged."""
     scale = 10.0 ** decimals
     scaled = x * scale
     return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / scale
@@ -1121,8 +1126,13 @@ def quantized_topk(
     Rounding (r13): the final 6dp score rounds HALF-AWAY-FROM-ZERO via
     :func:`_round_half_away_np` — the oracle's rounding mode and the
     one the quantization levels already used — so the banker's-vs-
-    half-away divergence class the r12 rewrite documented is
-    eliminated rather than caveated (ADVICE r12).
+    half-away divergence class the r12 rewrite documented is NARROWED,
+    not closed (ADVICE r12/r13): a measure-zero residual remains, since
+    the ``floor(abs(x)*scale + 0.5)`` form can itself round up a value
+    1 ulp below a representable halfway point, and Spark SQL's double
+    ``round`` (BigDecimal HALF_UP on the shortest decimal repr) is a
+    third mode.  Divergence needs a score within 1 ulp of a 6dp
+    halfway point — never observed in the parity fuzz.
 
     QUERY-CARDINALITY CONTRACT (r13, ADVICE r12): the query block is
     collected and broadcast (the ANN family contract), so queries are
@@ -1372,10 +1382,13 @@ def ivfq8_topk(
     structurally on NaN ordering — same class as ``finite_gate``).
     Rounding (r13): the final sqrt-normalized score rounds half-away
     via :func:`_round_half_away_np`, identical to ``quantized_topk``
-    (the full-probe identity pin is by construction).  Remaining float
-    caveat: the np.round of the coarse ASSIGNMENT cosine is still
-    banker's (measure-zero, shared with ``ivf_topk``'s documented
-    probe-map caveat; the INTEGER in-list dot itself cannot drift).
+    (the full-probe identity pin is by construction — both paths share
+    the helper; the divergence class vs the oracle is NARROWED to the
+    measure-zero 1-ulp-below-halfway residual ``quantized_topk``
+    documents, not closed).  Remaining float caveat: the np.round of
+    the coarse ASSIGNMENT cosine is still banker's (measure-zero,
+    shared with ``ivf_topk``'s documented probe-map caveat; the
+    INTEGER in-list dot itself cannot drift).
 
     Execution — ONE Arrow pass over the partitioned corpus (queries and
     centroids broadcast, both small by contract): each batch is
