@@ -274,6 +274,34 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # bench_last.json is overwritten per session, which loses the
+    # per-query history the moment the next session runs (r13 verdict
+    # task 5: r14-vs-r13 per-query deltas must be computable from repo
+    # artifacts alone).  Append every session's full line — stamped
+    # with enough session context to interpret it — to an append-only
+    # JSONL ledger next to it.
+    hist_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_HISTORY",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_history.jsonl"),
+    )
+    try:
+        import datetime
+
+        stamped = json.dumps(
+            {
+                "ts": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "sf_dir": SF_DIR,
+                **json.loads(line),
+            }
+        )
+        with open(hist_path, "a") as fh:
+            fh.write(stamped + "\n")
+    except OSError:
+        pass  # same read-only-checkout tolerance as bench_last.json
     sys.stdout.flush()
     print(line, flush=True)
     # The driver's stdout tail window has twice truncated the HEAD of
