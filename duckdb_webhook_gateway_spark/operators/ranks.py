@@ -72,14 +72,201 @@ from pyspark.sql import functions as F
 # direction at scale.
 SMALL_INPUT_CEILING = 16 * 1024 * 1024
 
+# --- bracket (scan-only) scale path, round 14 -------------------------------
+#
+# The round-13 range-composition replaced the one-task global sort with
+# ONE full-data range exchange + narrow sort + checkpoint.  The r13 sf1
+# decomposition showed the remainder of the >2x ratios IS that exchange
+# + checkpoint barrier (~0.5 s against sub-0.5 s oracle sorts) — and at
+# cluster scale a full-row shuffle of 100 TB is still the single most
+# expensive thing in the plan.  Rank selection does not need it:
+#
+# 1. ONE aggregate scan of the PRIMARY order column: exact N plus a
+#    rank-bounded value bracket per target from percentile_approx
+#    (rank error <= N/accuracy by the GK guarantee).
+# 2. ONE aggregate scan computing, per merged bracket interval, the
+#    EXACT count of rows ordered before it and inside it.  These exact
+#    counts VERIFY the brackets (the sketch is never trusted): if any
+#    target rank falls outside its bracket, or a bracket exceeds the
+#    in-task sort ceiling, the caller falls back to the range
+#    composition — correctness never depends on the approximation.
+# 3. ONE filtered scan (a literal BETWEEN, so parquet row-group
+#    pushdown applies on clustered layouts) ranks only the ~N/accuracy
+#    bracket rows with a per-interval window and equi-joins the exact
+#    target ranks.
+#
+# Three column-pruned scans and a bracket-sized sort replace the
+# full-row exchange + materialized checkpoint: at 1000 executors the
+# scans run at aggregate IO bandwidth while the exchange they replace
+# moves every row over the network twice (shuffle write + read).  The
+# driver materializes only scalars (2 agg rows + <= len(targets) pick
+# literals) — bounded, spy-compliant (tests/test_driver_materialization).
+# Values are IDENTICAL to the range path by construction (exact integer
+# target ranks, exact counts, total order); the sketch only narrows
+# where the engine looks.
+
+_BRACKET_ACCURACY = 10_000
+# Max rows a single bracket interval may sort in one task.  With the
+# default accuracy a bracket is ~6N/accuracy rows, so this ceiling
+# corresponds to ~350 G input rows; past that the verification step
+# routes back to the range composition (or callers raise accuracy).
+_BRACKET_WINDOW_CEILING = 1 << 21
+
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _spec_cols(order_spec: "Sequence[tuple[str, bool]]") -> list:
+    """Sort columns from an (name, descending) spec."""
+    return [
+        F.col(n).desc() if d else F.col(n).asc() for n, d in order_spec
+    ]
+
+
+def _after_boundary(order_spec, vals):
+    """Boolean Column: the row sorts STRICTLY AFTER the literal tuple
+    ``vals`` under the total order ``order_spec`` (lexicographic,
+    direction-aware).  Non-null columns only (total-order house rule).
+    """
+    conds = []
+    eq = None
+    for (name, desc_), v in zip(order_spec, vals):
+        c = F.col(name)
+        gt = (c < F.lit(v)) if desc_ else (c > F.lit(v))
+        conds.append(gt if eq is None else (eq & gt))
+        e = c == F.lit(v)
+        eq = e if eq is None else (eq & e)
+    out = conds[0]
+    for x in conds[1:]:
+        out = out | x
+    return out
+
+
+def _bracket_pick(
+    rel: DataFrame,
+    order_spec: "Sequence[tuple[str, bool]]",
+    probs: "Sequence[float]",
+    rank_for_n,
+    labels: "Sequence[float]",
+    label_col: str,
+    rank_col: str,
+    accuracy: int = _BRACKET_ACCURACY,
+    window_ceiling: int = _BRACKET_WINDOW_CEILING,
+):
+    """Rows of ``rel`` at exact global ranks, via the bracket path.
+
+    ``probs``: approximate order-position of each target (direction of
+    ``order_spec``), used ONLY to aim the sketch.  ``rank_for_n``:
+    callable ``N -> list[int | None]`` giving each target's EXACT
+    1-based rank once N is known.  Returns a DataFrame
+    ``(label_col, rank_col, *rel.columns)``, the string ``"empty"``
+    when no target rank is in ``[1, N]``, or None when the caller must
+    fall back to the range composition (non-numeric/nullable primary,
+    empty input, bracket verification failure, oversized bracket).
+    """
+    spark = rel.sparkSession
+    primary, pdesc = order_spec[0]
+    dt = dict(rel.dtypes).get(primary, "")
+    if dt not in _NUMERIC_DTYPES and not dt.startswith("decimal"):
+        return None
+    c = F.col(primary)
+    slack = 2.0 / accuracy
+    qprobs: list[float] = []
+    for p in probs:
+        # clamp: out-of-range targets (rank > N fractions) still need a
+        # legal sketch argument — their ranks are dropped exactly below
+        ap = min(1.0, max(0.0, 1.0 - p if pdesc else p))
+        qprobs.append(max(0.0, ap - slack))
+        qprobs.append(min(1.0, ap + slack))
+    stats = rel.agg(
+        F.count(F.lit(1)).alias("_bp_n"),
+        F.sum(F.isnull(c).cast("bigint")).alias("_bp_nulls"),
+        F.percentile_approx(c, qprobs, accuracy).alias("_bp_vals"),
+    ).first()
+    n_total = int(stats["_bp_n"] or 0)
+    if n_total == 0 or int(stats["_bp_nulls"] or 0) > 0:
+        return None
+    ranks = rank_for_n(n_total)
+    vals = stats["_bp_vals"]
+    targets = []  # (label, rank, lo, hi)
+    for i, r in enumerate(ranks):
+        if r is None or not (1 <= r <= n_total):
+            continue
+        lo, hi = vals[2 * i], vals[2 * i + 1]
+        targets.append((labels[i], int(r), lo, hi))
+    if not targets:
+        return "empty"
+    # merge overlapping value intervals (exact counts are per merged
+    # interval, so a row is counted exactly once)
+    ivs: list[list] = []
+    for _, _, lo, hi in sorted(targets, key=lambda t: (t[2], t[3])):
+        if ivs and lo <= ivs[-1][1]:
+            ivs[-1][1] = max(ivs[-1][1], hi)
+        else:
+            ivs.append([lo, hi])
+
+    def _iv_of(lo, hi):
+        for i, (ilo, ihi) in enumerate(ivs):
+            if ilo <= lo and hi <= ihi:
+                return i
+        raise AssertionError("bracket not covered by merged intervals")
+
+    aggs = []
+    for ilo, ihi in ivs:
+        before = (c > F.lit(ihi)) if pdesc else (c < F.lit(ilo))
+        aggs.append(F.sum(before.cast("bigint")))
+        aggs.append(
+            F.sum(c.between(F.lit(ilo), F.lit(ihi)).cast("bigint"))
+        )
+    row = rel.agg(*aggs).first()
+    bases = [int(row[2 * i] or 0) for i in range(len(ivs))]
+    cnts = [int(row[2 * i + 1] or 0) for i in range(len(ivs))]
+    picks = []
+    for label, r, lo, hi in targets:
+        i = _iv_of(lo, hi)
+        # VERIFY: the exact rank must sit inside the bracket, and the
+        # bracket must fit one task's sort — else the approximation
+        # missed (or the data is too tie-heavy) and the range
+        # composition takes over.
+        if not (bases[i] < r <= bases[i] + cnts[i]):
+            return None
+        if cnts[i] > window_ceiling:
+            return None
+        picks.append((float(label), int(r), i, int(r - bases[i])))
+    cond = c.between(F.lit(ivs[0][0]), F.lit(ivs[0][1]))
+    for ilo, ihi in ivs[1:]:
+        cond = cond | c.between(F.lit(ilo), F.lit(ihi))
+    iv_expr = F.when(
+        c.between(F.lit(ivs[0][0]), F.lit(ivs[0][1])), F.lit(0)
+    )
+    for i, (ilo, ihi) in enumerate(ivs[1:], start=1):
+        iv_expr = iv_expr.when(
+            c.between(F.lit(ilo), F.lit(ihi)), F.lit(i)
+        )
+    w = Window.partitionBy("_bp_iv").orderBy(*_spec_cols(order_spec))
+    ranked = (
+        rel.filter(cond)
+        .withColumn("_bp_iv", iv_expr.cast("int"))
+        .withColumn("_bp_lr", F.row_number().over(w).cast("bigint"))
+    )
+    pick_df = spark.createDataFrame(
+        picks,
+        f"{label_col} double, {rank_col} bigint, _bp_iv int, _bp_lr bigint",
+    )
+    return ranked.join(
+        F.broadcast(pick_df), ["_bp_iv", "_bp_lr"]
+    ).select(label_col, rank_col, *rel.columns)
+
 
 def global_ntile(
     rel: DataFrame,
     n_tiles: int,
-    order: Sequence[Column],
+    order: "Sequence[Column] | None" = None,
     tile_col: str = "tile",
     input_bytes: int | None = None,
     small_input_ceiling: int = SMALL_INPUT_CEILING,
+    order_spec: "Sequence[tuple[str, bool]] | None" = None,
+    bracket_accuracy: int = _BRACKET_ACCURACY,
+    max_bracket_tiles: int = 256,
 ) -> DataFrame:
     """Attach SQL-exact ``ntile(n_tiles)`` over the global ``order``.
 
@@ -89,13 +276,57 @@ def global_ntile(
     ``rel`` (``plans/spread.py::scan_bytes``) — at or under
     ``small_input_ceiling`` the plain single-task window runs instead
     (identical result; the assignment is order-determined either way).
+
+    ``order_spec`` (round 14): the same total order as ``(column_name,
+    descending)`` pairs; when given (``order`` may then be omitted) and
+    ``n_tiles <= max_bracket_tiles``, the large route takes the
+    SCAN-ONLY bracket path: the ``n_tiles - 1`` exact boundary tuples
+    are selected via :func:`_bracket_pick`, collected (bounded by the
+    tile cap), and every row's tile becomes ``1 + #boundaries sorting
+    strictly before it`` — a literal expression evaluated IN the scan
+    partitioning, zero data shuffles, feeding any downstream aggregate
+    map-side.  Falls back to the range composition whenever the
+    bracket path declines (see ``_bracket_pick``).
     """
     spark = rel.sparkSession
+    if order is None:
+        if order_spec is None:
+            raise ValueError("pass order or order_spec")
+        order = _spec_cols(order_spec)
     if input_bytes is not None and input_bytes <= small_input_ceiling:
         w = Window.orderBy(*order)
         return rel.withColumn(
             tile_col, F.ntile(n_tiles).over(w).cast("int")
         )
+    if order_spec is not None and 1 < n_tiles <= max_bracket_tiles:
+        # SQL ntile boundary ranks: with N = q*n + r, tile k ends at
+        # B_k = k*q + min(k, r) (first r tiles one row larger).
+        def _boundary_ranks(n_total: int) -> list:
+            q, r = divmod(n_total, n_tiles)
+            return [k * q + min(k, r) for k in range(1, n_tiles)]
+
+        picked = _bracket_pick(
+            rel,
+            order_spec,
+            [k / n_tiles for k in range(1, n_tiles)],
+            _boundary_ranks,
+            [float(k) for k in range(1, n_tiles)],
+            "_bnt_k",
+            "_bnt_r",
+            accuracy=bracket_accuracy,
+        )
+        if picked is not None and picked != "empty":
+            names = [n for n, _ in order_spec]
+            brows = picked.select(*names).collect()
+            ind = [
+                _after_boundary(order_spec, tuple(row[n] for n in names))
+                .cast("int")
+                for row in brows
+            ]
+            tile = F.lit(1)
+            for x in ind:
+                tile = tile + x
+            return rel.withColumn(tile_col, tile.cast("int"))
     num = int(spark.conf.get("spark.sql.shuffle.partitions"))
     local = (
         rel.repartitionByRange(num, *order)
@@ -150,13 +381,15 @@ def global_ntile(
 
 def global_quantiles(
     rel: DataFrame,
-    order: Sequence[Column],
-    fracs: Sequence[tuple[int, int]],
+    order: "Sequence[Column] | None" = None,
+    fracs: Sequence[tuple[int, int]] = (),
     label_col: str = "quantile",
     rank_col: str = "value_rank",
     input_bytes: int | None = None,
     small_input_ceiling: int = SMALL_INPUT_CEILING,
     n_rows: int | None = None,
+    order_spec: "Sequence[tuple[str, bool]] | None" = None,
+    bracket_accuracy: int = _BRACKET_ACCURACY,
 ) -> DataFrame:
     """EXACT type-1 (lower/ceil) quantiles over a total ``order``:
     for each rational fraction ``(num, den)`` return the row at global
@@ -185,8 +418,23 @@ def global_quantiles(
     no row for that fraction; an EMPTY ``fracs`` returns a typed empty
     frame (guarded explicitly — a zero-element ``F.array`` is VOID-typed
     and the struct-field extraction below would raise).
+
+    ``order_spec`` (round 14): the same total order as ``(column_name,
+    descending)`` pairs (``order`` may then be omitted); when given,
+    the large route first tries the SCAN-ONLY bracket path (module
+    comment above :func:`_bracket_pick`): exact N + sketch brackets in
+    one aggregate scan, exact verified base/interval counts in a
+    second, and the pick from a bracket-sized per-interval window — no
+    full-data exchange, no checkpoint.  Falls back to the range
+    composition whenever the bracket path declines; the selected rows
+    are identical either way (exact integer ranks decide, never the
+    sketch).
     """
     spark = rel.sparkSession
+    if order is None:
+        if order_spec is None:
+            raise ValueError("pass order or order_spec")
+        order = _spec_cols(order_spec)
     if not fracs:
         return (
             rel.withColumn(label_col, F.lit(None).cast("double"))
@@ -242,6 +490,28 @@ def global_quantiles(
         return picks.join(ranked, rank_col).select(
             label_col, rank_col, *rel.columns
         )
+    if order_spec is not None:
+        picked = _bracket_pick(
+            rel,
+            order_spec,
+            [num / den for num, den in fracs],
+            lambda n_total: [
+                (n_total * num + den - 1) // den for num, den in fracs
+            ],
+            [num / den for num, den in fracs],
+            label_col,
+            rank_col,
+            accuracy=bracket_accuracy,
+        )
+        if picked == "empty":
+            return (
+                rel.withColumn(label_col, F.lit(None).cast("double"))
+                .withColumn(rank_col, F.lit(None).cast("bigint"))
+                .select(label_col, rank_col, *rel.columns)
+                .limit(0)
+            )
+        if picked is not None:
+            return picked
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         rel.repartitionByRange(num_parts, *order)
@@ -305,16 +575,145 @@ def global_quantiles(
     return hit.select(label_col, rank_col, *rel.columns)
 
 
-def global_cumulative_cutoff(
+def _value_histogram_cutoff(
     rel: DataFrame,
-    order: Sequence[Column],
+    order_spec: "Sequence[tuple[str, bool]]",
     weight_col: str,
     fracs: Sequence[tuple[int, int]],
+    label_col: str,
+    rank_col: str,
+    cum_col: str,
+    block_ceiling: int = _BRACKET_WINDOW_CEILING,
+):
+    """Cumulative-mass cutoffs via the WEIGHT-VALUE histogram — the
+    scan-only scale path for the canonical Zipf-coverage shape where
+    the primary order column IS the integer weight column.
+
+    Shape: aggregate ``rel`` per distinct weight value v (V rows; for
+    positive-integer weights the distinct values satisfy
+    V(V+1)/2 <= W, i.e. V <= sqrt(2W) — PROVABLY sub-linear, ~1.4M
+    value rows even at W = 10^12 total occurrences), run the exclusive/
+    inclusive cumulative sums over those V rows (one bounded window),
+    locate each target's crossing VALUE v* plus its prefix totals, and
+    derive the in-block offset arithmetically: every row of the v* tie
+    block adds exactly v*, so the cutoff is the
+    ``j = ceil((target - W_before) / v*)``-th block row under the
+    tie-break order — a row_number over ONE value block, ranked only
+    for the (at most ``len(fracs)``) crossing values.
+
+    The big relation is never range-exchanged NOR checkpointed (the
+    r13 path materialized every row); it is scanned twice — once into
+    the V-row histogram, once filtered to the crossing blocks.
+
+    Returns a DataFrame, ``"empty"`` (no target in range), or None to
+    fall back (order/weight mismatch, non-integral or negative/null
+    weights, crossing block over ``block_ceiling`` rows).
+    """
+    spark = rel.sparkSession
+    primary, pdesc = order_spec[0]
+    if primary != weight_col:
+        return None
+    dt = dict(rel.dtypes).get(weight_col, "")
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        return None
+    wc = F.col(weight_col)
+    vh = (
+        rel.groupBy(weight_col)
+        .agg(F.count(F.lit(1)).alias("_vh_cnt"))
+        .localCheckpoint(eager=False)  # stats + window share ONE build
+    )
+    t0 = vh.agg(
+        F.sum(wc.cast("bigint") * F.col("_vh_cnt")).alias("_vh_W"),
+        F.sum(F.isnull(wc).cast("bigint")).alias("_vh_nullv"),
+        F.min(wc).alias("_vh_minw"),
+    ).first()
+    total_w = int(t0["_vh_W"] or 0)
+    if total_w <= 0:
+        return None  # empty or all-zero mass: range path's contract
+    if int(t0["_vh_nullv"] or 0) > 0:
+        return None
+    if t0["_vh_minw"] is not None and int(t0["_vh_minw"]) < 0:
+        return None
+    targets = []  # (label, t)
+    for num, den in fracs:
+        t = (total_w * num + den - 1) // den
+        if 1 <= t <= total_w:
+            targets.append((num / den, t))
+    if not targets:
+        return "empty"
+    wv = Window.orderBy(wc.desc() if pdesc else wc.asc())
+    run = (
+        vh.withColumn(
+            "_vh_wt", wc.cast("bigint") * F.col("_vh_cnt")
+        )
+        .withColumn(
+            "_vh_cum",
+            F.sum("_vh_wt").over(
+                wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_vh_cumn",
+            F.sum("_vh_cnt").over(
+                wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    cross_cond = None
+    for _, t in targets:
+        cc = (F.col("_vh_cum") >= F.lit(t)) & (
+            F.col("_vh_cum") - F.col("_vh_wt") < F.lit(t)
+        )
+        cross_cond = cc if cross_cond is None else (cross_cond | cc)
+    crossing = run.filter(cross_cond).collect()  # <= len(fracs) rows
+    picks = []
+    for label, t in targets:
+        row = next(
+            r
+            for r in crossing
+            if r["_vh_cum"] >= t > r["_vh_cum"] - r["_vh_wt"]
+        )
+        v_star = int(row[weight_col])
+        cnt = int(row["_vh_cnt"])
+        if cnt > block_ceiling:
+            return None
+        w_before = int(row["_vh_cum"]) - int(row["_vh_wt"])
+        n_before = int(row["_vh_cumn"]) - cnt
+        j = (t - w_before + v_star - 1) // v_star
+        picks.append(
+            (
+                float(label),
+                int(n_before + j),
+                int(w_before + j * v_star),
+                v_star,
+                int(j),
+            )
+        )
+    wb = Window.partitionBy(weight_col).orderBy(*_spec_cols(order_spec))
+    ranked = rel.filter(
+        wc.isin([p[3] for p in picks])
+    ).withColumn("_vh_j", F.row_number().over(wb).cast("bigint"))
+    pick_df = spark.createDataFrame(
+        picks,
+        f"{label_col} double, {rank_col} bigint, {cum_col} bigint, "
+        f"{weight_col} {dt}, _vh_j bigint",
+    )
+    return ranked.join(
+        F.broadcast(pick_df), [weight_col, "_vh_j"]
+    ).select(label_col, rank_col, cum_col, *rel.columns)
+
+
+def global_cumulative_cutoff(
+    rel: DataFrame,
+    order: "Sequence[Column] | None" = None,
+    weight_col: str = "",
+    fracs: Sequence[tuple[int, int]] = (),
     label_col: str = "coverage",
     rank_col: str = "cutoff_rank",
     cum_col: str = "cum_weight",
     input_bytes: int | None = None,
     small_input_ceiling: int = SMALL_INPUT_CEILING,
+    order_spec: "Sequence[tuple[str, bool]] | None" = None,
 ) -> DataFrame:
     """Cumulative-mass cutoffs over a total ``order``: for each rational
     fraction ``(num, den)`` return the FIRST row (in order) at which the
@@ -350,8 +749,21 @@ def global_cumulative_cutoff(
     rows, none of the checkpoint/collect fixed cost).  An EMPTY
     ``fracs`` returns a typed empty frame (guarded — a zero-element
     ``F.array`` is VOID-typed and the extraction below would raise).
+
+    ``order_spec`` (round 14): the same total order as ``(column_name,
+    descending)`` pairs (``order`` may then be omitted); when given
+    and the primary order column IS ``weight_col`` (the canonical
+    Zipf-coverage shape), the large route first tries the scan-only
+    value-histogram path (:func:`_value_histogram_cutoff`) — the big
+    relation is never exchanged nor checkpointed.  Falls back here
+    whenever that path declines; the cutoff rows are identical either
+    way (integer thresholds decide on exact cumulative sums in both).
     """
     spark = rel.sparkSession
+    if order is None:
+        if order_spec is None:
+            raise ValueError("pass order or order_spec")
+        order = _spec_cols(order_spec)
     if not fracs:
         return (
             rel.withColumn(label_col, F.lit(None).cast("double"))
@@ -395,6 +807,21 @@ def global_cumulative_cutoff(
             & (F.col(cum_col) - F.col(weight_col) < F.col("_gcc_t")),
         )
         return hit.select(label_col, rank_col, cum_col, *rel.columns)
+    if order_spec is not None:
+        vh = _value_histogram_cutoff(
+            rel, order_spec, weight_col, fracs, label_col, rank_col,
+            cum_col,
+        )
+        if vh == "empty":
+            return (
+                rel.withColumn(label_col, F.lit(None).cast("double"))
+                .withColumn(rank_col, F.lit(None).cast("bigint"))
+                .withColumn(cum_col, F.lit(None).cast("bigint"))
+                .select(label_col, rank_col, cum_col, *rel.columns)
+                .limit(0)
+            )
+        if vh is not None:
+            return vh
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         rel.repartitionByRange(num_parts, *order)

@@ -381,6 +381,13 @@ def lm_perplexity(
     from ..plans.spread import scan_bytes
     from .ranks import global_ntile
 
+    # NOTE: stays on the range-composition large route (no order_spec):
+    # the score relation is DERIVED and expensive (the bigram
+    # contingency lineage), so the r14 bracket path's three aggregate
+    # scans would re-execute it — the range path's single checkpoint
+    # materializes it once, which is the right trade for non-source
+    # inputs (the bracket path is for source-backed relations whose
+    # re-scan is a column-pruned parquet read).
     return global_ntile(
         lm_doc_scores(docs, id_col, text_col, max_tokens),
         10,

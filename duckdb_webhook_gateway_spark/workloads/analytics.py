@@ -727,9 +727,13 @@ def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_ntile(
             orders,
             4,
-            [F.desc("o_totalprice"), F.asc("o_orderkey")],
             tile_col="quartile",
             input_bytes=scan_bytes(base),
+            # r14: order as a spec unlocks the scan-only bracket large
+            # route (boundary tuples via verified sketch brackets, tile
+            # from literal comparisons — zero data shuffles before the
+            # quartile aggregate)
+            order_spec=[("o_totalprice", True), ("o_orderkey", False)],
         )
         .groupBy("quartile")
         .agg(
@@ -785,10 +789,11 @@ def orders_price_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         global_quantiles(
             orders,
-            [F.asc("o_totalprice"), F.asc("o_orderkey")],
-            [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+            fracs=[(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
             input_bytes=scan_bytes(base),
             n_rows=n_rows,
+            # r14: spec form -> scan-only bracket large route
+            order_spec=[("o_totalprice", False), ("o_orderkey", False)],
         )
         .select(
             "quantile",

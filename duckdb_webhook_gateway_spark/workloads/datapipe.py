@@ -935,13 +935,16 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = freq.localCheckpoint(eager=False)
     return global_cumulative_cutoff(
         freq,
-        [F.desc("n_occurrences"), F.asc("token")],
-        "n_occurrences",
-        [(1, 2), (9, 10), (99, 100)],
+        weight_col="n_occurrences",
+        fracs=[(1, 2), (9, 10), (99, 100)],
         label_col="coverage",
         rank_col="cutoff_rank",
         cum_col="cum_weight",
         input_bytes=scan_bytes(docs),
+        # r14: primary == weight unlocks the value-histogram large
+        # route (V <= sqrt(2W) value rows; freq never exchanged or
+        # checkpointed past its groupBy)
+        order_spec=[("n_occurrences", True), ("token", False)],
     ).orderBy("coverage")
 
 

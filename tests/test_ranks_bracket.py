@@ -1,0 +1,292 @@
+"""Round-14 scan-only large routes in operators/ranks.py: the bracket
+path (global_ntile / global_quantiles via verified percentile_approx
+brackets) and the value-histogram path (global_cumulative_cutoff).
+
+Contracts pinned here:
+- value identity with the single-task reference on tie-heavy, descending,
+  tiny, and non-divisible corpora (the sketch only aims the engine; exact
+  integer ranks and exact counts decide);
+- graceful fallback to the range composition (never a wrong answer) for
+  non-numeric or nullable primaries and over-ceiling brackets;
+- plan shape: the ntile bracket route adds ZERO exchanges to the data
+  pass, and neither bracket route materializes a checkpoint of the data.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_webhook_gateway_spark.operators.ranks import (
+    global_cumulative_cutoff,
+    global_ntile,
+    global_quantiles,
+)
+
+SPEC = [("v", True), ("id", False)]  # desc value, asc id
+SPEC_ASC = [("v", False), ("id", False)]
+
+
+def _ntile_ref(spark, rows, n_tiles):
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    return {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+
+
+@pytest.mark.parametrize("seed,n,n_tiles", [
+    (7, 200, 4),
+    (11, 199, 4),    # non-divisible: first 3 tiles one larger
+    (13, 1000, 10),
+    (17, 3, 10),     # n < tiles: duplicate boundary ranks
+    (19, 1, 4),
+    (29, 400, 7),
+])
+def test_ntile_bracket_matches_reference(spark, seed, n, n_tiles):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.random() * 10, 1)) for i in range(n)]  # dup v
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = global_ntile(
+        df, n_tiles, tile_col="t", input_bytes=1 << 40, order_spec=SPEC
+    )
+    assert {r["id"]: r["t"] for r in out.collect()} == _ntile_ref(
+        spark, rows, n_tiles
+    )
+
+
+def test_ntile_bracket_constant_key(spark):
+    # constant primary: one interval holds every row — still exact via
+    # the tie-break window (and bounded by the ceiling check)
+    rows = [(i, 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = global_ntile(
+        df, 4, tile_col="t", input_bytes=1 << 40, order_spec=SPEC
+    )
+    assert {r["id"]: r["t"] for r in out.collect()} == _ntile_ref(
+        spark, rows, 4
+    )
+
+
+def test_ntile_bracket_zero_exchanges_in_data_pass(spark, tmp_path):
+    rows = [(i, float(i % 97)) for i in range(3000)]
+    src = str(tmp_path / "ntile_src.parquet")
+    spark.createDataFrame(rows, "id bigint, v double").write.parquet(src)
+    df = spark.read.parquet(src)
+    out = global_ntile(
+        df, 4, tile_col="t", input_bytes=1 << 40, order_spec=SPEC
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the returned frame is the file scan plus literal comparisons: no
+    # exchange, no window, no checkpoint scan anywhere in the data pass
+    assert "Exchange" not in plan, plan
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "Scan parquet" in plan, plan
+
+
+def _q_ref(spark, rows, fracs, desc=False):
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+    ranked = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order))
+    ).collect()
+    n = len(ranked)
+    by_rank = {r["rnk"]: (r["id"], r["v"]) for r in ranked}
+    out = set()
+    for num, den in fracs:
+        r = (n * num + den - 1) // den
+        if 1 <= r <= n:
+            out.add((num / den, r, *by_rank[r]))
+    return out
+
+
+@pytest.mark.parametrize("seed,n,desc", [
+    (3, 500, False),
+    (5, 37, False),
+    (7, 1, False),
+    (31, 500, True),   # descending primary: percentile-space mapping
+    (37, 244, True),
+])
+def test_quantiles_bracket_matches_reference(spark, seed, n, desc):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.random() * 7, 1)) for i in range(n)]
+    fracs = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    spec = [("v", desc), ("id", False)]
+    got = {
+        (r["quantile"], r["value_rank"], r["id"], r["v"])
+        for r in global_quantiles(
+            spark.createDataFrame(rows, "id bigint, v double"),
+            fracs=fracs,
+            input_bytes=1 << 40,
+            order_spec=spec,
+        ).collect()
+    }
+    assert got == _q_ref(spark, rows, fracs, desc=desc), (seed, n, desc)
+
+
+def test_quantiles_bracket_no_checkpoint_no_range_exchange(spark, tmp_path):
+    rows = [(i, float(i)) for i in range(2000)]
+    src = str(tmp_path / "q_src.parquet")
+    spark.createDataFrame(rows, "id bigint, v double").write.parquet(src)
+    df = spark.read.parquet(src)
+    out = global_quantiles(
+        df, fracs=[(1, 2), (9, 10)], input_bytes=1 << 40, order_spec=SPEC_ASC
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    # the only ExistingRDD scan allowed is the <= len(fracs)-row pick
+    # literal relation (broadcast side) — never a checkpoint of data
+    rdd_scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    assert all("_bp_lr" in s for s in rdd_scans), plan
+    # the data pass reads the file with the bracket filter PUSHED DOWN
+    assert "PushedFilters: [Or(And(GreaterThanOrEqual" in plan, plan
+    rows_out = {(r["quantile"], r["value_rank"]) for r in out.collect()}
+    assert rows_out == {(0.5, 1000), (0.9, 1800)}
+
+
+def test_quantiles_bracket_falls_back_on_nulls(spark):
+    # a NULL primary breaks the rank arithmetic the brackets assume —
+    # the bracket path must decline and the range path answer stand
+    rows = [(i, float(i)) for i in range(50)] + [(50, None)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = global_quantiles(
+        df, fracs=[(1, 2)], input_bytes=1 << 40, order_spec=SPEC_ASC
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # range path's checkpoint
+    assert out.count() == 1
+
+
+def test_quantiles_bracket_falls_back_on_nonnumeric(spark):
+    df = spark.createDataFrame(
+        [(i, chr(65 + i % 26)) for i in range(40)], "id bigint, v string"
+    )
+    out = global_quantiles(
+        df, fracs=[(1, 2)], input_bytes=1 << 40, order_spec=SPEC_ASC
+    )
+    got = out.collect()
+    assert len(got) == 1 and got[0]["value_rank"] == 20
+
+
+def test_quantiles_bracket_falls_back_on_tiny_window_ceiling(spark):
+    # force the over-ceiling branch: every bracket is bigger than 1 row
+    rows = [(i, 1.0) for i in range(100)]  # constant: one giant interval
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    from duckdb_webhook_gateway_spark.operators import ranks
+
+    old = ranks._BRACKET_WINDOW_CEILING
+    ranks._BRACKET_WINDOW_CEILING = 10
+    try:
+        out = global_quantiles(
+            df, fracs=[(1, 2)], input_bytes=1 << 40, order_spec=SPEC_ASC
+        )
+        got = out.collect()
+    finally:
+        ranks._BRACKET_WINDOW_CEILING = old
+    assert len(got) == 1 and got[0]["value_rank"] == 50
+
+
+def test_quantiles_bracket_empty_fracs_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    out = global_quantiles(
+        df, fracs=[(2, 1)], input_bytes=1 << 40, order_spec=SPEC_ASC
+    )  # rank 20 > N -> typed empty
+    assert out.count() == 0
+    assert out.columns == ["quantile", "value_rank", "id", "v"]
+
+
+# -- cumulative cutoff: value-histogram route -------------------------------
+
+
+def _c_ref(rows, fracs):
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(w for _, w in ordered)
+    out = set()
+    for num, den in fracs:
+        t = (total * num + den - 1) // den
+        if not (0 < t <= total):
+            continue
+        cum = 0
+        for rank, (i, w) in enumerate(ordered, start=1):
+            cum += w
+            if cum >= t:
+                out.add((num / den, rank, cum, i, w))
+                break
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(101, 300), (103, 12), (107, 1), (109, 2000)])
+def test_value_histogram_cutoff_matches_reference(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(0, 9)) for i in range(n)]  # zeros included
+    if all(w == 0 for _, w in rows):
+        rows[0] = (0, 5)
+    fracs = [(1, 2), (9, 10), (99, 100), (1, 1)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {
+        (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"], r["w"])
+        for r in global_cumulative_cutoff(
+            df,
+            weight_col="w",
+            fracs=fracs,
+            input_bytes=1 << 40,
+            order_spec=[("w", True), ("id", False)],
+        ).collect()
+    }
+    assert got == _c_ref(rows, fracs), (seed, n)
+
+
+def test_value_histogram_never_checkpoints_the_relation(spark):
+    rng = random.Random(127)
+    rows = [(i, rng.randrange(1, 40)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    out = global_cumulative_cutoff(
+        df,
+        weight_col="w",
+        fracs=[(1, 2), (9, 10)],
+        input_bytes=1 << 40,
+        order_spec=[("w", True), ("id", False)],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the histogram checkpoint is V rows; the DATA side of the final
+    # join must come straight from the source, not a checkpoint of it
+    assert "rangepartitioning" not in plan.lower(), plan
+    # every window keys on the crossing weight value (bounded blocks)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "w#" in spec, spec
+
+
+def test_value_histogram_falls_back_when_primary_is_not_weight(spark):
+    # order primary != weight col: the constant-per-block arithmetic
+    # doesn't apply; must take the range path and still be right
+    rows = [(i, 5 - (i % 5), (i * 7) % 11 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, w bigint")
+    out = global_cumulative_cutoff(
+        df,
+        weight_col="w",
+        fracs=[(1, 2)],
+        input_bytes=1 << 40,
+        order_spec=[("v", True), ("id", False)],
+    )
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(w for _, _, w in ordered)
+    t = (total + 1) // 2
+    cum = 0
+    for rank, (i, v, w) in enumerate(ordered, start=1):
+        cum += w
+        if cum >= t:
+            expect = (rank, cum, i)
+            break
+    got = out.collect()
+    assert len(got) == 1
+    assert (
+        got[0]["cutoff_rank"], got[0]["cum_weight"], got[0]["id"]
+    ) == expect
