@@ -162,6 +162,19 @@ def _bracket_pick(
     when no target rank is in ``[1, N]``, or None when the caller must
     fall back to the range composition (non-numeric/nullable primary,
     empty input, bracket verification failure, oversized bracket).
+
+    PRECONDITION: ``rel`` must be re-execution-DETERMINISTIC — the
+    sketch, count and pick passes each re-read it, and the exact
+    counts of one pass must describe the rows of the next (true for
+    any source-backed or deterministic derived relation; a
+    nondeterministic lineage — sampling, rand() — belongs on the range
+    composition, whose checkpoint pins one materialization).  NULL or
+    NaN primaries fall back outright: both break the value-interval
+    rank arithmetic (Spark orders NaN greatest but the sketch can
+    emit NaN bounds, and interval merging on NaN comparisons is
+    undefined — probed: a 0.99 target over a 10%-NaN column returned
+    NaN brackets), and the range composition handles them under its
+    own ordering contract.
     """
     spark = rel.sparkSession
     primary, pdesc = order_spec[0]
@@ -177,9 +190,12 @@ def _bracket_pick(
         ap = min(1.0, max(0.0, 1.0 - p if pdesc else p))
         qprobs.append(max(0.0, ap - slack))
         qprobs.append(min(1.0, ap + slack))
+    bad = F.isnull(c)
+    if dt in ("float", "double"):
+        bad = bad | F.isnan(c)
     stats = rel.agg(
         F.count(F.lit(1)).alias("_bp_n"),
-        F.sum(F.isnull(c).cast("bigint")).alias("_bp_nulls"),
+        F.sum(bad.cast("bigint")).alias("_bp_nulls"),
         F.percentile_approx(c, qprobs, accuracy).alias("_bp_vals"),
     ).first()
     n_total = int(stats["_bp_n"] or 0)

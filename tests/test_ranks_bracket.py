@@ -163,6 +163,26 @@ def test_quantiles_bracket_falls_back_on_nulls(spark):
     assert out.count() == 1
 
 
+def test_quantiles_bracket_falls_back_on_nan(spark):
+    # probed during review: percentile_approx over a 10%-NaN column
+    # returns NaN bracket bounds for high quantiles, and interval
+    # merging on NaN comparisons raised instead of falling back — any
+    # NaN primary must decline to the range path (which orders NaN
+    # greatest, matching the plain window)
+    rows = [(i, float(i)) for i in range(90)] + [
+        (90 + j, float("nan")) for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = global_quantiles(
+        df,
+        fracs=[(1, 2), (99, 100)],
+        input_bytes=1 << 40,
+        order_spec=SPEC_ASC,
+    )
+    got = sorted((r["quantile"], r["value_rank"], r["id"]) for r in out.collect())
+    assert got == [(0.5, 50, 49), (0.99, 99, 98)]
+
+
 def test_quantiles_bracket_falls_back_on_nonnumeric(spark):
     df = spark.createDataFrame(
         [(i, chr(65 + i % 26)) for i in range(40)], "id bigint, v string"
