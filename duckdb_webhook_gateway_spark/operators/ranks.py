@@ -264,7 +264,10 @@ def _bracket_pick(
         .withColumn("_bp_iv", iv_expr.cast("int"))
         .withColumn("_bp_lr", F.row_number().over(w).cast("bigint"))
     )
-    pick_df = spark.createDataFrame(
+    from ..plans.localrel import local_df
+
+    pick_df = local_df(
+        spark,
         picks,
         f"{label_col} double, {rank_col} bigint, _bp_iv int, _bp_lr bigint",
     )
@@ -477,8 +480,10 @@ def global_quantiles(
                     .select(label_col, rank_col, *rel.columns)
                     .limit(0)
                 )
-            pick_df = spark.createDataFrame(
-                lits, f"{label_col} double, {rank_col} bigint"
+            from ..plans.localrel import local_df
+
+            pick_df = local_df(
+                spark, lits, f"{label_col} double, {rank_col} bigint"
             )
             return (
                 ranked.join(
@@ -709,7 +714,10 @@ def _value_histogram_cutoff(
     ranked = rel.filter(
         wc.isin([p[3] for p in picks])
     ).withColumn("_vh_j", F.row_number().over(wb).cast("bigint"))
-    pick_df = spark.createDataFrame(
+    from ..plans.localrel import local_df
+
+    pick_df = local_df(
+        spark,
         picks,
         f"{label_col} double, {rank_col} bigint, {cum_col} bigint, "
         f"{weight_col} {dt}, _vh_j bigint",

@@ -1821,7 +1821,12 @@ def pq_train(
         cb = new_cb
 
     flat = cb.reshape(kc, dim)
-    return spark.createDataFrame(
+    # Arrow-local codebook (plans/localrel.py): every scoring job that
+    # broadcasts this relation otherwise pays a Python-runner scan
+    from ..plans.localrel import local_df
+
+    return local_df(
+        spark,
         [(int(c), [float(x) for x in flat[c]]) for c in range(kc)],
         f"code_id int, {vec_col} array<double>",
     )
@@ -2481,7 +2486,13 @@ def ivf_layout_write(
     # the writer's centroids (any index's contract), so they live under
     # the layout itself in an underscore directory (ignored by Spark's
     # partition discovery, like _metadata) instead of in callers' hands.
-    spark.createDataFrame(
+    # Arrow-local relation (plans/localrel.py): the pickled-list form
+    # made this 16-row sidecar write a 4-second job (Python-runner
+    # round trip); LocalTableScan writes it in ~0.16 s.
+    from ..plans.localrel import local_df
+
+    local_df(
+        spark,
         [
             (int(i), [float(x) for x in c_mat[pos]])
             for pos, i in enumerate(c_ids)

@@ -50,21 +50,29 @@ from . import analytics, datapipe  # noqa: E402
 _WINDOW_ROUND = 14
 # Round-14 _CHECK_FIRST is EXACTLY
 # tools/rotation.prioritized_dues()[:50] for the r14 history
-# (CORRECTNESS_r1..r13 on disk; no new _PLAN_CHANGED_ROUND voids):
-#   (0) the 3 ceiling-forced clock-r10 dues (training_order_manifest,
+# (CORRECTNESS_r1..r13 on disk + the r14 _PLAN_CHANGED_ROUND voids):
+#   (0) the 5 r14 plan-changed entries, clock 0 (Arrow-local literal
+#       relations, see _PLAN_CHANGED_ROUND — certifications voided,
+#       may never defer);
+#   (a) the 3 ceiling-forced clock-r10 dues (training_order_manifest,
 #       vocab_oov_rate, weighted_sample_topk — deferred r13 under the
 #       least-stale tier, now at the unconditional 4-round HARD_CEILING
 #       and may not defer again);
-#   (a) all 8 never-certified late-r11 registrations (doc_cdc_chunks,
+#   (b) all 8 never-certified late-r11 registrations (doc_cdc_chunks,
 #       doc_cdc_dup_chunks, doc_winnow_pairs, embedding_hard_negatives,
 #       embedding_pca_topdir, part_communities_lpa,
 #       streaming_dedup_events, streaming_user_sessions) — lead the
 #       clock-r11 block via the never-certified-first tie-break (first
 #       evidence beats a third confirmation); after r14 zero
 #       never-certified entries remain;
-#   (b) 39 of the clock-r11 dues, stalest block first (alphabetical
-#       within the block).
-# The tail (_CHECK_LAST) is the round-13-certified block (due r16).
+#   (c) 34 of the clock-r11 dues, stalest block first (alphabetical
+#       within the block); the four displaced least-stale clock-r11
+#       dues (source_ngram_novelty, split_contamination,
+#       stratified_sample, substring_dup_spans_sa) defer to r15,
+#       ceiling-checked (ann_pq_trained_topk's void displaced nothing —
+#       it already held a window slot).
+# The tail (_CHECK_LAST) is the round-13-certified block (due r16)
+# minus the two pulled forward by their r14 plan changes.
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
 # not this comment).
@@ -108,6 +116,21 @@ _REGISTERED_ROUND = {
 # validates names and rounds, and the window invariant then forces the
 # re-certification through the next driver run.
 _PLAN_CHANGED_ROUND = {
+    # r14: tiny literal relations (rank-pick broadcast sides, quantile
+    # label tables, source-pair tables, PQ codebooks, the IVF layout's
+    # 16-row _quantizer sidecar) moved from pickled-list
+    # createDataFrame (a Python-RDD scan per consuming job — measured
+    # 4.05 s for the sidecar WRITE alone, ~0.3-0.4 s per job
+    # otherwise) to Arrow-backed LocalTableScan via plans/localrel.py.
+    # Values identical (same rows, same joins); the physical scan node
+    # changed in these five certified plans, so re-certify:
+    # (value_quantile_sketch's r14 entry lives below, replacing its
+    # r13 one — a duplicate key in this literal would silently lose
+    # whichever comes first)
+    "orders_price_exact_quantiles": 14,
+    "cross_source_overlap": 14,
+    "ann_ivf_pruned_topk": 14,
+    "ann_pq_trained_topk": 14,
     # r13 (ADVICE r12): the q8 family's FINAL-SCORE rounding moved from
     # numpy banker's to the oracle's half-away-from-zero — the same
     # copysign(floor(abs+0.5)) the quantization levels already used —
@@ -126,9 +149,10 @@ _PLAN_CHANGED_ROUND = {
     # k-th order statistic THROUGH the bin histogram (sort window over
     # one bin's rows per pick) instead of a per-type sort window over
     # every event row — the 6.2x-at-sf1 hazard the r12 verdict flagged
-    # as a stale measure.  Values identical (order statistic is
-    # value-deterministic under ties); plan changed, re-certify:
-    "value_quantile_sketch": 13,
+    # as a stale measure.  r14: its qname/q label table additionally
+    # moved to the Arrow-local form (the r14 batch above) — bumped to
+    # 14 here rather than duplicated above:
+    "value_quantile_sketch": 14,
     # r13: the Misra-Gries candidate pass vectorized (mg_update_batch —
     # the mergeable-summaries construction at C speed; the per-token
     # Python loop was ~1.35 s of 3.19 s at sf1).  Same superset
@@ -145,14 +169,24 @@ _PLAN_CHANGED_ROUND = {
 }
 
 _CHECK_FIRST = (
-    # (0) ceiling-forced clock-r10 trio (4-round HARD_CEILING, may not
-    # defer)
+    # (0) the five r14 plan-changed entries (Arrow-local literal
+    # relations — certifications voided, may never defer)
+    # (a) the 3 ceiling-forced clock-r10 dues (4-round HARD_CEILING)
+    # (b) the 8 never-certified late-r11 registrations — first
+    # certification leads the clock-r11 block
+    # (c) 34 clock-r11 dues, stalest-first (alphabetical within block;
+    # source_ngram_novelty, split_contamination, stratified_sample and
+    # substring_dup_spans_sa displaced to r15 by the four NET new
+    # clock-0 entries — ann_pq_trained_topk was already in the window —
+    # ceiling-checked)
+    "ann_ivf_pruned_topk",
+    "ann_pq_trained_topk",
+    "cross_source_overlap",
+    "orders_price_exact_quantiles",
+    "value_quantile_sketch",
     "training_order_manifest",
     "vocab_oov_rate",
     "weighted_sample_topk",
-    # (a) the 8 never-certified late-r11 registrations — first
-    # certification; never-certified-first tie-break leads the
-    # clock-r11 block
     "doc_cdc_chunks",
     "doc_cdc_dup_chunks",
     "doc_winnow_pairs",
@@ -161,11 +195,9 @@ _CHECK_FIRST = (
     "part_communities_lpa",
     "streaming_dedup_events",
     "streaming_user_sessions",
-    # (b) 39 clock-r11 dues, stalest-first (alphabetical within block)
     "ann_cosine_topk",
     "ann_ivf_recall",
     "ann_ivf_topk",
-    "ann_pq_trained_topk",
     "corpus_top_bigrams",
     "customers_with_urgent_orders",
     "customers_without_orders",
@@ -197,10 +229,6 @@ _CHECK_FIRST = (
     "q1_pricing_summary",
     "region_status_grouping_sets",
     "salted_join_orders",
-    "source_ngram_novelty",
-    "split_contamination",
-    "stratified_sample",
-    "substring_dup_spans_sa",
 )
 # Queries certified in round 13 — rotate to the unchecked tail (due
 # r16); the parity suite still covers them at sf0.1 every round.
@@ -212,7 +240,6 @@ _CHECK_LAST = (
     "ann_rerank_topk",
     "corpus_pmi_pairs",
     "corpus_zipf_stats",
-    "cross_source_overlap",
     "customer_functional_deps",
     "dedup_incremental",
     "dedup_simhash",
@@ -254,7 +281,6 @@ _CHECK_LAST = (
     "substring_dup_spans",
     "token_freq_cm_sketch",
     "token_heavy_hitters",
-    "value_quantile_sketch",
 )
 
 def all_entries() -> dict[str, Entry]:

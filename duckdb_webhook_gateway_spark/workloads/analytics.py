@@ -1509,8 +1509,12 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = binned.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
         "cum_prev", F.col("cum") - F.col("cnt")
     )
-    qdf = spark.createDataFrame(
-        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "qname string, q double"
+    from ..plans.localrel import local_df
+
+    qdf = local_df(
+        spark,
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        "qname string, q double",
     )
     # ONE consumer chain: the selected bin rows carry target/est THROUGH
     # the exact-pick probe, so the probe's result IS the output row —

@@ -5043,8 +5043,12 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn", "cnt")
     )
 
-    pairs = spark.createDataFrame(
-        [(a, b) for a in SRCS for b in SRCS if a < b], "sa string, sb string"
+    from ..plans.localrel import local_df
+
+    pairs = local_df(
+        spark,
+        [(a, b) for a in SRCS for b in SRCS if a < b],
+        "sa string, sb string",
     )
     ea = pairs.join(
         sk.withColumnRenamed("source", "sa"), "sa"
