@@ -59,8 +59,10 @@ def _register_sqlite_master(spark: SparkSession) -> None:
         }
     )
     rows = [("table", n, n, f"CREATE TABLE {n}") for n in names]
-    spark.createDataFrame(
-        rows, "type string, name string, tbl_name string, sql string"
+    from ..plans.localrel import local_df
+
+    local_df(
+        spark, rows, "type string, name string, tbl_name string, sql string"
     ).createOrReplaceTempView("sqlite_master")
 
 

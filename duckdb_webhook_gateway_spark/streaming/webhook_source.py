@@ -940,8 +940,10 @@ class StreamingGateway:
                 for i, (url, payload) in pending
             ]
             nparts = max(1, min(64, len(delivery_rows) // 8))
-            sdf = self.spark.createDataFrame(
-                delivery_rows, "idx INT, url STRING, payload STRING"
+            from ..plans.localrel import local_df
+
+            sdf = local_df(
+                self.spark, delivery_rows, "idx INT, url STRING, payload STRING"
             ).repartition(nparts)
 
             def _post(batches):
