@@ -152,20 +152,14 @@ class TableStore:
             return []
 
     def _catalog_df(self, name: str) -> DataFrame:
-        # Arrow-local relation (plans/localrel.py rationale): the
-        # pickled-list form put a Python-RDD scan — one Python-worker
-        # round trip per job — into EVERY query that touches a catalog
-        # view; pandas/Arrow yields a JVM-local LocalTableScan.  Rows
-        # are full dicts by construction (parquet asDict or the typed
-        # constructors), so column alignment is by name.
-        rows = self._catalog[name]
-        if not rows:
-            return self.spark.createDataFrame([], SCHEMAS[name])
-        import pandas as pd
+        # Arrow-local relation (plans/localrel.py): the pickled-list
+        # form put a Python-RDD scan — one Python-worker round trip
+        # per job — into EVERY query that touches a catalog view.
+        # Rows are full dicts by construction (parquet asDict or the
+        # typed constructors), aligned by field name.
+        from ..plans.localrel import local_df
 
-        schema = SCHEMAS[name]
-        pdf = pd.DataFrame.from_records(rows, columns=schema.fieldNames())
-        return self.spark.createDataFrame(pdf, schema)
+        return local_df(self.spark, self._catalog[name], SCHEMAS[name])
 
     def _register_catalog_view(self, name: str) -> None:
         self._catalog_df(name).createOrReplaceTempView(name)

@@ -626,6 +626,16 @@ def _value_histogram_cutoff(
     r13 path materialized every row); it is scanned twice — once into
     the V-row histogram, once filtered to the crossing blocks.
 
+    PRECONDITION (same as :func:`_bracket_pick`, review fix r14):
+    ``rel`` must be re-execution-DETERMINISTIC — the histogram's
+    cumulative sums from the first scan must describe the rows the
+    block-pick scan reads, or the join silently returns a wrong or
+    missing cutoff row.  Nondeterministic lineage (sampling, rand())
+    belongs on the range composition, whose eager checkpoint pins one
+    materialization.  (The registered caller passes a lazily
+    checkpointed frequency relation — deterministic after its first
+    materialization.)
+
     Returns a DataFrame, ``"empty"`` (no target in range), or None to
     fall back (order/weight mismatch, non-integral or negative/null
     weights, crossing block over ``block_ceiling`` rows).
@@ -780,8 +790,12 @@ def global_cumulative_cutoff(
     Zipf-coverage shape), the large route first tries the scan-only
     value-histogram path (:func:`_value_histogram_cutoff`) — the big
     relation is never exchanged nor checkpointed.  Falls back here
-    whenever that path declines; the cutoff rows are identical either
-    way (integer thresholds decide on exact cumulative sums in both).
+    whenever that path declines; for re-execution-deterministic
+    relations (the histogram path's documented precondition) the
+    cutoff rows are identical either way (integer thresholds decide
+    on exact cumulative sums in both); nondeterministic lineage must
+    NOT pass ``order_spec`` — only this route's checkpoint pins one
+    materialization.
     """
     spark = rel.sparkSession
     if order is None:

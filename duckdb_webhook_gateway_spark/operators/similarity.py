@@ -366,11 +366,18 @@ def _resolve_planes(vectors: DataFrame, planes_per_table) -> int:
     """Resolve a ``planes_per_table`` knob: explicit int, or ``"auto"``.
 
     ``"auto"`` sizes from the corpus cardinality — parquet footer
-    metadata when the frame is a plain local parquet scan (driver-side,
-    no job; pre-filter upper bound, the safe direction for sizing), a
-    one-off ``count()`` job otherwise.  Registered oracle-replayable
-    queries keep explicit ints so the DuckDB oracle can rebuild the
-    identical tables without engine metadata.
+    metadata ONLY when the frame is a bare scan+project of its files
+    (``plans/spread.py::plan_preserves_scan_rows``), a one-off
+    ``count()`` job otherwise.  The gate matters for RECALL, not just
+    cost (review fix r14): ``inputFiles()`` survives filters, so a
+    filtered corpus would report its pre-filter footer count, and an
+    OVER-estimated N over-widens the hash — near-threshold pairs stop
+    colliding and the query silently returns fewer pairs, with no
+    verification step to catch it (unlike the ranks bracket path).
+    Under-estimation merely costs time; over-estimation costs answers,
+    so anything but a bare scan pays the count.  Registered
+    oracle-replayable queries keep explicit ints so the DuckDB oracle
+    can rebuild the identical tables without engine metadata.
     """
     if isinstance(planes_per_table, int):
         return planes_per_table
@@ -379,9 +386,9 @@ def _resolve_planes(vectors: DataFrame, planes_per_table) -> int:
             "planes_per_table must be an int or 'auto', got "
             f"{planes_per_table!r}"
         )
-    from ..plans.spread import scan_rows
+    from ..plans.spread import plan_preserves_scan_rows, scan_rows
 
-    n = scan_rows(vectors)
+    n = scan_rows(vectors) if plan_preserves_scan_rows(vectors) else None
     if n is None:
         n = vectors.count()
     return auto_planes_per_table(n)

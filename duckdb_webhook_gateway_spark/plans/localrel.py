@@ -22,18 +22,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``createDataFrame(rows, schema)`` that yields a LocalTableScan.
 
-    ``schema`` is a DDL string ("a bigint, b array<double>"); empty
-    ``rows`` take the plain empty-relation path (no scan either way).
+    ``schema`` is a DDL string ("a bigint, b array<double>") or a
+    ``StructType``; ``rows`` are tuples (positional) or dicts (aligned
+    by field name — missing keys surface as nulls via pandas, so only
+    nullable fields may be absent).  Empty ``rows`` take the plain
+    empty-relation path (no scan either way).
     """
+    rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd
 
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
-    st = _parse_datatype_string(schema)
-    pdf = pd.DataFrame(list(rows), columns=st.fieldNames())
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string(schema)
+    )
+    names = st.fieldNames()
+    if isinstance(rows[0], dict):
+        pdf = pd.DataFrame.from_records(rows, columns=names)
+    else:
+        pdf = pd.DataFrame(rows, columns=names)
     return spark.createDataFrame(pdf, st)

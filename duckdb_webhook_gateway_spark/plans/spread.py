@@ -91,17 +91,59 @@ def spread(
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+def plan_preserves_scan_rows(df: DataFrame) -> bool:
+    """True iff ``df``'s optimized logical plan is just scan+project —
+    i.e. its row count EQUALS the source files' footer row count.
+
+    Whitelist, not blacklist: any node other than a projection over the
+    relation (filters, joins, aggregates, limits, samples, generators)
+    changes cardinality, so only plans whose every line is a
+    Project/Relation qualify.  Unparseable plans report False (the
+    conservative direction: callers then pay a count() job instead of
+    trusting a wrong estimate).
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0]
+        if not node:
+            continue
+        if node not in ("Project", "Relation", "LogicalRelation"):
+            return False
+    return True
+
+
+def footer_rows(path: str) -> int | None:
+    """Row count from ONE local parquet file's footer (sub-ms,
+    driver-side, no Spark job); None for unreadable/directory paths.
+    The single shared footer reader — ``scan_rows`` loops it over a
+    frame's input files, ``workloads/datapipe.py::_footer_rows``
+    delegates here for path-named tables.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def scan_rows(df: DataFrame) -> int | None:
     """Total row count from the parquet footers behind a file-sourced
     DataFrame, or None when that metadata can't be read cheaply.
 
     This is DRIVER-SIDE METADATA, not a Spark job: each local parquet
     footer is statted once (microseconds per file).  It is the
-    PRE-FILTER scan cardinality — an upper bound for a filtered frame —
-    which is the right direction for sizing decisions that grow with
-    corpus cardinality (hash widths, partition counts).  None when the
-    input is derived (no files), any file is remote, or any file is not
-    parquet; callers fall back to a real ``df.count()`` job.
+    PRE-FILTER scan cardinality — an UPPER BOUND for a filtered or
+    aggregated frame, since ``inputFiles()`` survives any derivation.
+    Whether the bound is the safe direction is the CALLER's call:
+    for spill/partition sizing an over-estimate is safe; for LSH hash
+    widths it is NOT (over-widening silently costs recall), so such
+    callers must gate on :func:`plan_preserves_scan_rows` or pay a
+    ``count()``.  None when the input is derived (no files), any file
+    is remote, or any file is not parquet.
     """
     files = df.inputFiles()
     if not files:
@@ -114,12 +156,10 @@ def scan_rows(df: DataFrame) -> int | None:
         p = u.path or f
         if not p.endswith(".parquet"):
             return None
-        try:
-            import pyarrow.parquet as pq
-
-            total += pq.ParquetFile(p).metadata.num_rows
-        except Exception:
+        n = footer_rows(p)
+        if n is None:
             return None
+        total += n
     return total
 
 

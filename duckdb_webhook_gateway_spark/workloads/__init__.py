@@ -127,8 +127,12 @@ _PLAN_CHANGED_ROUND = {
     # (value_quantile_sketch's r14 entry lives below, replacing its
     # r13 one — a duplicate key in this literal would silently lose
     # whichever comes first)
+    # (review fix, same round: the pairs-table conversion lives in
+    # source_overlap_kmv — an earlier commit voided cross_source_overlap
+    # by mistake; that query's lineage carries no literal relation and
+    # its r13 certification stands)
     "orders_price_exact_quantiles": 14,
-    "cross_source_overlap": 14,
+    "source_overlap_kmv": 14,
     "ann_ivf_pruned_topk": 14,
     "ann_pq_trained_topk": 14,
     # r13 (ADVICE r12): the q8 family's FINAL-SCORE rounding moved from
@@ -181,8 +185,8 @@ _CHECK_FIRST = (
     # ceiling-checked)
     "ann_ivf_pruned_topk",
     "ann_pq_trained_topk",
-    "cross_source_overlap",
     "orders_price_exact_quantiles",
+    "source_overlap_kmv",
     "value_quantile_sketch",
     "training_order_manifest",
     "vocab_oov_rate",
@@ -240,6 +244,7 @@ _CHECK_LAST = (
     "ann_rerank_topk",
     "corpus_pmi_pairs",
     "corpus_zipf_stats",
+    "cross_source_overlap",
     "customer_functional_deps",
     "dedup_incremental",
     "dedup_simhash",
@@ -273,7 +278,6 @@ _CHECK_LAST = (
     "passage_savings",
     "semantic_dedup",
     "source_lang_mix",
-    "source_overlap_kmv",
     "source_quality_deciles",
     "source_temperature_mixture",
     "split_divergence",

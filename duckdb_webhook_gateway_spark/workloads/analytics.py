@@ -780,12 +780,12 @@ def orders_price_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders")
     orders = base.select("o_orderkey", "o_totalprice")
     # unfiltered table: N comes free from the parquet footer, making the
-    # small-route target ranks driver-side literals (no in-plan N subtree)
-    import os as _os
+    # small-route target ranks driver-side literals (no in-plan N
+    # subtree); scan_rows reads the same footers the frame scans
+    # (consolidated r14 — no hand-built path join)
+    from ..plans.spread import scan_rows
 
-    from ..workloads.datapipe import _footer_rows
-
-    n_rows = _footer_rows(_os.path.join(sf_dir, "orders.parquet"))
+    n_rows = scan_rows(base)
     return (
         global_quantiles(
             orders,

@@ -58,13 +58,11 @@ def _footer_rows(path: str) -> int | None:
     job).  Returns None for directory-style parquet or unreadable footers
     — callers fall back to a Spark count.  Only valid as the cardinality
     of the UNFILTERED table the path names; operators that filter first
-    must count the filtered frame instead."""
-    import pyarrow.parquet as pq
+    must count the filtered frame instead.  Delegates to the shared
+    reader (``plans/spread.py::footer_rows``, consolidated r14)."""
+    from ..plans.spread import footer_rows
 
-    try:
-        return pq.read_metadata(path).num_rows
-    except Exception:
-        return None
+    return footer_rows(path)
 
 
 # Shared oracle CTEs: tokens / shingles via a constant numbers relation

@@ -61,6 +61,28 @@ def test_scan_rows_reads_parquet_footers(spark):
     assert scan_rows(spark.range(3)) is None
 
 
+def test_resolve_planes_uses_filtered_count_not_footer(spark, tmp_path):
+    # review fix r14: inputFiles() survives filters, so footer rows
+    # over-estimate a filtered corpus — and an over-estimated N
+    # over-widens the hash, silently costing recall.  Anything but a
+    # bare scan+project must pay the count() instead.
+    from duckdb_webhook_gateway_spark.plans.spread import (
+        plan_preserves_scan_rows,
+    )
+
+    src = str(tmp_path / "big.parquet")
+    spark.range(41_000).selectExpr("id as vec_id").write.parquet(src)
+    df = spark.read.parquet(src)
+    assert plan_preserves_scan_rows(df)
+    assert plan_preserves_scan_rows(df.select("vec_id"))
+    assert not plan_preserves_scan_rows(df.filter("vec_id < 100"))
+    assert not plan_preserves_scan_rows(df.limit(10))
+    # bare scan: footer path, 41k > 2*ref -> one extra bit
+    assert _resolve_planes(df, "auto") == auto_planes_per_table(41_000) == 5
+    # filtered: the count decides -> base width, not the footer's 5
+    assert _resolve_planes(df.filter("vec_id < 100"), "auto") == 4
+
+
 def test_resolve_planes_explicit_auto_and_invalid(spark):
     emb = spark.read.parquet(sf_dir("sf0.001") + "/embeddings.parquet")
     assert _resolve_planes(emb, 9) == 9
