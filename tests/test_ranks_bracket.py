@@ -223,6 +223,58 @@ def test_quantiles_bracket_empty_fracs_out_of_range(spark):
     assert out.columns == ["quantile", "value_rank", "id", "v"]
 
 
+@pytest.mark.parametrize("seed", [41, 43, 47, 53, 59])
+def test_bracket_randomized_differential(spark, seed):
+    """Random corpora x random fracs x random direction x random tie
+    density, bracket routes vs the single-task reference — the
+    registered-query fuzz can't reach these paths (certification-scale
+    inputs route small), so the scale path gets its own sweep."""
+    rng = random.Random(seed)
+    n = rng.randrange(1, 1200)
+    tie_levels = rng.choice([3, 10, 10**6])  # heavy ties .. near-unique
+    desc = rng.random() < 0.5
+    rows = [
+        (i, float(rng.randrange(tie_levels)) / 7) for i in range(n)
+    ]
+    spec = [("v", desc), ("id", False)]
+    fracs = sorted(
+        {(rng.randrange(1, 120), rng.randrange(1, 120)) for _ in range(5)}
+    )
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {
+        (r["quantile"], r["value_rank"], r["id"])
+        for r in global_quantiles(
+            df, fracs=fracs, input_bytes=1 << 40, order_spec=spec
+        ).collect()
+    }
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+    ranked = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order))
+    ).collect()
+    by_rank = {r["rnk"]: r["id"] for r in ranked}
+    want = set()
+    for num, den in fracs:
+        r = (n * num + den - 1) // den
+        if 1 <= r <= n:
+            want.add((num / den, r, by_rank[r]))
+    assert got == want, (seed, n, tie_levels, desc, fracs)
+
+    n_tiles = rng.randrange(2, 12)
+    got_t = {
+        r["id"]: r["t"]
+        for r in global_ntile(
+            df, n_tiles, tile_col="t", input_bytes=1 << 40, order_spec=spec
+        ).collect()
+    }
+    want_t = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(n_tiles).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got_t == want_t, (seed, n, n_tiles, desc)
+
+
 # -- cumulative cutoff: value-histogram route -------------------------------
 
 
