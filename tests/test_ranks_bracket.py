@@ -336,6 +336,41 @@ def test_value_histogram_never_checkpoints_the_relation(spark):
         assert "w#" in spec, spec
 
 
+def test_value_histogram_ascending_weight_order(spark):
+    # the canonical Zipf shape is desc, but the operator is generic:
+    # ascending primary==weight must pick identical rows to the plain
+    # running window
+    rng = random.Random(211)
+    rows = [(i, rng.randrange(0, 15)) for i in range(500)]
+    rows[0] = (0, 7)
+    fracs = [(1, 3), (1, 2), (9, 10)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {
+        (r["coverage"], r["cutoff_rank"], r["cum_weight"], r["id"])
+        for r in global_cumulative_cutoff(
+            df,
+            weight_col="w",
+            fracs=fracs,
+            input_bytes=1 << 40,
+            order_spec=[("w", False), ("id", False)],
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    total = sum(w for _, w in ordered)
+    want = set()
+    for num, den in fracs:
+        t = (total * num + den - 1) // den
+        if not (0 < t <= total):
+            continue
+        cum = 0
+        for rank, (i, w) in enumerate(ordered, start=1):
+            cum += w
+            if cum >= t:
+                want.add((num / den, rank, cum, i))
+                break
+    assert got == want
+
+
 def test_value_histogram_falls_back_when_primary_is_not_weight(spark):
     # order primary != weight col: the constant-per-block arithmetic
     # doesn't apply; must take the range path and still be right
