@@ -108,7 +108,6 @@ RUNS = {
 
 def run(name: str) -> None:
     sf_dir, shuffle, queries = RUNS[name]
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", shuffle)
     from duckdb_webhook_gateway_spark import get_spark
     from duckdb_webhook_gateway_spark.workloads import all_entries
 
