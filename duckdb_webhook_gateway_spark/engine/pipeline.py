@@ -156,7 +156,6 @@ class Gateway:
         webhook_count = spark.table("webhooks").count()
         raw_count = spark.table("raw_events").count()
         tr = spark.table("transformed_events")
-        transformed_count = tr.count()
         per_webhook = (
             tr.groupBy("webhook_id")
             .agg(
@@ -168,11 +167,16 @@ class Gateway:
                 (F.col("successes").cast("float") / F.col("total")).cast("float"),
             )
         )
+        per_rows = [r.asDict() for r in per_webhook.collect()]
+        # The table count folds into the aggregate already collected:
+        # groupBy keeps a NULL-key group, so sum(total) == COUNT(*) —
+        # one scan job instead of two per /stats request.
+        transformed_count = sum(r["total"] for r in per_rows)
         return {
             "webhooks": webhook_count,
             "raw_events": raw_count,
             "transformed_events": transformed_count,
-            "per_webhook": [r.asDict() for r in per_webhook.collect()],
+            "per_webhook": per_rows,
         }
 
     def recent_events(self, limit: int = 50) -> list[dict[str, Any]]:
