@@ -153,7 +153,9 @@ class Gateway:
         from pyspark.sql import functions as F
 
         spark = self.spark
-        webhook_count = spark.table("webhooks").count()
+        # The webhooks view IS the driver-held catalog list rendered as a
+        # LocalTableScan — len() of the same rows, no job round.
+        webhook_count = len(self.store._catalog["webhooks"])
         raw_count = spark.table("raw_events").count()
         tr = spark.table("transformed_events")
         per_webhook = (
