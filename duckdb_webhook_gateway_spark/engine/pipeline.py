@@ -181,13 +181,47 @@ class Gateway:
             "per_webhook": per_rows,
         }
 
+    # Above this, the two-phase feed would collect an unbounded row list
+    # and build a pathological IN filter; the single-pass join takes over.
+    _FEED_PUSHDOWN_MAX_LIMIT = 1024
+
     def recent_events(self, limit: int = 50) -> list[dict[str, Any]]:
         """raw LEFT JOIN transformed, newest first
-        (reference: src/app.py:1464-1501)."""
+        (reference: src/app.py:1464-1501).
+
+        The top-``limit`` joined rows (ordered by the raw timestamp) can
+        only come from the top-``limit`` raw rows — a left join drops no
+        raw row and every joined row inherits its raw row's sort key.  So
+        the feed runs in two bounded phases instead of joining the full
+        tables: (1) TakeOrdered the raw side (per-partition top-K, no
+        shuffle), (2) re-join those ≤limit rows (a LocalTableScan) against
+        the transformed side pre-filtered with their ids — the IN literal
+        reaches the parquet scan's PushedFilters, so row-group stats skip
+        everything but the matching files.  The single-pass plan scans and
+        shuffles BOTH event tables at scale; this one scans raw once,
+        reads only matching transformed row groups, and shuffles nothing.
+        Values are identical: the final join/order/limit/projection below
+        is unchanged, only its left input shrank.
+        """
         from pyspark.sql import functions as F
+
+        from ..plans.localrel import local_df
+        from .store import SCHEMAS
 
         raw = self.spark.table("raw_events").alias("r")
         tr = self.spark.table("transformed_events").alias("t")
+        if 0 < limit <= self._FEED_PUSHDOWN_MAX_LIMIT:
+            top_rows = (
+                raw.orderBy(F.col("timestamp").desc()).limit(limit).collect()
+            )
+            raw = local_df(
+                self.spark,
+                [r.asDict() for r in top_rows],
+                SCHEMAS["raw_events"],
+            ).alias("r")
+            tr = tr.where(
+                F.col("raw_event_id").isin([r["id"] for r in top_rows])
+            ).alias("t")
         joined = (
             raw.join(tr, F.col("r.id") == F.col("t.raw_event_id"), "left")
             .orderBy(F.col("r.timestamp").desc())

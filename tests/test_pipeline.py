@@ -148,3 +148,60 @@ def test_processing_error_is_audited(gateway, spark):
     assert len(tr) == 1
     assert tr[0].success is False
     assert tr[0].response_body.startswith("Error:")
+
+
+def test_recent_events_pushdown_route_matches_single_pass(gateway):
+    """The two-phase feed (top-K raw -> IN-filtered transformed) must return
+    exactly what the single-pass full-join route returns, including the join
+    multiplication when one raw event has several transformed rows."""
+    import uuid
+    from datetime import datetime, timedelta
+
+    st = gateway.store
+    base = datetime(2026, 8, 1, 12, 0, 0)
+    raw_rows, tr_rows = [], []
+    for i in range(12):
+        rid = str(uuid.uuid4())
+        ts = base + timedelta(seconds=i)  # distinct -> deterministic order
+        raw_rows.append(
+            {"id": rid, "timestamp": ts, "source_path": "/feed",
+             "payload": '{"i": %d}' % i}
+        )
+        # newest event carries TWO transformed rows; one event carries none
+        copies = 2 if i == 11 else (0 if i == 10 else 1)
+        for c in range(copies):
+            tr_rows.append(
+                {"id": str(uuid.uuid4()), "raw_event_id": rid,
+                 "webhook_id": "w1", "timestamp": ts,
+                 "transformed_payload": '{"i": %d, "c": %d}' % (i, c),
+                 "destination_url": "http://example.com/x",
+                 "success": True, "response_code": 200,
+                 "response_body": "ok"}
+            )
+    st.append_events("raw_events", raw_rows)
+    st.append_events("transformed_events", tr_rows)
+
+    got = gateway.recent_events(limit=5)
+    # force the single-pass fallback route to produce the reference answer
+    gateway._FEED_PUSHDOWN_MAX_LIMIT = 0
+    try:
+        want = gateway.recent_events(limit=5)
+    finally:
+        del gateway.__dict__["_FEED_PUSHDOWN_MAX_LIMIT"]
+    # rows 11a/11b (newest, 2 copies) then 10 (no transformed -> NULLs) ...
+    assert len(want) == 5
+    assert [w["payload"] for w in want][:3] == [
+        '{"i": 11}', '{"i": 11}', '{"i": 10}'
+    ]
+    assert want[2]["success"] is None and want[2]["response_code"] is None
+    # the two transformed copies of row 11 may legitimately swap order
+    # (equal sort keys) — compare as row multisets plus the sorted key order
+    def key(r):
+        return sorted(r.items(), key=lambda kv: kv[0])
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert [g["timestamp"] for g in got] == [w["timestamp"] for w in want]
+
+
+def test_recent_events_pushdown_empty_store(gateway):
+    assert gateway.recent_events(limit=5) == []
