@@ -205,3 +205,33 @@ def test_recent_events_pushdown_route_matches_single_pass(gateway):
 
 def test_recent_events_pushdown_empty_store(gateway):
     assert gateway.recent_events(limit=5) == []
+
+
+def test_event_detail_not_found_and_multi_transformed(gateway):
+    """The speculative transformed lookup must not change values: unknown id
+    -> None; a raw event with two transformed rows returns both."""
+    import uuid
+    from datetime import datetime
+
+    assert gateway.event_detail("no-such-id") is None
+
+    st = gateway.store
+    rid = str(uuid.uuid4())
+    ts = datetime(2026, 8, 2, 9, 0, 0)
+    st.append_events(
+        "raw_events",
+        [{"id": rid, "timestamp": ts, "source_path": "/d2",
+          "payload": '{"a": 1}'}],
+    )
+    st.append_events(
+        "transformed_events",
+        [{"id": str(uuid.uuid4()), "raw_event_id": rid, "webhook_id": "w1",
+          "timestamp": ts, "transformed_payload": '{"n": %d}' % n,
+          "destination_url": "http://example.com/x", "success": True,
+          "response_code": 200, "response_body": "ok"} for n in (1, 2)],
+    )
+    detail = gateway.event_detail(rid)
+    assert detail["raw_event"]["payload"] == {"a": 1}
+    assert sorted(
+        t["transformed_payload"]["n"] for t in detail["transformed_events"]
+    ) == [1, 2]
