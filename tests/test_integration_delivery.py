@@ -86,12 +86,30 @@ def test_delivery_failure_audited(gateway, spark):
 
 
 def test_per_event_latency_warm(gateway, spark, receiver):
-    """Warm per-event ingest latency stays interactive: the payload
-    relation is a JVM-local Arrow table (LocalTableScan), so the filter
-    probe and transform never pay a Python-RDD worker round trip.  The
-    pickled-row relation this guards against measured ~0.75 s median;
-    the bar is 0.4 s with headroom for loaded CI hosts."""
+    """Warm per-event ingest stays interactive because the payload relation
+    is a JVM-local Arrow table: the filter probe and transform never pay a
+    Python-RDD worker round trip.  Two guards, split by what each can
+    actually detect on this shared host:
+
+    - Structural (the real pin, load-immune): the payload relation for the
+      exact ingest shape plans as LocalTableScan with no ``Scan
+      ExistingRDD``.  The pickled-row regression this test exists for puts
+      a Python worker round trip into every query over the view (~0.75 s
+      median warm ingest when it was last measured).
+    - Wall-clock smoke bound (median of 9 <= 2.0 s): a tight fixed bar
+      cannot separate the healthy path under this host's documented 2-3x
+      bandwidth-contention regime (healthy medians to ~0.7 s observed, r14)
+      from the pickled path at idle (~0.75 s), so the tight check is the
+      structural one and the timing bar only catches catastrophic
+      regressions — per-request work measured in seconds."""
     import time
+
+    from duckdb_webhook_gateway_spark.engine.executors import payload_to_df
+
+    probe = payload_to_df(spark, {"v": 1})
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
 
     gateway.register_webhook(
         WebhookConfig(
@@ -110,4 +128,4 @@ def test_per_event_latency_warm(gateway, spark, receiver):
         samples.append(time.perf_counter() - t0)
         assert out.delivery.success
     samples.sort()
-    assert samples[len(samples) // 2] <= 0.4, f"median {samples} s"
+    assert samples[len(samples) // 2] <= 2.0, f"median {samples} s"
