@@ -8,6 +8,15 @@ probe, OPTIMIZATION_r14.md).  Run q1 min-of-6 after the standard warmups
 and print one JSON line {"q1_min": s, "clean": bool} — callers launch the
 full bench/pairing only on clean=true.
 
+The gate is NECESSARY, not sufficient (fifth-session finding): two
+sessions launched at gate 0.39-0.46 — and re-reading clean immediately
+after — still benched 1.4-1.7x inflated across the bandwidth-bound rows.
+The solo 6-rep probe samples a few seconds; the bench sustains 32-thread
+pressure for minutes and sees contention windows the probe misses.  For
+anchor-grade sessions gate at <=0.4, expect to discard sessions whose own
+in-bench q1 reads >1.3x the gate value, and treat the probe as a cheap
+pre-filter, not a certificate.
+
 Usage: SPARK_GRAFT_CPUS=32 python tools/idle_gate_q1.py [threshold=0.5]
 """
 
