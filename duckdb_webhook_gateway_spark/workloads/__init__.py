@@ -47,32 +47,20 @@ from . import analytics, datapipe  # noqa: E402
 # while a window more than one round behind the recorded history still
 # fails loudly.  Bump _WINDOW_ROUND and rebuild _CHECK_FIRST from
 # `python tools/rotation.py` as the FIRST commit of every round.
-_WINDOW_ROUND = 14
-# Round-14 _CHECK_FIRST is EXACTLY
-# tools/rotation.prioritized_dues()[:50] for the r14 history
-# (CORRECTNESS_r1..r13 on disk + the r14 _PLAN_CHANGED_ROUND voids):
-#   (0) the 5 r14 plan-changed entries, clock 0 (Arrow-local literal
-#       relations, see _PLAN_CHANGED_ROUND — certifications voided,
-#       may never defer);
-#   (a) the 3 ceiling-forced clock-r10 dues (training_order_manifest,
-#       vocab_oov_rate, weighted_sample_topk — deferred r13 under the
-#       least-stale tier, now at the unconditional 4-round HARD_CEILING
-#       and may not defer again);
-#   (b) all 8 never-certified late-r11 registrations (doc_cdc_chunks,
-#       doc_cdc_dup_chunks, doc_winnow_pairs, embedding_hard_negatives,
-#       embedding_pca_topdir, part_communities_lpa,
-#       streaming_dedup_events, streaming_user_sessions) — lead the
-#       clock-r11 block via the never-certified-first tie-break (first
-#       evidence beats a third confirmation); after r14 zero
-#       never-certified entries remain;
-#   (c) 34 of the clock-r11 dues, stalest block first (alphabetical
-#       within the block); the four displaced least-stale clock-r11
-#       dues (source_ngram_novelty, split_contamination,
-#       stratified_sample, substring_dup_spans_sa) defer to r15,
-#       ceiling-checked (ann_pq_trained_topk's void displaced nothing —
-#       it already held a window slot).
-# The tail (_CHECK_LAST) is the round-13-certified block (due r16)
-# minus the two pulled forward by their r14 plan changes.
+_WINDOW_ROUND = 15
+# Round-15 _CHECK_FIRST is EXACTLY
+# tools/rotation.prioritized_dues()[:50] for the r15 history
+# (CORRECTNESS_r1..r14 on disk; zero plan-change voids at window-build
+# time — r15 is an optimization round and any in-round plan change
+# re-emits this window in the same commit):
+#   (a) the 4 clock-r11 dues deferred from the r14 window
+#       (source_ngram_novelty, split_contamination, stratified_sample,
+#       substring_dup_spans_sa — lead the window, stalest block) plus
+#       the 5 remaining clock-r11 dues (alphabetical within block);
+#   (b) the clock-r12 block fills the remaining 41 slots (alphabetical;
+#       the least-stale clock-r12 dues defer to r16, ceiling-checked —
+#       MAX_STALENESS arithmetic holds at 4 x 50 = 200 >= 152).
+# The tail (_CHECK_LAST) is the round-14-certified block (due r17).
 # The parity suite still covers EVERY registry entry at sf0.1 every
 # round (count-free on purpose — tools/rotation.py is the ledger now,
 # not this comment).
@@ -173,35 +161,69 @@ _PLAN_CHANGED_ROUND = {
 }
 
 _CHECK_FIRST = (
-    # (0) the five r14 plan-changed entries (Arrow-local literal
-    # relations — certifications voided, may never defer)
-    # (a) the 3 ceiling-forced clock-r10 dues (4-round HARD_CEILING)
-    # (b) the 8 never-certified late-r11 registrations — first
-    # certification leads the clock-r11 block
-    # (c) 34 clock-r11 dues, stalest-first (alphabetical within block;
-    # source_ngram_novelty, split_contamination, stratified_sample and
-    # substring_dup_spans_sa displaced to r15 by the four NET new
-    # clock-0 entries — ann_pq_trained_topk was already in the window —
-    # ceiling-checked)
-    "ann_ivf_pruned_topk",
-    "ann_pq_trained_topk",
-    "orders_price_exact_quantiles",
-    "source_overlap_kmv",
-    "value_quantile_sketch",
-    "training_order_manifest",
-    "vocab_oov_rate",
-    "weighted_sample_topk",
-    "doc_cdc_chunks",
-    "doc_cdc_dup_chunks",
-    "doc_winnow_pairs",
-    "embedding_hard_negatives",
-    "embedding_pca_topdir",
-    "part_communities_lpa",
-    "streaming_dedup_events",
-    "streaming_user_sessions",
+    # (a) the 9 clock-r11 dues (the 4 deferred from the r14
+    # window lead), stalest-first, alphabetical within block
+    # (b) 41 clock-r12 dues, alphabetical
+
+    "source_ngram_novelty",
+    "split_contamination",
+    "stratified_sample",
+    "substring_dup_spans_sa",
+    "supplier_revenue_having",
+    "text_char_stats",
+    "text_pattern_scrub",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "ann_mmr_topk",
+    "audio_near_dup_fp",
+    "bloom_prefilter_join",
+    "boilerplate_ratio",
+    "bpe_merge_candidates",
+    "brand_top_parts",
+    "corpus_stats",
+    "corpus_token_coverage",
+    "cube_order_status",
+    "customer_order_counts",
+    "customer_scd2_snapshot",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_pivot_by_type",
+    "events_recent_topk",
+    "events_type_rate",
+    "image_near_dup_phash",
+    "lineitem_distinct_counts",
+    "lm_perplexity_filter",
+    "mixture_resample",
+    "nation_key_intersect",
+    "order_priority_rate",
+    "orders_value_quartiles",
+    "part_filter_like_in",
+    "part_projection",
+    "part_triangle_count",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quality_funnel",
+    "region_keys_union",
+    "rollup_region_nation",
+    "sequence_packing",
+    "source_mixture",
+    "split_ngram_decontamination",
+    "supplier_string_funcs",
+    "text_language_id",
+    "text_quality",
+)
+# Queries certified in round 14 — rotate to the unchecked tail (due
+# r17); the parity suite still covers them at sf0.1 every round.
+_CHECK_LAST = (
     "ann_cosine_topk",
+    "ann_ivf_pruned_topk",
     "ann_ivf_recall",
     "ann_ivf_topk",
+    "ann_pq_trained_topk",
     "corpus_top_bigrams",
     "customers_with_urgent_orders",
     "customers_without_orders",
@@ -210,8 +232,13 @@ _CHECK_FIRST = (
     "dedup_keeplist",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "doc_cdc_chunks",
+    "doc_cdc_dup_chunks",
+    "doc_winnow_pairs",
     "embedding_finite_gate",
+    "embedding_hard_negatives",
     "embedding_near_dup",
+    "embedding_pca_topdir",
     "events_hourly",
     "events_runtime_udf",
     "gopher_quality_gate",
@@ -223,8 +250,10 @@ _CHECK_FIRST = (
     "multimodal_image_features",
     "orderkey_hll_distinct",
     "orders_per_month",
+    "orders_price_exact_quantiles",
     "part_avg_qty_subquery",
     "part_basket_pairs",
+    "part_communities_lpa",
     "part_kcore",
     "part_name_fuzzy_pairs",
     "part_size_class",
@@ -233,58 +262,13 @@ _CHECK_FIRST = (
     "q1_pricing_summary",
     "region_status_grouping_sets",
     "salted_join_orders",
-)
-# Queries certified in round 13 — rotate to the unchecked tail (due
-# r16); the parity suite still covers them at sf0.1 every round.
-_CHECK_LAST = (
-    "ann_ivfpq_topk",
-    "ann_ivfq8_topk",
-    "ann_lsh_buckets",
-    "ann_q8_topk",
-    "ann_rerank_topk",
-    "corpus_pmi_pairs",
-    "corpus_zipf_stats",
-    "cross_source_overlap",
-    "customer_functional_deps",
-    "dedup_incremental",
-    "dedup_simhash",
-    "distinct_kmv_sketch",
-    "doc_bm25_topk",
-    "doc_chunk_manifest",
-    "doc_containment_pairs",
-    "doc_prefix_jaccard_join",
-    "dsir_selection",
-    "embedding_dim_stats",
-    "embedding_label_quality",
-    "embedding_near_dup_lsh",
-    "ensemble_near_dup",
-    "events_asof_attribution",
-    "events_hopping_windows",
-    "events_hourly_gapfill",
-    "events_json_bucket",
-    "events_markov_transitions",
-    "events_multitouch_attribution",
-    "events_profile",
-    "events_range_join",
-    "events_rolling_features",
-    "events_sessionize",
-    "gopher_repetition_report",
-    "join_key_skew",
-    "leakage_safe_split",
-    "multimodal_image_resize",
-    "multimodal_video_features",
-    "nation_trade_matrix",
-    "part_pagerank",
-    "passage_savings",
-    "semantic_dedup",
-    "source_lang_mix",
-    "source_quality_deciles",
-    "source_temperature_mixture",
-    "split_divergence",
-    "streaming_hourly_counts",
-    "substring_dup_spans",
-    "token_freq_cm_sketch",
-    "token_heavy_hitters",
+    "source_overlap_kmv",
+    "streaming_dedup_events",
+    "streaming_user_sessions",
+    "training_order_manifest",
+    "value_quantile_sketch",
+    "vocab_oov_rate",
+    "weighted_sample_topk",
 )
 
 def all_entries() -> dict[str, Entry]:
