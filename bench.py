@@ -288,6 +288,11 @@ def main() -> None:
     try:
         import datetime
 
+        try:
+            with open("/proc/loadavg") as fh:
+                hist_load1 = float(fh.read().split()[0])
+        except (OSError, ValueError):
+            hist_load1 = None
         stamped = json.dumps(
             {
                 "ts": datetime.datetime.now(
@@ -295,6 +300,7 @@ def main() -> None:
                 ).isoformat(timespec="seconds"),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
                 "sf_dir": SF_DIR,
+                "load": hist_load1,
                 **json.loads(line),
             }
         )
@@ -305,16 +311,46 @@ def main() -> None:
     sys.stdout.flush()
     print(line, flush=True)
     # The driver's stdout tail window has twice truncated the HEAD of
-    # the full 4+ KB line (BENCH_r11/r12 arrived with "parsed": null).
-    # A compact totals-only object (<300 bytes) printed LAST guarantees
-    # whatever tail survives capture contains one parseable JSON line;
-    # the full per-query map lives in the line above and bench_last.json.
+    # the full 4+ KB line (BENCH_r11/r12 arrived with "parsed": null),
+    # and the r14 compact line carried only suite totals — so the
+    # driver's PERF_r14.per_query came back EMPTY (it parses the LAST
+    # JSON line, which had no "queries" key).  r15 fix (r14 verdict
+    # task 1): one compact line PER SUITE, each well under 1 KB and
+    # individually parseable, with the headline line — carrying its own
+    # per-query map — printed LAST so the line the driver parses always
+    # has "queries".  Co-tenant load (1-min /proc/loadavg) is stamped on
+    # the final line so a contended run is self-describing (task 8).
+    try:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+    except (OSError, ValueError):
+        load1 = None
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    for suite_name, s_total, s_timings in (
+        ("extended", ext_total, ext_timings),
+        ("extended2", ext2_total, ext2_timings),
+        ("extended3", ext3_total, ext3_timings),
+        ("extended4", ext4_total, ext4_timings),
+    ):
+        print(
+            json.dumps(
+                {
+                    "suite": suite_name,
+                    "value": round(s_total, 3),
+                    "unit": "sec",
+                    "queries": s_timings,
+                    "sf": sf_val,
+                }
+            ),
+            flush=True,
+        )
     compact = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
             "value": round(total, 3),
             "unit": "sec",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": timings,
+            "sf": sf_val,
             "suite_totals": {
                 "headline": round(total, 3),
                 "extended": round(ext_total, 3),
@@ -322,6 +358,7 @@ def main() -> None:
                 "extended3": round(ext3_total, 3),
                 "extended4": round(ext4_total, 3),
             },
+            "load": load1,
             "full_line": "above; also bench_last.json",
         }
     )
