@@ -106,11 +106,29 @@ SMALL_INPUT_CEILING = 16 * 1024 * 1024
 # where the engine looks.
 
 _BRACKET_ACCURACY = 10_000
-# Max rows a single bracket interval may sort in one task.  With the
-# default accuracy a bracket is ~6N/accuracy rows, so this ceiling
-# corresponds to ~350 G input rows; past that the verification step
-# routes back to the range composition (or callers raise accuracy).
+# Max rows a single bracket interval may sort in one task.  A bracket
+# is ~6N/accuracy rows, so a FIXED accuracy stops fitting this ceiling
+# past N ~ ceiling*accuracy/6 (~3.5 G rows at the 10k default) — the
+# path would fall back exactly at the scale it exists for.  r15: when
+# the caller states a row count (parquet footer), accuracy scales as
+# ~8N/ceiling (floor 1000), keeping brackets at ~3/4 ceiling at ANY N
+# while the GK digest stays as cheap as the target width allows
+# (measured: accuracy 10k -> 1k cuts the sketch pass 0.42 -> 0.31 s on
+# a 15 M-row column).  An over-estimated hint (footer rows survive
+# filters) only raises accuracy, i.e. narrows brackets — the safe
+# direction.
 _BRACKET_WINDOW_CEILING = 1 << 21
+
+
+def _resolve_accuracy(
+    accuracy: "int | None", n_hint: "int | None", window_ceiling: int
+) -> int:
+    if accuracy is not None:
+        return accuracy
+    if n_hint and n_hint > 0:
+        return max(1000, -(-8 * n_hint // window_ceiling))
+    return _BRACKET_ACCURACY
+
 
 _NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
@@ -149,8 +167,10 @@ def _bracket_pick(
     labels: "Sequence[float]",
     label_col: str,
     rank_col: str,
-    accuracy: int = _BRACKET_ACCURACY,
+    accuracy: "int | None" = None,
     window_ceiling: int = _BRACKET_WINDOW_CEILING,
+    collect_picks: bool = False,
+    n_hint: "int | None" = None,
 ):
     """Rows of ``rel`` at exact global ranks, via the bracket path.
 
@@ -162,6 +182,26 @@ def _bracket_pick(
     when no target rank is in ``[1, N]``, or None when the caller must
     fall back to the range composition (non-numeric/nullable primary,
     empty input, bracket verification failure, oversized bracket).
+
+    ``collect_picks=True`` (r15, the r14 verdict's task 2): the verify
+    counts and the pick run as ONE job instead of two — the exact
+    base/interval conditional aggregate becomes a 1-row broadcast
+    cross-joined into the windowed bracket rows, every bracket row's
+    EXACT global rank is ``base(interval) + local rank`` in-plan, and
+    the ``<= len(targets)`` picked rows are collected together with the
+    verification scalars.  Verification then happens on the collected
+    rows: a pick row for target rank r can only match the true rank-r
+    row (bases are exact counts, so the in-plan global rank is exact),
+    so a bracket miss surfaces as a MISSING row and falls back — never
+    as a wrong row.  The window ceiling is checked post-hoc from the
+    collected interval counts: the GK guarantee plus the 2/accuracy
+    slack makes a rank-miss impossible by construction, so the only
+    real fallback trigger is a tie-heavy bracket, which now pays its
+    (spilling, bounded-per-interval) sort once before the range
+    composition takes over — trading a guaranteed full-scan job round
+    on the always path for extra cost on the in-practice-never path.
+    Returns a ``list`` of Rows ``(label_col, rank_col, *rel.columns)``
+    instead of a DataFrame (same None/"empty" contract).
 
     PRECONDITION: ``rel`` must be re-execution-DETERMINISTIC — the
     sketch, count and pick passes each re-read it, and the exact
@@ -181,6 +221,7 @@ def _bracket_pick(
     dt = dict(rel.dtypes).get(primary, "")
     if dt not in _NUMERIC_DTYPES and not dt.startswith("decimal"):
         return None
+    accuracy = _resolve_accuracy(accuracy, n_hint, window_ceiling)
     c = F.col(primary)
     slack = 2.0 / accuracy
     qprobs: list[float] = []
@@ -225,6 +266,18 @@ def _bracket_pick(
             if ilo <= lo and hi <= ihi:
                 return i
         raise AssertionError("bracket not covered by merged intervals")
+
+    if collect_picks:
+        return _fused_verify_pick(
+            rel,
+            order_spec,
+            targets,
+            ivs,
+            _iv_of,
+            label_col,
+            rank_col,
+            window_ceiling,
+        )
 
     aggs = []
     for ilo, ihi in ivs:
@@ -276,6 +329,91 @@ def _bracket_pick(
     ).select(label_col, rank_col, *rel.columns)
 
 
+def _fused_verify_pick(
+    rel: DataFrame,
+    order_spec: "Sequence[tuple[str, bool]]",
+    targets,
+    ivs,
+    iv_of,
+    label_col: str,
+    rank_col: str,
+    window_ceiling: int,
+):
+    """The ``collect_picks`` arm of :func:`_bracket_pick`: verify counts
+    and pick in ONE job.
+
+    The exact per-interval base/inside conditional aggregate is a 1-row
+    relation broadcast-cross-joined into the windowed bracket rows, so
+    every bracket row carries its EXACT global rank
+    (``base(interval) + local rank``) in-plan; the pick is an equi-join
+    against the ``(label, rank, interval)`` literal relation.  A pick
+    row can therefore only ever be the true rank-r row — a bracket miss
+    yields a MISSING row, never a wrong one — and the driver verifies
+    by multiset equality of the collected ``(label, rank)`` pairs plus
+    the post-hoc window-ceiling check.  Returns the collected Rows
+    ``(label_col, rank_col, *rel.columns, _bp_c*)`` or None (fallback).
+    """
+    spark = rel.sparkSession
+    primary, pdesc = order_spec[0]
+    c = F.col(primary)
+    aggs = []
+    for i, (ilo, ihi) in enumerate(ivs):
+        before = (c > F.lit(ihi)) if pdesc else (c < F.lit(ilo))
+        aggs.append(F.sum(before.cast("bigint")).alias(f"_bp_b{i}"))
+        aggs.append(
+            F.sum(c.between(F.lit(ilo), F.lit(ihi)).cast("bigint")).alias(
+                f"_bp_c{i}"
+            )
+        )
+    cnt = rel.agg(*aggs)
+    cond = c.between(F.lit(ivs[0][0]), F.lit(ivs[0][1]))
+    for ilo, ihi in ivs[1:]:
+        cond = cond | c.between(F.lit(ilo), F.lit(ihi))
+    iv_expr = F.when(
+        c.between(F.lit(ivs[0][0]), F.lit(ivs[0][1])), F.lit(0)
+    )
+    for i, (ilo, ihi) in enumerate(ivs[1:], start=1):
+        iv_expr = iv_expr.when(c.between(F.lit(ilo), F.lit(ihi)), F.lit(i))
+    w = Window.partitionBy("_bp_iv").orderBy(*_spec_cols(order_spec))
+    base = F.when(F.col("_bp_iv") == 0, F.col("_bp_b0"))
+    for i in range(1, len(ivs)):
+        base = base.when(F.col("_bp_iv") == i, F.col(f"_bp_b{i}"))
+    joined = (
+        rel.filter(cond)
+        .withColumn("_bp_iv", iv_expr.cast("int"))
+        .withColumn("_bp_lr", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(cnt))
+        .withColumn("_bp_gr", (F.col("_bp_lr") + base).cast("bigint"))
+    )
+    from ..plans.localrel import local_df
+
+    pick_df = local_df(
+        spark,
+        [
+            (float(label), int(r), iv_of(lo, hi))
+            for label, r, lo, hi in targets
+        ],
+        "_bpk_q double, _bpk_r bigint, _bpk_iv int",
+    )
+    picked = joined.join(
+        F.broadcast(pick_df),
+        (F.col("_bp_iv") == F.col("_bpk_iv"))
+        & (F.col("_bp_gr") == F.col("_bpk_r")),
+    )
+    sel = [F.col("_bpk_q").alias(label_col), F.col("_bpk_r").alias(rank_col)]
+    sel += [F.col(n) for n in rel.columns]
+    sel += [F.col(f"_bp_c{i}") for i in range(len(ivs))]
+    rows = picked.select(*sel).collect()
+    want = sorted((float(label), int(r)) for label, r, _, _ in targets)
+    got = sorted((float(r0[label_col]), int(r0[rank_col])) for r0 in rows)
+    if got != want:
+        return None  # bracket miss: a target's row is absent — fall back
+    for label, r, lo, hi in targets:
+        if int(rows[0][f"_bp_c{iv_of(lo, hi)}"]) > window_ceiling:
+            return None
+    return rows
+
+
 def global_ntile(
     rel: DataFrame,
     n_tiles: int,
@@ -284,8 +422,9 @@ def global_ntile(
     input_bytes: int | None = None,
     small_input_ceiling: int = SMALL_INPUT_CEILING,
     order_spec: "Sequence[tuple[str, bool]] | None" = None,
-    bracket_accuracy: int = _BRACKET_ACCURACY,
+    bracket_accuracy: "int | None" = None,
     max_bracket_tiles: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Attach SQL-exact ``ntile(n_tiles)`` over the global ``order``.
 
@@ -324,6 +463,10 @@ def global_ntile(
             q, r = divmod(n_total, n_tiles)
             return [k * q + min(k, r) for k in range(1, n_tiles)]
 
+        # r15 (r14 verdict task 2): collect_picks fuses the verify agg
+        # and the boundary pick into ONE job — the bracket ntile path
+        # runs 3 job rounds (sketch, fused verify+pick, the caller's
+        # aggregate) instead of 4.
         picked = _bracket_pick(
             rel,
             order_spec,
@@ -333,14 +476,15 @@ def global_ntile(
             "_bnt_k",
             "_bnt_r",
             accuracy=bracket_accuracy,
+            collect_picks=True,
+            n_hint=n_rows,
         )
         if picked is not None and picked != "empty":
             names = [n for n, _ in order_spec]
-            brows = picked.select(*names).collect()
             ind = [
                 _after_boundary(order_spec, tuple(row[n] for n in names))
                 .cast("int")
-                for row in brows
+                for row in picked
             ]
             tile = F.lit(1)
             for x in ind:
@@ -408,7 +552,7 @@ def global_quantiles(
     small_input_ceiling: int = SMALL_INPUT_CEILING,
     n_rows: int | None = None,
     order_spec: "Sequence[tuple[str, bool]] | None" = None,
-    bracket_accuracy: int = _BRACKET_ACCURACY,
+    bracket_accuracy: "int | None" = None,
 ) -> DataFrame:
     """EXACT type-1 (lower/ceil) quantiles over a total ``order``:
     for each rational fraction ``(num, den)`` return the row at global
@@ -523,6 +667,7 @@ def global_quantiles(
             label_col,
             rank_col,
             accuracy=bracket_accuracy,
+            n_hint=n_rows,
         )
         if picked == "empty":
             return (

@@ -713,7 +713,7 @@ ORDER BY hour_start
 # orders_value_quartiles — ntile window ranking.
 def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_ntile
-    from ..plans.spread import scan_bytes
+    from ..plans.spread import scan_bytes, scan_rows
 
     base = _t(spark, sf_dir, "orders")
     orders = base.select("o_orderkey", "o_totalprice")
@@ -732,8 +732,12 @@ def orders_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r14: order as a spec unlocks the scan-only bracket large
             # route (boundary tuples via verified sketch brackets, tile
             # from literal comparisons — zero data shuffles before the
-            # quartile aggregate)
+            # quartile aggregate); r15: the footer row count sizes the
+            # sketch accuracy to the window ceiling (exact here — the
+            # table is unfiltered — and an over-count would only narrow
+            # brackets)
             order_spec=[("o_totalprice", True), ("o_orderkey", False)],
+            n_rows=scan_rows(base),
         )
         .groupBy("quartile")
         .agg(

@@ -90,6 +90,64 @@ def test_ntile_bracket_zero_exchanges_in_data_pass(spark, tmp_path):
     assert "Scan parquet" in plan, plan
 
 
+def test_ntile_bracket_fused_two_blocking_rounds(spark, monkeypatch):
+    # r15: the verify counts and the boundary pick run as ONE fused job
+    # (the conditional aggregate is a 1-row broadcast inside the pick
+    # plan), so building the bracket ntile frame blocks the driver on
+    # exactly TWO rounds — the sketch .first() and the fused pick
+    # .collect() — where r14 ran three (sketch, verify agg, pick).  The
+    # caller's action over the returned frame is the third round.
+    # Spark 4: concrete sessions hand out the classic subclass, whose
+    # own collect/first would shadow a patch on the abstract base
+    import pyspark.sql.classic.dataframe as dfmod
+
+    rows = [(i, float(i % 97)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    calls = []
+    orig_collect = dfmod.DataFrame.collect
+    monkeypatch.setattr(
+        dfmod.DataFrame,
+        "collect",
+        lambda self: (calls.append("collect"), orig_collect(self))[1],
+    )
+    out = global_ntile(
+        df, 4, tile_col="t", input_bytes=1 << 40, order_spec=SPEC
+    )
+    # .first() bottoms out in limit(1).collect(), so every blocking
+    # round is one collect: sketch + fused verify+pick = exactly two
+    # (the r14 shape blocked on three: sketch, verify agg, pick).
+    assert calls == ["collect", "collect"], (
+        f"bracket ntile construction blocked on {len(calls)} collects; "
+        f"the fused verify+pick contract is one sketch round plus one "
+        f"fused round"
+    )
+    monkeypatch.undo()
+    assert {r["id"]: r["t"] for r in out.collect()} == _ntile_ref(
+        spark, rows, 4
+    )
+
+
+def test_ntile_bracket_falls_back_on_tiny_window_ceiling(spark):
+    # post-hoc ceiling check (r15 fuse): an over-ceiling tie block must
+    # still decline to the range path and the answer stand
+    rows = [(i, 1.0) for i in range(100)]  # constant: one giant interval
+    from duckdb_webhook_gateway_spark.operators import ranks
+
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    old = ranks._BRACKET_WINDOW_CEILING
+    ranks._BRACKET_WINDOW_CEILING = 10
+    try:
+        out = global_ntile(
+            df, 4, tile_col="t", input_bytes=1 << 40, order_spec=SPEC
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        got = {r["id"]: r["t"] for r in out.collect()}
+    finally:
+        ranks._BRACKET_WINDOW_CEILING = old
+    assert "Scan ExistingRDD" in plan  # range path's checkpoint
+    assert got == _ntile_ref(spark, rows, 4)
+
+
 def _q_ref(spark, rows, fracs, desc=False):
     df = spark.createDataFrame(rows, "id bigint, v double")
     order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
